@@ -1,0 +1,133 @@
+"""Bit-plane packing and packed-domain comparisons.
+
+Reference behavior: `raw::BitPackedArray` over the `fastlanes` crate
+(liquid-cache `src/core/src/liquid_array/raw/bit_pack_array.rs`) --
+values stored at minimal bit-width, decoded with SIMD unpacking, then
+compared.
+
+TPU-native design: values are stored as **bit-planes**: for bit-width w
+over N rows, `planes[b]` is a uint32[N/32] vector whose word j packs bit
+b of rows 32j..32j+31 (LSB-first within a word).  Two consequences:
+
+1. Decode is a fully vectorized shift/accumulate (no cross-lane ops).
+2. Comparisons never decode at all: a magnitude comparison against a
+   constant runs MSB-to-LSB over the planes with 3 word-ops per plane,
+   each uint32 element deciding 32 rows at once.  For a 10-bit column
+   that is ~30 word-ops per 32 rows versus 32 full decodes -- this is
+   the engine's answer to "decode dominates filter CPU" (VLDB paper).
+
+All functions are jit-compatible; bit-width is static (a property of the
+stored array), the comparison constant may be traced.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+WORD_BITS = 32
+_U32 = jnp.uint32
+_U64 = jnp.uint64
+_FULL = jnp.uint32(0xFFFFFFFF)
+
+
+def bit_width_for(max_value: int) -> int:
+    """Minimal bit-width to represent values in [0, max_value]."""
+    if max_value <= 0:
+        return 0
+    return int(max_value).bit_length()
+
+
+@partial(jax.jit, static_argnums=(1,))
+def pack_bitplanes(values: jax.Array, width: int) -> jax.Array:
+    """Unsigned values[N] (N % 32 == 0) -> planes uint32[width, N/32]."""
+    n = values.shape[0]
+    assert n % WORD_BITS == 0, n
+    if width == 0:
+        return jnp.zeros((0, n // WORD_BITS), dtype=_U32)
+    v = values.astype(_U64).reshape(n // WORD_BITS, WORD_BITS)
+    b = jnp.arange(width, dtype=_U64)[:, None, None]
+    bits = (v[None, :, :] >> b) & jnp.uint64(1)
+    lane = jnp.uint64(1) << jnp.arange(WORD_BITS, dtype=_U64)[None, None, :]
+    return (bits * lane).sum(axis=-1, dtype=_U64).astype(_U32)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def unpack_bitplanes(planes: jax.Array, width: int, out_dtype=jnp.uint32) -> jax.Array:
+    """planes uint32[width, W] -> values out_dtype[W*32]."""
+    w_words = planes.shape[1]
+    n = w_words * WORD_BITS
+    if width == 0:
+        return jnp.zeros((n,), dtype=out_dtype)
+    acc_dtype = _U64 if jnp.dtype(out_dtype).itemsize > 4 else _U32
+    shifts = jnp.arange(WORD_BITS, dtype=_U32)
+    bits = (planes[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)  # [w, W, 32]
+    b = jnp.arange(width, dtype=acc_dtype)[:, None, None]
+    vals = (bits.astype(acc_dtype) << b).sum(axis=0, dtype=acc_dtype)
+    return vals.reshape(n).astype(out_dtype)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def cmp_const(planes: jax.Array, c, width: int):
+    """Compare packed column against a (possibly traced) unsigned scalar.
+
+    Returns packed masks `(lt, eq)`: lt[word] bit i set iff row value < c,
+    eq likewise for equality.  gt = ~(lt|eq).  MSB-first bitwise compare:
+      lt |= eq_so_far & ~plane_b & c_b ;  eq &= ~(plane_b ^ c_b)
+    """
+    n_words = planes.shape[1]
+    c = jnp.asarray(c).astype(_U64)
+    lt = jnp.zeros((n_words,), dtype=_U32)
+    eq = jnp.full((n_words,), _FULL)
+
+    def body(i, carry):
+        lt, eq = carry
+        b = width - 1 - i  # MSB-first
+        pb = jax.lax.dynamic_index_in_dim(planes, b, axis=0, keepdims=False)
+        cb = jnp.where(
+            (c >> b.astype(_U64)) & jnp.uint64(1) != 0, _FULL, jnp.uint32(0)
+        )
+        lt = lt | (eq & ~pb & cb)
+        eq = eq & ~(pb ^ cb)
+        return lt, eq
+
+    if width > 0:
+        lt, eq = jax.lax.fori_loop(0, width, body, (lt, eq))
+    # rows where c has bits above `width`: every stored value is smaller
+    c_overflow = jnp.where(c >> jnp.uint64(width) != 0, _FULL, jnp.uint32(0)) if width < 64 else jnp.uint32(0)
+    lt = lt | c_overflow
+    eq = eq & ~c_overflow
+    return lt, eq
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def cmp_const_op(planes: jax.Array, c, width: int, op: str) -> jax.Array:
+    """Packed comparison returning a single packed uint32 mask.
+
+    op in {eq, ne, lt, lt_eq, gt, gt_eq}. `c` unsigned in the packed domain
+    (caller applies reference_value offsetting and handles out-of-range).
+    """
+    lt, eq = cmp_const(planes, c, width)
+    if op == "eq":
+        return eq
+    if op == "ne":
+        return ~eq
+    if op == "lt":
+        return lt
+    if op == "lt_eq":
+        return lt | eq
+    if op == "gt":
+        return ~(lt | eq)
+    if op == "gt_eq":
+        return ~lt
+    raise ValueError(f"unknown op {op}")
+
+
+@partial(jax.jit, static_argnums=(2,))
+def in_range(planes: jax.Array, lo_hi, width: int) -> jax.Array:
+    """Packed mask for lo <= value <= hi (both traced unsigned scalars)."""
+    lo, hi = lo_hi
+    lt_lo, _ = cmp_const(planes, lo, width)
+    lt_hi, eq_hi = cmp_const(planes, hi, width)
+    return ~lt_lo & (lt_hi | eq_hi)
