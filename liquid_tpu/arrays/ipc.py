@@ -1,0 +1,159 @@
+"""Liquid IPC: self-describing serialization of encoded arrays.
+
+Reference behavior: liquid-cache `src/core/src/liquid_array/ipc.rs`:
+16-byte header {magic "LQDA", version, logical_type_id,
+physical_type_id}, then encoding-specific payload;
+`read_from_bytes(bytes, ctx)` dispatches on the type ids.
+
+Ours: magic "LQTP", version 1.  Header (16 bytes, little-endian):
+  magic[4] | u16 version | u16 physical_id | u16 logical_id | u16 flags
+  | u32 meta_len
+then a JSON metadata blob (scalar fields) and raw buffers back to back.
+Every array is disk-persistable through this path (squeeze backing bytes
+and DiskLiquid entries use it).
+"""
+from __future__ import annotations
+
+import json
+import struct
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+import pyarrow as pa
+
+MAGIC = b"LQTP"
+VERSION = 1
+
+PHYS_PRIMITIVE = 1
+PHYS_BYTEVIEW = 2
+PHYS_FLOAT = 3
+
+_LOGICAL = [
+    pa.int8(), pa.int16(), pa.int32(), pa.int64(),
+    pa.uint8(), pa.uint16(), pa.uint32(), pa.uint64(),
+    pa.float32(), pa.float64(),
+    pa.date32(), pa.date64(),
+    pa.timestamp("s"), pa.timestamp("ms"), pa.timestamp("us"), pa.timestamp("ns"),
+    pa.string(), pa.large_string(), pa.binary(), pa.large_binary(),
+    pa.string_view(), pa.binary_view(),
+]
+
+
+def logical_id(t: pa.DataType) -> int:
+    for i, c in enumerate(_LOGICAL):
+        if t.equals(c):
+            return i
+    raise ValueError(f"unsupported logical type {t}")
+
+
+def logical_from_id(i: int) -> pa.DataType:
+    return _LOGICAL[i]
+
+
+def _emit(physical: int, logical: int, meta: dict, buffers: list) -> bytes:
+    meta = dict(meta)
+    meta["buf_lens"] = [len(b) for b in buffers]
+    mb = json.dumps(meta).encode()
+    head = struct.pack("<4sHHHHI", MAGIC, VERSION, physical, logical, 0, len(mb))
+    return b"".join([head, mb] + buffers)
+
+
+def _parse(data: bytes):
+    magic, version, physical, logical, _flags, meta_len = struct.unpack_from(
+        "<4sHHHHI", data, 0)
+    assert magic == MAGIC, "bad magic"
+    assert version == VERSION, version
+    off = 16
+    meta = json.loads(data[off:off + meta_len])
+    off += meta_len
+    buffers = []
+    for ln in meta["buf_lens"]:
+        buffers.append(data[off:off + ln])
+        off += ln
+    return physical, logical, meta, buffers
+
+
+def _np_bytes(arr) -> bytes:
+    return np.ascontiguousarray(np.asarray(arr)).tobytes()
+
+
+def _opt_validity_bytes(validity) -> bytes:
+    return b"" if validity is None else _np_bytes(validity)
+
+
+def _validity_from(buf: bytes):
+    if not buf:
+        return None
+    return jnp.asarray(np.frombuffer(buf, dtype=np.uint32))
+
+
+def _arrow_to_bytes(arr: pa.Array) -> bytes:
+    batch = pa.record_batch([arr], names=["v"])
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, batch.schema) as w:
+        w.write_batch(batch)
+    return sink.getvalue().to_pybytes()
+
+
+def _arrow_from_bytes(buf: bytes) -> pa.Array:
+    with pa.ipc.open_stream(pa.BufferReader(buf)) as r:
+        t = r.read_all()
+    return t.column(0).combine_chunks()
+
+
+# -- per-encoding ----------------------------------------------------------
+
+def serialize_primitive(a) -> bytes:
+    meta = {"width": a.width, "ref": a.reference_value, "length": a.length,
+            "rows": int(a.planes.shape[0]), "words": int(a.planes.shape[1])}
+    bufs = [_np_bytes(a.planes), _opt_validity_bytes(a.validity)]
+    return _emit(PHYS_PRIMITIVE, logical_id(a.arrow_type), meta, bufs)
+
+
+def serialize_byteview(a) -> bytes:
+    meta = {"length": a.length,
+            "has_fp": a._fingerprints is not None}
+    bufs = [_np_bytes(a.codes), _opt_validity_bytes(a.validity),
+            _arrow_to_bytes(a.dictionary)]
+    if a._fingerprints is not None:
+        bufs.append(a._fingerprints.tobytes())
+    return _emit(PHYS_BYTEVIEW, logical_id(a.arrow_type), meta, bufs)
+
+
+def serialize_float(a) -> bytes:
+    meta = {"width": a.width, "ref": a.reference_value, "exp": a.exponent,
+            "length": a.length,
+            "rows": int(a.planes.shape[0]), "words": int(a.planes.shape[1])}
+    bufs = [_np_bytes(a.planes), _opt_validity_bytes(a.validity),
+            _np_bytes(a.patch_idx), _np_bytes(a.patch_vals)]
+    return _emit(PHYS_FLOAT, logical_id(a.arrow_type), meta, bufs)
+
+
+def deserialize(data: bytes):
+    """Self-describing dispatch (ref ipc.rs read_from_bytes)."""
+    physical, logical, meta, bufs = _parse(data)
+    t = logical_from_id(logical)
+    if physical == PHYS_PRIMITIVE:
+        from liquid_tpu.arrays.primitive import LiquidPrimitiveArray
+        planes = jnp.asarray(np.frombuffer(bufs[0], dtype=np.uint32)
+                             .reshape(meta["rows"], meta["words"]))
+        return LiquidPrimitiveArray(planes, meta["width"], meta["ref"],
+                                    _validity_from(bufs[1]), meta["length"], t)
+    if physical == PHYS_BYTEVIEW:
+        from liquid_tpu.arrays.byteview import LiquidByteViewArray
+        codes = jnp.asarray(np.frombuffer(bufs[0], dtype=np.int32))
+        fps = (np.frombuffer(bufs[3], dtype=np.uint32)
+               if meta.get("has_fp") else None)
+        return LiquidByteViewArray(codes, _arrow_from_bytes(bufs[2]),
+                                   _validity_from(bufs[1]), meta["length"], t,
+                                   fps)
+    if physical == PHYS_FLOAT:
+        from liquid_tpu.arrays.float_alp import LiquidFloatArray
+        planes = jnp.asarray(np.frombuffer(bufs[0], dtype=np.uint32)
+                             .reshape(meta["rows"], meta["words"]))
+        return LiquidFloatArray(planes, meta["width"], meta["ref"], meta["exp"],
+                                jnp.asarray(np.frombuffer(bufs[2], dtype=np.int32)),
+                                jnp.asarray(np.frombuffer(bufs[3], dtype=np.float64)),
+                                _validity_from(bufs[1]), meta["length"], t)
+    raise ValueError(f"unknown physical id {physical}")

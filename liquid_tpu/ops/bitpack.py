@@ -16,8 +16,13 @@ b of rows 32j..32j+31 (LSB-first within a word).  Two consequences:
    that is ~30 word-ops per 32 rows versus 32 full decodes -- this is
    the engine's answer to "decode dominates filter CPU" (VLDB paper).
 
-All functions are jit-compatible; bit-width is static (a property of the
-stored array), the comparison constant may be traced.
+Width bucketing: physical plane counts are quantized to WIDTH_BUCKETS
+(zero-padded above the logical width).  XLA compiles one kernel per
+*shape*; bucketing caps the universe of shapes at ~20 regardless of how
+many distinct column widths a workload has, which keeps first-query
+compile latency bounded.  Zero planes are semantically transparent: a
+zero bit compared against the constant's bit is exactly the right
+comparison for values that simply lack those bits.
 """
 from __future__ import annotations
 
@@ -31,6 +36,18 @@ _U32 = jnp.uint32
 _U64 = jnp.uint64
 _FULL = jnp.uint32(0xFFFFFFFF)
 
+#: Physical plane-count buckets.  Dense at low widths (where real columns
+#: live after reference-value offsetting), sparse above.
+WIDTH_BUCKETS = (0, 1, 2, 3, 4, 5, 6, 8, 10, 12, 14, 16, 20, 24, 28, 32,
+                 40, 48, 56, 64)
+
+
+def bucket_for(width: int) -> int:
+    for b in WIDTH_BUCKETS:
+        if b >= width:
+            return b
+    raise ValueError(f"width {width} > 64")
+
 
 def bit_width_for(max_value: int) -> int:
     """Minimal bit-width to represent values in [0, max_value]."""
@@ -40,50 +57,60 @@ def bit_width_for(max_value: int) -> int:
 
 
 @partial(jax.jit, static_argnums=(1,))
-def pack_bitplanes(values: jax.Array, width: int) -> jax.Array:
-    """Unsigned values[N] (N % 32 == 0) -> planes uint32[width, N/32]."""
+def _pack(values: jax.Array, bucket: int) -> jax.Array:
     n = values.shape[0]
-    assert n % WORD_BITS == 0, n
-    if width == 0:
-        return jnp.zeros((0, n // WORD_BITS), dtype=_U32)
     v = values.astype(_U64).reshape(n // WORD_BITS, WORD_BITS)
-    b = jnp.arange(width, dtype=_U64)[:, None, None]
+    b = jnp.arange(bucket, dtype=_U64)[:, None, None]
     bits = (v[None, :, :] >> b) & jnp.uint64(1)
     lane = jnp.uint64(1) << jnp.arange(WORD_BITS, dtype=_U64)[None, None, :]
     return (bits * lane).sum(axis=-1, dtype=_U64).astype(_U32)
 
 
-@partial(jax.jit, static_argnums=(1, 2))
-def unpack_bitplanes(planes: jax.Array, width: int, out_dtype=jnp.uint32) -> jax.Array:
-    """planes uint32[width, W] -> values out_dtype[W*32]."""
-    w_words = planes.shape[1]
+def pack_bitplanes(values: jax.Array, width: int) -> jax.Array:
+    """Unsigned values[N] (N % 32 == 0) -> planes uint32[bucket(width), N/32].
+
+    Bits at or above `width` must be zero in `values` (width comes from
+    `bit_width_for(max)`); planes above `width` come out zero.
+    """
+    n = values.shape[0]
+    assert n % WORD_BITS == 0, n
+    bucket = bucket_for(width)
+    if bucket == 0:
+        return jnp.zeros((0, n // WORD_BITS), dtype=_U32)
+    return _pack(values, bucket)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def unpack_bitplanes(planes: jax.Array, out_dtype=jnp.uint32) -> jax.Array:
+    """planes uint32[bucket, W] -> values out_dtype[W*32]."""
+    bucket, w_words = planes.shape
     n = w_words * WORD_BITS
-    if width == 0:
+    if bucket == 0:
         return jnp.zeros((n,), dtype=out_dtype)
     acc_dtype = _U64 if jnp.dtype(out_dtype).itemsize > 4 else _U32
     shifts = jnp.arange(WORD_BITS, dtype=_U32)
-    bits = (planes[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)  # [w, W, 32]
-    b = jnp.arange(width, dtype=acc_dtype)[:, None, None]
+    bits = (planes[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)  # [b, W, 32]
+    b = jnp.arange(bucket, dtype=acc_dtype)[:, None, None]
     vals = (bits.astype(acc_dtype) << b).sum(axis=0, dtype=acc_dtype)
     return vals.reshape(n).astype(out_dtype)
 
 
-@partial(jax.jit, static_argnums=(2,))
-def cmp_const(planes: jax.Array, c, width: int):
+@jax.jit
+def cmp_const(planes: jax.Array, c):
     """Compare packed column against a (possibly traced) unsigned scalar.
 
     Returns packed masks `(lt, eq)`: lt[word] bit i set iff row value < c,
     eq likewise for equality.  gt = ~(lt|eq).  MSB-first bitwise compare:
       lt |= eq_so_far & ~plane_b & c_b ;  eq &= ~(plane_b ^ c_b)
     """
-    n_words = planes.shape[1]
+    bucket, n_words = planes.shape
     c = jnp.asarray(c).astype(_U64)
     lt = jnp.zeros((n_words,), dtype=_U32)
     eq = jnp.full((n_words,), _FULL)
 
     def body(i, carry):
         lt, eq = carry
-        b = width - 1 - i  # MSB-first
+        b = bucket - 1 - i  # MSB-first
         pb = jax.lax.dynamic_index_in_dim(planes, b, axis=0, keepdims=False)
         cb = jnp.where(
             (c >> b.astype(_U64)) & jnp.uint64(1) != 0, _FULL, jnp.uint32(0)
@@ -92,23 +119,24 @@ def cmp_const(planes: jax.Array, c, width: int):
         eq = eq & ~(pb ^ cb)
         return lt, eq
 
-    if width > 0:
-        lt, eq = jax.lax.fori_loop(0, width, body, (lt, eq))
-    # rows where c has bits above `width`: every stored value is smaller
-    c_overflow = jnp.where(c >> jnp.uint64(width) != 0, _FULL, jnp.uint32(0)) if width < 64 else jnp.uint32(0)
-    lt = lt | c_overflow
-    eq = eq & ~c_overflow
+    if bucket > 0:
+        lt, eq = jax.lax.fori_loop(0, bucket, body, (lt, eq))
+    # c bits above the physical bucket: every stored value is smaller
+    if bucket < 64:
+        c_over = jnp.where(c >> jnp.uint64(bucket) != 0, _FULL, jnp.uint32(0))
+        lt = lt | c_over
+        eq = eq & ~c_over
     return lt, eq
 
 
-@partial(jax.jit, static_argnums=(2, 3))
-def cmp_const_op(planes: jax.Array, c, width: int, op: str) -> jax.Array:
+@partial(jax.jit, static_argnums=(2,))
+def cmp_const_op(planes: jax.Array, c, op: str) -> jax.Array:
     """Packed comparison returning a single packed uint32 mask.
 
     op in {eq, ne, lt, lt_eq, gt, gt_eq}. `c` unsigned in the packed domain
     (caller applies reference_value offsetting and handles out-of-range).
     """
-    lt, eq = cmp_const(planes, c, width)
+    lt, eq = cmp_const(planes, c)
     if op == "eq":
         return eq
     if op == "ne":
@@ -124,10 +152,10 @@ def cmp_const_op(planes: jax.Array, c, width: int, op: str) -> jax.Array:
     raise ValueError(f"unknown op {op}")
 
 
-@partial(jax.jit, static_argnums=(2,))
-def in_range(planes: jax.Array, lo_hi, width: int) -> jax.Array:
+@jax.jit
+def in_range(planes: jax.Array, lo_hi) -> jax.Array:
     """Packed mask for lo <= value <= hi (both traced unsigned scalars)."""
     lo, hi = lo_hi
-    lt_lo, _ = cmp_const(planes, lo, width)
-    lt_hi, eq_hi = cmp_const(planes, hi, width)
+    lt_lo, _ = cmp_const(planes, lo)
+    lt_hi, eq_hi = cmp_const(planes, hi)
     return ~lt_lo & (lt_hi | eq_hi)
