@@ -30,6 +30,7 @@ PHYS_BYTEVIEW = 2
 PHYS_FLOAT = 3
 
 _LOGICAL = [
+    pa.bool_(),
     pa.int8(), pa.int16(), pa.int32(), pa.int64(),
     pa.uint8(), pa.uint16(), pa.uint32(), pa.uint64(),
     pa.float32(), pa.float64(),

@@ -31,6 +31,8 @@ _SUPPORTED = {}  # pa type id -> numpy dtype
 
 
 def _np_dtype_for(t: pa.DataType) -> np.dtype:
+    if pa.types.is_boolean(t):
+        return np.dtype(np.bool_)
     if pa.types.is_date32(t):
         return np.dtype(np.int32)
     if pa.types.is_timestamp(t) or pa.types.is_date64(t):
@@ -100,6 +102,11 @@ class LiquidPrimitiveArray(LiquidArray):
         planes = bp.pack_bitplanes(jnp.asarray(off), width)
         validity = pack_validity(valid, length)
         return cls(planes, width, ref, validity, length, arrow_type)
+
+    def _with_logical(self, t: pa.DataType) -> "LiquidPrimitiveArray":
+        """Re-tag the logical arrow type (bool stored as uint8 etc.)."""
+        self._arrow_type = t
+        return self
 
     # -- LiquidArray -------------------------------------------------------
 

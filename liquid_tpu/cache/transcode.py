@@ -1,0 +1,36 @@
+"""Arrow -> Liquid transcoding dispatch.
+
+Reference behavior: the transcoder (liquid-cache
+`src/core/src/cache/transcode.rs:38-...`): per-type dispatch of arrow
+arrays into liquid encodings; trains a shared FSST compressor on the
+first string batch per column; a substring hint triggers fingerprint
+builds.  Ours dispatches to the bit-plane / dictionary / ALP encoders;
+the per-column state (shared dictionaries, hint votes) lives in
+`ColumnStates`.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import pyarrow as pa
+
+from liquid_tpu.arrays import byteview, float_alp, primitive
+from liquid_tpu.arrays.base import LiquidArray
+from liquid_tpu.cache.expressions import ExtractDate32, SubstringSearch
+
+
+def transcode(arr: pa.Array, hint=None) -> Optional[LiquidArray]:
+    """-> LiquidArray, or None if the type has no liquid encoding yet
+    (caller keeps the arrow form; ref transcode.rs fallthrough)."""
+    t = arr.type
+    if pa.types.is_boolean(t):
+        # store as 1-bit primitive; logical type preserved through cast
+        return primitive.LiquidPrimitiveArray.from_arrow(arr.cast(pa.uint8()))._with_logical(t)
+    if primitive.is_supported_type(t):
+        return primitive.LiquidPrimitiveArray.from_arrow(arr)
+    if float_alp.is_supported_type(t):
+        return float_alp.LiquidFloatArray.from_arrow(arr)
+    if byteview.is_supported_type(t):
+        return byteview.LiquidByteViewArray.from_arrow(
+            arr, with_fingerprints=isinstance(hint, SubstringSearch))
+    return None
