@@ -1,0 +1,178 @@
+"""Parquet-facing cache integration.
+
+Reference behavior: `LiquidCacheParquet` + the plantime reader stack
+(liquid-cache `src/datafusion/src/cache/mod.rs:230-391`,
+`reader/plantime/`): a file-path -> file_id registry, 64-bit packed
+entry ids `(file<<48)|(rowgroup<<32)|(column<<16)|batch`
+(cache/id.rs:8-33), a process-global parquet-metadata cache
+(source.rs:41-163), and row-group pruning by min/max statistics
+(row_group_filter.rs).
+
+Batches are BLOCK_ROWS-sized row slices of a row group; a cache miss
+reads the parquet column chunk once and inserts every batch of it.
+"""
+from __future__ import annotations
+
+import threading
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from liquid_tpu.arrays.base import BLOCK_ROWS, Predicate
+
+# -- entry id packing (ref cache/id.rs) ------------------------------------
+
+_B_BATCH = 16
+_B_COL = 16
+_B_RG = 16
+
+
+def pack_id(file_id: int, rg: int, col: int, batch: int) -> int:
+    assert file_id < (1 << 16) and rg < (1 << 16)
+    assert col < (1 << 16) and batch < (1 << 16)
+    return (file_id << 48) | (rg << 32) | (col << 16) | batch
+
+
+def unpack_id(eid: int) -> Tuple[int, int, int, int]:
+    return (eid >> 48) & 0xFFFF, (eid >> 32) & 0xFFFF, (eid >> 16) & 0xFFFF, eid & 0xFFFF
+
+
+# -- metadata cache (ref META_CACHE, source.rs:41-163) ----------------------
+
+_META_LOCK = threading.Lock()
+_META_CACHE: Dict[str, "pq.FileMetaData"] = {}
+
+
+def cached_metadata(path: str):
+    with _META_LOCK:
+        md = _META_CACHE.get(path)
+    if md is None:
+        md = pq.ParquetFile(path).metadata
+        with _META_LOCK:
+            _META_CACHE[path] = md
+    return md
+
+
+class ParquetTable:
+    """One registered parquet file, scanned through the cache."""
+
+    def __init__(self, name: str, path: str, cache, file_id: int):
+        self.name = name
+        self.path = path
+        self.cache = cache
+        self.file_id = file_id
+        self._pf = pq.ParquetFile(path)
+        self.metadata = cached_metadata(path)
+        self.schema = self._pf.schema_arrow
+        self.column_names = list(self.schema.names)
+        self._col_index = {n: i for i, n in enumerate(self.column_names)}
+        self._lock = threading.Lock()
+
+    @property
+    def num_rows(self) -> int:
+        return self.metadata.num_rows
+
+    @property
+    def num_row_groups(self) -> int:
+        return self.metadata.num_row_groups
+
+    def rg_num_rows(self, rg: int) -> int:
+        return self.metadata.row_group(rg).num_rows
+
+    def num_batches(self, rg: int) -> int:
+        return (self.rg_num_rows(rg) + BLOCK_ROWS - 1) // BLOCK_ROWS
+
+    def batch_length(self, rg: int, batch: int) -> int:
+        n = self.rg_num_rows(rg)
+        return min(BLOCK_ROWS, n - batch * BLOCK_ROWS)
+
+    def entry_id(self, rg: int, col_name: str, batch: int) -> int:
+        return pack_id(self.file_id, rg, self._col_index[col_name], batch)
+
+    def field(self, col_name: str) -> pa.Field:
+        return self.schema.field(col_name)
+
+    # -- row-group pruning (ref row_group_filter.rs) -----------------------
+
+    def prune_row_groups(self, pushed: List[Tuple[str, Predicate]]) -> List[int]:
+        """Row groups that may contain matching rows, by min/max stats.
+        `pushed` are AND-ed (column, predicate) pairs."""
+        keep = []
+        for rg in range(self.num_row_groups):
+            if self._rg_may_match(rg, pushed):
+                keep.append(rg)
+        return keep
+
+    def _rg_may_match(self, rg: int, pushed) -> bool:
+        meta = self.metadata.row_group(rg)
+        for col, pred in pushed:
+            if pred.op not in ("eq", "lt", "lt_eq", "gt", "gt_eq"):
+                continue
+            ci = self._col_index.get(col)
+            if ci is None:
+                continue
+            stats = meta.column(ci).statistics
+            if stats is None or not stats.has_min_max:
+                continue
+            lo, hi = stats.min, stats.max
+            v = pred.literal
+            try:
+                if pred.op == "eq" and (v < lo or v > hi):
+                    return False
+                if pred.op in ("lt",) and lo >= v:
+                    return False
+                if pred.op in ("lt_eq",) and lo > v:
+                    return False
+                if pred.op in ("gt",) and hi <= v:
+                    return False
+                if pred.op in ("gt_eq",) and hi < v:
+                    return False
+            except TypeError:
+                continue  # incomparable stats (e.g. bytes vs str)
+        return True
+
+    # -- column loading through the cache ----------------------------------
+
+    def ensure_cached(self, rg: int, col_name: str, hint=None) -> List[int]:
+        """Make sure all batches of (rg, col) are cached; returns entry ids.
+        A miss reads the parquet column chunk once and inserts every batch
+        (ref ParquetFallback insert-all, liquid_cache_reader.rs:393-434)."""
+        n_batches = self.num_batches(rg)
+        ids = [self.entry_id(rg, col_name, b) for b in range(n_batches)]
+        if all(self.cache.contains(eid) for eid in ids):
+            return ids
+        with self._lock:
+            if all(self.cache.contains(eid) for eid in ids):
+                return ids
+            data = self._pf.read_row_group(
+                rg, columns=[col_name]).column(0).combine_chunks()
+            for b, eid in enumerate(ids):
+                chunk = data.slice(b * BLOCK_ROWS, BLOCK_ROWS)
+                if not self.cache.contains(eid):
+                    self.cache.insert(eid, chunk, hint=hint)
+        return ids
+
+    def get_batch(self, rg: int, col_name: str, batch: int,
+                  hint=None) -> pa.Array:
+        eid = self.entry_id(rg, col_name, batch)
+        out = self.cache.get(eid)
+        if out is None:
+            self.ensure_cached(rg, col_name, hint)
+            out = self.cache.get(eid)
+            if out is None:
+                # cache refused (pressure): read straight from parquet
+                data = self._pf.read_row_group(
+                    rg, columns=[col_name]).column(0).combine_chunks()
+                out = data.slice(batch * BLOCK_ROWS, BLOCK_ROWS)
+        if pa.types.is_dictionary(out.type):
+            out = out.cast(out.type.value_type)
+        return out
+
+    def eval_predicate(self, rg: int, col_name: str, batch: int,
+                       pred: Predicate, hint=None):
+        eid = self.entry_id(rg, col_name, batch)
+        if not self.cache.contains(eid):
+            self.ensure_cached(rg, col_name, hint)
+        return self.cache.eval_predicate(eid, pred)

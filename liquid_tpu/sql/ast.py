@@ -1,0 +1,166 @@
+"""SQL AST node definitions.
+
+The liquid-tpu SQL dialect covers the reference's benchmark query sets
+(ClickBench 43 queries, TPC-H, TPC-DS core shapes): SELECT with
+expressions, WHERE, GROUP BY, HAVING, ORDER BY, LIMIT, JOINs,
+aggregates (COUNT/COUNT DISTINCT/SUM/AVG/MIN/MAX), EXTRACT, LIKE,
+BETWEEN, IN, CASE, date arithmetic.  The planner consumes these nodes;
+there is no dependency on any external SQL engine.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+
+class Expr:
+    pass
+
+
+@dataclass(frozen=True)
+class Column(Expr):
+    name: str
+    table: Optional[str] = None
+
+
+@dataclass(frozen=True)
+class Literal(Expr):
+    value: object  # int | float | str | bool | None | datetime.date
+
+
+@dataclass(frozen=True)
+class Binary(Expr):
+    op: str  # + - * / % = <> < <= > >= and or like not_like
+    left: Expr
+    right: Expr
+
+
+@dataclass(frozen=True)
+class Unary(Expr):
+    op: str  # not, neg
+    operand: Expr
+
+
+@dataclass(frozen=True)
+class Func(Expr):
+    name: str           # lower-cased
+    args: Tuple[Expr, ...]
+    distinct: bool = False
+    star: bool = False  # COUNT(*)
+
+
+@dataclass(frozen=True)
+class Extract(Expr):
+    field: str  # year month day dow minute hour ...
+    operand: Expr
+
+
+@dataclass(frozen=True)
+class Case(Expr):
+    whens: Tuple[Tuple[Expr, Expr], ...]
+    else_: Optional[Expr]
+    operand: Optional[Expr] = None
+
+
+@dataclass(frozen=True)
+class InList(Expr):
+    operand: Expr
+    items: Tuple[Expr, ...]
+    negated: bool = False
+
+
+@dataclass(frozen=True)
+class Between(Expr):
+    operand: Expr
+    low: Expr
+    high: Expr
+    negated: bool = False
+
+
+@dataclass(frozen=True)
+class Cast(Expr):
+    operand: Expr
+    type_name: str
+
+
+@dataclass(frozen=True)
+class IsNull(Expr):
+    operand: Expr
+    negated: bool = False
+
+
+@dataclass(frozen=True)
+class Interval(Expr):
+    value: int
+    unit: str  # day month year
+
+
+@dataclass(frozen=True)
+class Subquery(Expr):
+    query: "Select"
+
+
+@dataclass(frozen=True)
+class Exists(Expr):
+    query: "Select"
+    negated: bool = False
+
+
+@dataclass(frozen=True)
+class InSubquery(Expr):
+    operand: Expr
+    query: "Select"
+    negated: bool = False
+
+
+@dataclass(frozen=True)
+class Star(Expr):
+    table: Optional[str] = None
+
+
+# -- relations -------------------------------------------------------------
+
+@dataclass(frozen=True)
+class TableRef:
+    name: str
+    alias: Optional[str] = None
+
+
+@dataclass(frozen=True)
+class Join:
+    left: object            # TableRef | Join | SubqueryRel
+    right: object
+    kind: str               # inner | left | right | full | cross
+    on: Optional[Expr]      # join condition
+
+
+@dataclass(frozen=True)
+class SubqueryRel:
+    query: "Select"
+    alias: str
+
+
+@dataclass
+class OrderItem:
+    expr: Expr
+    desc: bool = False
+    nulls_first: Optional[bool] = None
+
+
+@dataclass
+class SelectItem:
+    expr: Expr
+    alias: Optional[str] = None
+
+
+@dataclass
+class Select:
+    items: List[SelectItem] = field(default_factory=list)
+    from_: Optional[object] = None      # TableRef | Join | SubqueryRel
+    where: Optional[Expr] = None
+    group_by: List[Expr] = field(default_factory=list)
+    having: Optional[Expr] = None
+    order_by: List[OrderItem] = field(default_factory=list)
+    limit: Optional[int] = None
+    offset: Optional[int] = None
+    distinct: bool = False

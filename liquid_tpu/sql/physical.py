@@ -1,0 +1,537 @@
+"""Physical execution: scan -> filter -> aggregate/join/sort -> result.
+
+This is the liquid-tpu equivalent of the reference's runtime reader +
+DataFusion operators:
+
+- The scan/filter loop mirrors `LiquidCacheReader` (liquid-cache
+  `reader/runtime/liquid_cache_reader.rs:118-161`): per 8192-row batch,
+  chain predicates over the selection via cache-side ENCODED evaluation
+  (build_predicate_filter :296-339), fall back to materialize+evaluate
+  for residual expressions, then materialize only projected columns
+  under the surviving selection (read_from_cache :341-391).
+- Multi-column OR groups combine per-column encoded masks with Kleene
+  OR (ref cache/mod.rs:111-150).
+- Aggregation runs as per-batch partial aggregates merged at the end
+  (count->sum, sum->sum, min->min, max->max, avg->(sum,count)); the
+  partial step is columnar C++ (pyarrow group_by) pending the Pallas
+  hash-agg kernel swap-in.
+- Joins use equi-key hash join (pyarrow Table.join) with residual
+  post-filters.
+"""
+from __future__ import annotations
+
+import datetime
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from liquid_tpu.arrays.base import BLOCK_ROWS, Predicate
+from liquid_tpu.ops import mask as mops
+from liquid_tpu.sql import ast
+from liquid_tpu.sql.eval import Batch, Evaluator
+from liquid_tpu.sql.planner import (
+    ScanPlan, column_hints, plan_scan_filters, split_conjuncts,
+)
+
+AGG_FUNCS = {"count", "sum", "avg", "min", "max", "median",
+             "approx_distinct", "stddev", "var"}
+
+
+def render(e: ast.Expr) -> str:
+    """DataFusion-style display name for an unaliased expression."""
+    if isinstance(e, ast.Column):
+        return e.name
+    if isinstance(e, ast.Literal):
+        v = e.value
+        return f"'{v}'" if isinstance(v, str) else str(v)
+    if isinstance(e, ast.Func):
+        if e.star:
+            return f"{e.name}(*)"
+        inner = ",".join(render(a) for a in e.args)
+        d = "DISTINCT " if e.distinct else ""
+        return f"{e.name}({d}{inner})"
+    if isinstance(e, ast.Binary):
+        return f"{render(e.left)} {e.op} {render(e.right)}"
+    if isinstance(e, ast.Unary):
+        return f"{e.op} {render(e.operand)}"
+    if isinstance(e, ast.Extract):
+        return f"extract({e.field} from {render(e.operand)})"
+    if isinstance(e, ast.Cast):
+        return f"cast({render(e.operand)} as {e.type_name})"
+    return type(e).__name__.lower()
+
+
+def find_aggs(e: ast.Expr, out: List[ast.Func]) -> None:
+    if isinstance(e, ast.Func) and e.name in AGG_FUNCS:
+        if e not in out:
+            out.append(e)
+        return
+    for f_ in getattr(e, "__dataclass_fields__", {}):
+        v = getattr(e, f_)
+        if isinstance(v, ast.Expr):
+            find_aggs(v, out)
+        elif isinstance(v, (list, tuple)):
+            for x in v:
+                if isinstance(x, ast.Expr):
+                    find_aggs(x, out)
+                elif isinstance(x, tuple):
+                    for y in x:
+                        if isinstance(y, ast.Expr):
+                            find_aggs(y, out)
+
+
+def substitute(e: ast.Expr, mapping: Dict[ast.Expr, str]) -> ast.Expr:
+    """Replace sub-expressions (structural equality) with column refs."""
+    if e in mapping:
+        return ast.Column(mapping[e])
+    if isinstance(e, ast.Binary):
+        return ast.Binary(e.op, substitute(e.left, mapping),
+                          substitute(e.right, mapping))
+    if isinstance(e, ast.Unary):
+        return ast.Unary(e.op, substitute(e.operand, mapping))
+    if isinstance(e, ast.Case):
+        whens = tuple((substitute(c, mapping), substitute(v, mapping))
+                      for c, v in e.whens)
+        return ast.Case(whens,
+                        substitute(e.else_, mapping) if e.else_ else None,
+                        substitute(e.operand, mapping) if e.operand else None)
+    if isinstance(e, ast.Cast):
+        return ast.Cast(substitute(e.operand, mapping), e.type_name)
+    if isinstance(e, ast.Extract):
+        return ast.Extract(e.field, substitute(e.operand, mapping))
+    if isinstance(e, ast.Func):
+        return ast.Func(e.name, tuple(substitute(a, mapping) for a in e.args),
+                        e.distinct, e.star)
+    if isinstance(e, ast.Between):
+        return ast.Between(substitute(e.operand, mapping),
+                           substitute(e.low, mapping),
+                           substitute(e.high, mapping), e.negated)
+    if isinstance(e, ast.InList):
+        return ast.InList(substitute(e.operand, mapping),
+                          tuple(substitute(i, mapping) for i in e.items),
+                          e.negated)
+    if isinstance(e, ast.IsNull):
+        return ast.IsNull(substitute(e.operand, mapping), e.negated)
+    return e
+
+
+def collect_columns(e, out: set) -> None:
+    if isinstance(e, ast.Column):
+        out.add(e.name)
+        return
+    for f_ in getattr(e, "__dataclass_fields__", {}):
+        v = getattr(e, f_)
+        if isinstance(v, ast.Expr):
+            collect_columns(v, out)
+        elif isinstance(v, (list, tuple)):
+            for x in v:
+                if isinstance(x, ast.Expr):
+                    collect_columns(x, out)
+                elif isinstance(x, tuple):
+                    for y in x:
+                        if isinstance(y, ast.Expr):
+                            collect_columns(y, out)
+
+
+# -- the scan/filter hot loop ---------------------------------------------
+
+@dataclass
+class ScanBlock:
+    table: object          # ParquetTable
+    rg: int
+    batch: int
+    length: int
+    sel_idx: np.ndarray    # int64 indices of surviving rows within the block
+    _cols: dict
+
+    def col(self, name: str, hint=None) -> pa.Array:
+        """Materialize column under the selection."""
+        arr = self._cols.get(name)
+        if arr is None:
+            arr = self.table.get_batch(self.rg, name, self.batch, hint)
+            self._cols[name] = arr
+        return arr.take(pa.array(self.sel_idx, pa.int64()))
+
+    def full_col(self, name: str, hint=None) -> pa.Array:
+        arr = self._cols.get(name)
+        if arr is None:
+            arr = self.table.get_batch(self.rg, name, self.batch, hint)
+            self._cols[name] = arr
+        return arr
+
+    @property
+    def num_selected(self) -> int:
+        return len(self.sel_idx)
+
+
+def _pred_to_expr_mask(block_cols: Batch, conj: ast.Expr) -> pa.Array:
+    out = Evaluator(block_cols).arr(conj)
+    return out
+
+
+def scan_blocks(table, plan: ScanPlan, hints: Dict[str, object],
+                needed_cols: List[str], observer=None):
+    """Yield ScanBlocks with selections applied.
+
+    Mirrors LiquidCacheReader::poll_next: encoded predicate chain, then
+    residual expressions on materialized data, early-exit on empty.
+    """
+    rgs = table.prune_row_groups(plan.stats_preds)
+    for rg in rgs:
+        for b in range(table.num_batches(rg)):
+            length = table.batch_length(rg, b)
+            sel = mops.all_set(BLOCK_ROWS, length)
+            cols_cache: dict = {}
+            empty = False
+            for group in plan.pushdown:
+                combined = None
+                fallback = False
+                for col, pred in group.alternatives:
+                    bm = table.eval_predicate(rg, col, b, pred,
+                                              hints.get(col))
+                    if bm is None:
+                        fallback = True
+                        break
+                    combined = bm if combined is None else combined.or_kleene(bm)
+                if fallback:
+                    # materialize + pyarrow evaluation of the original conjunct
+                    cols = set()
+                    collect_columns(group.source, cols)
+                    batch = Batch({c: _full(table, rg, b, c, cols_cache, hints)
+                                   for c in cols}, length)
+                    m = _pred_to_expr_mask(batch, group.source)
+                    sel = sel & _bool_to_packed(m, length)
+                else:
+                    sel = sel & combined.to_selection()
+                if int(mops.count(sel)) == 0:
+                    empty = True
+                    break
+            if empty:
+                continue
+            for conj in plan.residual:
+                cols = set()
+                collect_columns(conj, cols)
+                batch = Batch({c: _full(table, rg, b, c, cols_cache, hints)
+                               for c in cols}, length)
+                m = _pred_to_expr_mask(batch, conj)
+                sel = sel & _bool_to_packed(m, length)
+                if int(mops.count(sel)) == 0:
+                    empty = True
+                    break
+            if empty:
+                continue
+            sel_np = np.asarray(mops.unpack_bits(sel))[:length]
+            idx = np.flatnonzero(sel_np)
+            if idx.size == 0:
+                continue
+            yield ScanBlock(table, rg, b, length, idx, cols_cache)
+
+
+def _full(table, rg, b, col, cache_dict, hints):
+    arr = cache_dict.get(col)
+    if arr is None:
+        arr = table.get_batch(rg, col, b, hints.get(col))
+        cache_dict[col] = arr
+    return arr
+
+
+def _bool_to_packed(m: pa.Array, length: int):
+    import jax.numpy as jnp
+    vals = np.zeros(BLOCK_ROWS, dtype=bool)
+    mm = np.asarray(m.fill_null(False).cast(pa.bool_()))[:length]
+    vals[:length] = mm
+    return mops.pack_bools(jnp.asarray(vals))
+
+
+# -- aggregate execution ---------------------------------------------------
+
+@dataclass
+class AggSlot:
+    func: ast.Func
+    name: str          # output column name
+    kind: str          # count_star | count | count_distinct | sum | avg | min | max
+    input: Optional[ast.Expr]
+
+
+def make_slots(aggs: List[ast.Func]) -> List[AggSlot]:
+    slots = []
+    for i, f in enumerate(aggs):
+        nm = f"__agg{i}"
+        if f.name == "count" and (f.star or not f.args):
+            slots.append(AggSlot(f, nm, "count_star", None))
+        elif f.name == "count" and f.distinct:
+            slots.append(AggSlot(f, nm, "count_distinct", f.args[0]))
+        elif f.name == "count":
+            slots.append(AggSlot(f, nm, "count", f.args[0]))
+        elif f.name in ("sum", "avg", "min", "max"):
+            assert not f.distinct, f"{f.name} DISTINCT unsupported"
+            slots.append(AggSlot(f, nm, f.name, f.args[0]))
+        else:
+            raise NotImplementedError(f"aggregate {f.name}")
+    return slots
+
+
+class GroupedAggregator:
+    """Per-batch partial aggregation + final merge."""
+
+    def __init__(self, key_names: List[str], slots: List[AggSlot]):
+        self.key_names = key_names
+        self.slots = slots
+        self._partials: List[pa.Table] = []
+        self._distinct_partials: Dict[str, List[pa.Table]] = {
+            s.name: [] for s in slots if s.kind == "count_distinct"}
+        self._key_types: Optional[List[pa.DataType]] = None
+        self._input_types: Dict[str, pa.DataType] = {}
+
+    def update(self, keys: List[pa.Array], inputs: Dict[str, pa.Array],
+               n_rows: int) -> None:
+        cols = {}
+        for nm, arr in zip(self.key_names, keys):
+            cols[nm] = _dedict(arr)
+        if self._key_types is None:
+            self._key_types = [cols[nm].type for nm in self.key_names]
+        aggs = []
+        for s in self.slots:
+            if s.kind == "count_star":
+                cols[s.name] = pa.array(np.ones(n_rows, np.int64))
+                aggs.append((s.name, "sum"))
+            elif s.kind == "count":
+                cols[s.name] = inputs[s.name]
+                aggs.append((s.name, "count"))
+            elif s.kind == "sum":
+                cols[s.name] = _sum_cast(inputs[s.name])
+                aggs.append((s.name, "sum"))
+            elif s.kind == "avg":
+                # DataFusion AvgAccumulator sums in f64 for every input type
+                cols[s.name + "__s"] = _f64(inputs[s.name])
+                cols[s.name + "__c"] = inputs[s.name]
+                aggs.append((s.name + "__s", "sum"))
+                aggs.append((s.name + "__c", "count"))
+            elif s.kind in ("min", "max"):
+                cols[s.name] = _dedict(inputs[s.name])
+                aggs.append((s.name, s.kind))
+            if s.input is not None and s.name in inputs:
+                self._input_types.setdefault(s.name, _dedict(inputs[s.name]).type)
+        if aggs:
+            t = pa.table(cols)
+            part = t.group_by(self.key_names, use_threads=False).aggregate(aggs)
+            # pyarrow suffixes aggregate outputs with _<fn>: rename back
+            suffix_map = {f"{c}_{fn}": c for c, fn in aggs}
+            part = part.rename_columns(
+                [suffix_map.get(n, n) for n in part.column_names])
+            self._partials.append(part)
+        elif self.key_names and not self._distinct_only_slots():
+            t = pa.table(cols)
+            part = t.group_by(self.key_names, use_threads=False).aggregate([])
+            self._partials.append(part)
+        # distinct streams: per-batch dedup of (keys, value)
+        for s in self.slots:
+            if s.kind != "count_distinct":
+                continue
+            dcols = {nm: _dedict(a) for nm, a in zip(self.key_names, keys)}
+            dcols["__v"] = _dedict(inputs[s.name])
+            dt = pa.table(dcols)
+            dpart = dt.group_by(self.key_names + ["__v"],
+                                use_threads=False).aggregate([])
+            self._distinct_partials[s.name].append(dpart)
+
+    def _distinct_only_slots(self) -> bool:
+        return all(s.kind == "count_distinct" for s in self.slots) and self.slots
+
+    def _empty_typed(self) -> pa.Table:
+        """Zero-row result with the right schema (no block ever matched)."""
+        cols = {}
+        kts = self._key_types or [pa.null()] * len(self.key_names)
+        for nm, t in zip(self.key_names, kts):
+            cols[nm] = pa.array([], t)
+        for s in self.slots:
+            if s.kind in ("count_star", "count", "count_distinct"):
+                cols[s.name] = pa.array([], pa.int64())
+            elif s.kind == "avg":
+                cols[s.name + "__s"] = pa.array([], pa.float64())
+                cols[s.name + "__c"] = pa.array([], pa.int64())
+            else:
+                t = self._input_types.get(s.name, pa.null())
+                cols[s.name] = pa.array([], _sum_type(t) if s.kind == "sum" else t)
+        return pa.table(cols)
+
+    def finalize(self) -> pa.Table:
+        merge_aggs = []
+        rename = {}
+        for s in self.slots:
+            if s.kind == "count_star" or s.kind == "count":
+                merge_aggs.append((s.name, "sum"))
+                rename[s.name + "_sum"] = s.name
+            elif s.kind == "sum":
+                merge_aggs.append((s.name, "sum"))
+                rename[s.name + "_sum"] = s.name
+            elif s.kind == "avg":
+                merge_aggs.append((s.name + "__s", "sum"))
+                merge_aggs.append((s.name + "__c", "sum"))
+                rename[s.name + "__s_sum"] = s.name + "__s"
+                rename[s.name + "__c_sum"] = s.name + "__c"
+            elif s.kind in ("min", "max"):
+                merge_aggs.append((s.name, s.kind))
+                rename[f"{s.name}_{s.kind}"] = s.name
+        if self._partials:
+            merged = pa.concat_tables(
+                self._partials, promote_options="permissive")
+            if merge_aggs:
+                out = merged.group_by(self.key_names,
+                                      use_threads=False).aggregate(merge_aggs)
+            else:
+                out = merged.group_by(self.key_names,
+                                      use_threads=False).aggregate([])
+            out = out.rename_columns(
+                [rename.get(n, n) for n in out.column_names])
+        elif not self._distinct_only_slots():
+            out = self._empty_typed()
+        else:
+            out = None
+        # distinct finals
+        for s in self.slots:
+            if s.kind != "count_distinct":
+                continue
+            parts = self._distinct_partials[s.name]
+            if not parts and out is None:
+                out = self._empty_typed()
+            if parts:
+                dmerged = pa.concat_tables(parts, promote_options="permissive")
+                dfin = dmerged.group_by(
+                    self.key_names, use_threads=False).aggregate(
+                        [("__v", "count_distinct")])
+                dfin = dfin.rename_columns(
+                    [s.name if n == "__v_count_distinct" else n
+                     for n in dfin.column_names])
+            else:
+                dfin = None
+            if out is None:
+                out = dfin
+            elif dfin is not None:
+                if self.key_names:
+                    out = out.join(dfin, keys=self.key_names,
+                                   join_type="full outer")
+                else:
+                    for n in dfin.column_names:
+                        out = out.append_column(n, dfin.column(n))
+        if out is None:
+            out = pa.table({})
+        # avg finalization: f64 sum/count
+        cols = {}
+        for n in out.column_names:
+            cols[n] = out.column(n).combine_chunks()
+        for s in self.slots:
+            if s.kind == "avg":
+                ssum = cols.pop(s.name + "__s")
+                scnt = cols.pop(s.name + "__c")
+                cols[s.name] = pc.divide(ssum.cast(pa.float64()),
+                                         scnt.cast(pa.float64()))
+            elif s.kind in ("count", "count_star", "count_distinct"):
+                if s.name in cols:
+                    cols[s.name] = pc.fill_null(
+                        cols[s.name].cast(pa.int64()), 0)
+        return pa.table(cols) if cols else pa.table({})
+
+
+class ScalarAggregator:
+    """No GROUP BY: global accumulators (DataFusion semantics: one row)."""
+
+    def __init__(self, slots: List[AggSlot]):
+        self.slots = slots
+        self.state: Dict[str, object] = {}
+        for s in slots:
+            if s.kind in ("count_star", "count"):
+                self.state[s.name] = 0
+            elif s.kind == "count_distinct":
+                self.state[s.name] = set()
+            elif s.kind == "sum":
+                self.state[s.name] = None
+            elif s.kind == "avg":
+                self.state[s.name] = [None, 0]
+            else:
+                self.state[s.name] = None
+
+    def update(self, inputs: Dict[str, pa.Array], n_rows: int) -> None:
+        for s in self.slots:
+            if s.kind == "count_star":
+                self.state[s.name] += n_rows
+                continue
+            arr = inputs[s.name]
+            if s.kind == "count":
+                self.state[s.name] += len(arr) - arr.null_count
+            elif s.kind == "count_distinct":
+                self.state[s.name].update(
+                    x for x in _dedict(arr).to_pylist() if x is not None)
+            elif s.kind == "sum":
+                v = pc.sum(_sum_cast(arr)).as_py()
+                if v is not None:
+                    cur = self.state[s.name]
+                    self.state[s.name] = v if cur is None else cur + v
+            elif s.kind == "avg":
+                v = pc.sum(_f64(arr)).as_py()
+                c = len(arr) - arr.null_count
+                st = self.state[s.name]
+                if v is not None:
+                    st[0] = v if st[0] is None else st[0] + v
+                st[1] += c
+            elif s.kind == "min":
+                v = pc.min(_dedict(arr)).as_py()
+                if v is not None:
+                    cur = self.state[s.name]
+                    self.state[s.name] = v if cur is None else min(cur, v)
+            elif s.kind == "max":
+                v = pc.max(_dedict(arr)).as_py()
+                if v is not None:
+                    cur = self.state[s.name]
+                    self.state[s.name] = v if cur is None else max(cur, v)
+
+    def finalize(self, input_types: Dict[str, pa.DataType]) -> pa.Table:
+        cols = {}
+        for s in self.slots:
+            st = self.state[s.name]
+            if s.kind in ("count_star", "count"):
+                cols[s.name] = pa.array([st], pa.int64())
+            elif s.kind == "count_distinct":
+                cols[s.name] = pa.array([len(st)], pa.int64())
+            elif s.kind == "avg":
+                v = (None if st[0] is None or st[1] == 0
+                     else float(st[0]) / float(st[1]))
+                cols[s.name] = pa.array([v], pa.float64())
+            elif s.kind == "sum":
+                t = input_types.get(s.name)
+                t = _sum_type(t) if t is not None else None
+                cols[s.name] = pa.array([st], t)
+            else:
+                t = input_types.get(s.name)
+                cols[s.name] = pa.array([st], t)
+        return pa.table(cols)
+
+
+def _dedict(arr: pa.Array) -> pa.Array:
+    if pa.types.is_dictionary(arr.type):
+        return arr.cast(arr.type.value_type)
+    return arr
+
+
+def _sum_type(t: pa.DataType) -> pa.DataType:
+    if pa.types.is_floating(t):
+        return pa.float64()
+    if pa.types.is_unsigned_integer(t):
+        return pa.uint64()
+    if pa.types.is_integer(t):
+        return pa.int64()
+    return t
+
+
+def _sum_cast(arr: pa.Array) -> pa.Array:
+    arr = _dedict(arr)
+    return arr.cast(_sum_type(arr.type))
+
+
+def _f64(arr: pa.Array) -> pa.Array:
+    # unchecked: int64 -> f64 loses low bits by design (DataFusion casts
+    # each input value to f64 before accumulating)
+    return pc.cast(_dedict(arr), pa.float64(), safe=False)

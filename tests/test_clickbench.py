@@ -1,0 +1,207 @@
+"""ClickBench end-to-end correctness on nano_hits.parquet.
+
+Two oracles (the reference verifies against stored DataFusion answers,
+benchmark/clickbench/answers/; those cover a data partition we don't
+ship, so):
+1. hand-written pandas implementations for a representative subset;
+2. dual-path self-check for ALL 43 queries: encoded-pushdown mode vs
+   arrow-fallback mode (transcode disabled) must agree bit-for-bit --
+   they share the executor but exercise disjoint predicate/data paths.
+"""
+import glob
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+NANO = "/root/reference/examples/nano_hits.parquet"
+QDIR = "/root/reference/benchmark/clickbench/queries"
+
+
+@pytest.fixture(scope="module")
+def df():
+    return pq.read_table(NANO).to_pandas()
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    from liquid_tpu.sql.session import LiquidCacheLocalBuilder
+    c, _ = LiquidCacheLocalBuilder().with_max_memory_bytes(1 << 30).build()
+    c.register_parquet("hits", NANO)
+    return c
+
+
+@pytest.fixture(scope="module")
+def ctx_arrow():
+    """No transcode: predicates run through the pyarrow fallback path."""
+    from liquid_tpu.cache.policies import Evict
+    from liquid_tpu.sql.session import LiquidCacheLocalBuilder
+    c, _ = (LiquidCacheLocalBuilder().with_max_memory_bytes(1 << 30)
+            .with_transcode_on_insert(False)
+            .with_squeeze_policy(Evict()).build())
+    c.register_parquet("hits", NANO)
+    return c
+
+
+def q(i):
+    return open(f"{QDIR}/q{i}.sql").read().strip().rstrip(";")
+
+
+def run(ctx, i):
+    return ctx.sql(q(i)).to_arrow()
+
+
+# -- oracle subset ---------------------------------------------------------
+
+def test_q0_count(ctx, df):
+    assert run(ctx, 0).column(0)[0].as_py() == len(df)
+
+
+def test_q1_filter_count(ctx, df):
+    assert run(ctx, 1).column(0)[0].as_py() == int((df.AdvEngineID != 0).sum())
+
+
+def test_q2_sum_count_avg(ctx, df):
+    t = run(ctx, 2)
+    assert t.column(0)[0].as_py() == int(df.AdvEngineID.sum())
+    assert t.column(1)[0].as_py() == len(df)
+    assert t.column(2)[0].as_py() == pytest.approx(
+        df.ResolutionWidth.astype("float64").mean(), rel=1e-12)
+
+
+def test_q3_avg_userid(ctx, df):
+    t = run(ctx, 3)
+    # DataFusion sums f64 sequentially; pandas uses pairwise summation --
+    # equality holds only to float tolerance
+    assert t.column(0)[0].as_py() == pytest.approx(
+        df.UserID.astype("float64").mean(), rel=1e-9)
+
+
+def test_q4_q5_count_distinct(ctx, df):
+    assert run(ctx, 4).column(0)[0].as_py() == df.UserID.nunique()
+    assert run(ctx, 5).column(0)[0].as_py() == df.SearchPhrase.nunique()
+
+
+def test_q6_min_max_date(ctx, df):
+    t = run(ctx, 6)
+    import datetime
+    epoch = datetime.date(1970, 1, 1)
+    assert t.column(0)[0].as_py() == epoch + datetime.timedelta(
+        days=int(df.EventDate.min()))
+    assert t.column(1)[0].as_py() == epoch + datetime.timedelta(
+        days=int(df.EventDate.max()))
+
+
+def test_q7_group_order(ctx, df):
+    t = run(ctx, 7)
+    exp = (df[df.AdvEngineID != 0].groupby("AdvEngineID").size()
+           .sort_values(ascending=False))
+    got = t.to_pandas()
+    assert list(got[got.columns[0]]) == list(exp.index)[: len(got)]
+    assert list(got[got.columns[1]]) == list(exp.values)[: len(got)]
+
+
+def test_q8_distinct_regions(ctx, df):
+    t = run(ctx, 8).to_pandas()
+    exp = (df.groupby("RegionID").UserID.nunique()
+           .sort_values(ascending=False).head(10))
+    assert list(t[t.columns[1]]) == list(exp.values)
+
+
+def test_q9_region_stats(ctx, df):
+    t = run(ctx, 9).to_pandas()
+    g = df.groupby("RegionID")
+    exp = pd.DataFrame({
+        "s": g.AdvEngineID.sum(), "c": g.size(),
+        "a": g.ResolutionWidth.apply(lambda x: x.astype("float64").mean()),
+        "u": g.UserID.nunique(),
+    }).sort_values("c", ascending=False).head(10)
+    np.testing.assert_array_equal(t[t.columns[1]].values, exp["s"].values)
+    np.testing.assert_array_equal(t[t.columns[2]].values, exp["c"].values)
+    np.testing.assert_allclose(t[t.columns[3]].values,
+                               exp["a"].values, rtol=1e-12)
+    np.testing.assert_array_equal(t[t.columns[4]].values, exp["u"].values)
+
+
+def test_q12_search_phrases(ctx, df):
+    t = run(ctx, 12).to_pandas()
+    exp = (df[df.SearchPhrase != ""].groupby("SearchPhrase").size()
+           .sort_values(ascending=False).head(10))
+    assert list(t["c"]) == list(exp.values)
+
+
+def test_q14_engine_phrase(ctx, df):
+    t = run(ctx, 14).to_pandas()
+    sub = df[df.SearchPhrase != ""]
+    exp = (sub.groupby(["SearchEngineID", "SearchPhrase"]).size()
+           .sort_values(ascending=False).head(10))
+    assert list(t["c"]) == list(exp.values)
+
+
+def test_q15_userid_counts(ctx, df):
+    t = run(ctx, 15).to_pandas()
+    exp = df.groupby("UserID").size().sort_values(ascending=False).head(10)
+    assert list(t[t.columns[1]]) == list(exp.values)
+
+
+def test_q19_point_lookup(ctx, df):
+    t = run(ctx, 19)
+    assert t.num_rows == int((df.UserID == 435090932899640449).sum())
+
+
+def test_q20_like(ctx, df):
+    t = run(ctx, 20)
+    assert t.column(0)[0].as_py() == int(
+        df.URL.str.contains("google", regex=False).sum())
+
+
+def test_q25_order_limit(ctx, df):
+    # reference q25: ORDER BY "SearchPhrase" (numbering differs from
+    # upstream ClickBench)
+    t = run(ctx, 25).to_pandas()
+    exp = (df[df.SearchPhrase != ""].SearchPhrase
+           .sort_values(kind="stable").head(10))
+    assert list(t.SearchPhrase) == list(exp.values)
+
+
+def test_q29_sum_expressions(ctx, df):
+    t = run(ctx, 29)
+    rw = df.ResolutionWidth.astype("int64")
+    for k in range(90):
+        v = t.column(k)[0].as_py()
+        assert v == int((rw + k).sum()), k
+
+
+def test_q35_clientip_group(ctx, df):
+    t = run(ctx, 35).to_pandas()
+    sub = df.copy()
+    g = (sub.groupby(["ClientIP"]).size().sort_values(ascending=False).head(10))
+    assert list(t["c"]) == list(g.values)
+
+
+def test_q39_like_group(ctx, df):
+    t = run(ctx, 39).to_pandas()
+    sub = df[df.URL.str.contains("google", regex=False)
+             & (df.Referer.str.contains("google", regex=False) == False)  # noqa: E712
+             & (df.Referer != "")]
+    if len(sub) == 0:
+        assert len(t) == 0
+
+
+# -- dual-path self-check over all 43 --------------------------------------
+
+@pytest.mark.parametrize("i", list(range(43)))
+def test_dual_path_agreement(ctx, ctx_arrow, i):
+    a = run(ctx, i)
+    b = run(ctx_arrow, i)
+    assert a.column_names == b.column_names, (a.column_names, b.column_names)
+    ta, tb = a.to_pandas(), b.to_pandas()
+    assert len(ta) == len(tb), f"q{i}: {len(ta)} vs {len(tb)} rows"
+    for col in ta.columns:
+        va, vb = ta[col].values, tb[col].values
+        if va.dtype.kind == "f":
+            np.testing.assert_allclose(va, vb, rtol=1e-9, err_msg=f"q{i}.{col}")
+        else:
+            np.testing.assert_array_equal(va, vb, err_msg=f"q{i}.{col}")
