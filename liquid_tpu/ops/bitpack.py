@@ -105,8 +105,13 @@ def cmp_const(planes: jax.Array, c):
     """
     bucket, n_words = planes.shape
     c = jnp.asarray(c).astype(_U64)
-    lt = jnp.zeros((n_words,), dtype=_U32)
-    eq = jnp.full((n_words,), _FULL)
+    if bucket > 0:
+        # derive from planes so carries inherit shard_map varying axes
+        lt = jnp.zeros_like(planes[0])
+        eq = planes[0] | _FULL
+    else:
+        lt = jnp.zeros((n_words,), dtype=_U32)
+        eq = jnp.full((n_words,), _FULL)
 
     def body(i, carry):
         lt, eq = carry
