@@ -1,28 +1,32 @@
-"""Dictionary-encoded string/binary arrays.
+"""Dictionary-encoded string/binary arrays with FSST-compressed backing.
 
 Reference behavior: `LiquidByteViewArray` (liquid-cache
 `src/core/src/liquid_array/byte_view_array/mod.rs:76-89`): u16
-dictionary keys + prefix keys + FSST-compressed value buffer, with
-encoding-aware predicate eval (`comparisons.rs`) that compares on
-prefixes/fingerprints and only decompresses ambiguous entries.
+dictionary keys + 7-byte prefix keys + shared prefix + FSST-compressed
+value buffer, with encoding-aware predicate eval (`comparisons.rs`) that
+compares on prefixes/fingerprints and only decompresses ambiguous
+dictionary entries.
 
-TPU-native split: the *code vector* (u16 per row) is device-resident;
-the dictionary (irregular bytes) stays host-side in pyarrow.  A
-predicate is evaluated ONCE per distinct value on the dictionary using
-pyarrow's C++ compute kernels (equality, ordering, substring match),
-yielding a verdict bitvector of dict_size bools; the row-level mask is
-then a single device gather `verdict[codes]` + bit-pack.  For ClickBench
-blocks (8192 rows, dictionaries usually << 8192 entries) this does
-strictly less work than the reference's per-row prefix compare.
+TPU-native split: the *code vector* (one code per row) is
+device-resident; the dictionary (irregular bytes) stays host-side.
+Row-level masks are a single device gather `verdict[codes]` + bit-pack,
+so the per-row cost is O(1) regardless of string length.  The
+dictionary itself has two backings (ref FsstBacking, mod.rs:76):
+
+- raw: a pyarrow array; predicates run once per distinct value through
+  pyarrow's C++ compute kernels.
+- fsst: native-FSST-compressed bytes (arrays/fsst.py) + order-preserving
+  prefix keys + shared prefix (arrays/prefixkeys.py); predicates settle
+  on prefix keys and decompress only ambiguous entries
+  (ref comparisons.rs:93-351).
 
 Substring fingerprints (ref fingerprint.rs, design/04): a 32-bit
-character-class bitmask per dictionary entry lets `contains` prune the
-dictionary before running match_substring; maintained here because the
-dictionary scan is the only O(dict) cost left.
+character-class bitmask per dictionary entry prunes `contains`
+candidates before any decompression.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,10 +34,18 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from liquid_tpu.arrays import prefixkeys as pk
 from liquid_tpu.arrays.base import (
     BLOCK_ROWS, LiquidArray, Predicate, pack_validity, validity_mask_or_full,
 )
 from liquid_tpu.ops import mask as mops
+
+#: dictionaries at least this large get FSST-compressed on transcode
+FSST_THRESHOLD_BYTES = 2048
+
+#: test instrumentation: dictionary entries fully compared (decompressed)
+#: during predicate eval (ref FULL_DATA_COMPARISON_COUNTER, mod.rs:39-53)
+FULL_COMPARE_COUNTER = 0
 
 
 def is_supported_type(t: pa.DataType) -> bool:
@@ -44,12 +56,12 @@ def is_supported_type(t: pa.DataType) -> bool:
 
 
 # 32-bucket character-class map (ref: dev/design/04-string-fingerprint.md --
-# ours: ascii classes hashed into 32 buckets; a needle's buckets must all be
+# ours: bytes hashed into 32 buckets; a needle's buckets must all be
 # present in a value's fingerprint for the value to possibly contain it).
 def _fingerprints(dict_values: pa.Array) -> np.ndarray:
     buf = dict_values.cast(pa.large_binary())
     offsets = np.frombuffer(buf.buffers()[1], dtype=np.int64,
-                            count=len(buf) + 1)
+                            count=len(buf) + 1, offset=buf.offset * 8)
     data = np.frombuffer(buf.buffers()[2] or b"", dtype=np.uint8)
     bucket = data % np.uint8(32)
     bits = (np.uint32(1) << bucket.astype(np.uint32))
@@ -71,21 +83,34 @@ def _needle_fingerprint(needle: bytes) -> int:
     return fp
 
 
+def _as_bytes(lit) -> Optional[bytes]:
+    if isinstance(lit, str):
+        return lit.encode()
+    if isinstance(lit, bytes):
+        return lit
+    return None
+
+
 class LiquidByteViewArray(LiquidArray):
-    def __init__(self, codes: jax.Array, dictionary: pa.Array,
+    def __init__(self, codes: jax.Array, dictionary: Optional[pa.Array],
                  validity: Optional[jax.Array], length: int,
                  arrow_type: pa.DataType,
-                 fingerprints: Optional[np.ndarray] = None):
+                 fingerprints: Optional[np.ndarray] = None,
+                 fsst=None, prefix_meta: Optional[pk.PrefixMeta] = None):
         self.codes = codes              # int32[BLOCK_ROWS] device (dict codes)
-        self.dictionary = dictionary    # pa.StringArray / BinaryArray (host)
+        self._dict_raw = dictionary     # pa array (host) | None when fsst-backed
+        self.fsst = fsst                # arrays.fsst.FsstBuffer | None
+        self.prefix_meta = prefix_meta  # required when fsst-backed
         self.validity = validity
         self.length = length
         self._arrow_type = arrow_type
         self._fingerprints = fingerprints
         self._verdict_cache: dict = {}
+        assert dictionary is not None or fsst is not None
 
     @classmethod
-    def from_arrow(cls, arr: pa.Array, with_fingerprints: bool = False
+    def from_arrow(cls, arr: pa.Array, with_fingerprints: bool = False,
+                   compressor=None, compress: str = "auto"
                    ) -> "LiquidByteViewArray":
         assert len(arr) <= BLOCK_ROWS
         t = arr.type
@@ -107,8 +132,21 @@ class LiquidByteViewArray(LiquidArray):
         codes = np.zeros(BLOCK_ROWS, dtype=np.int32)
         codes[:length] = codes_np
         fps = _fingerprints(dict_values) if with_fingerprints else None
-        return cls(jnp.asarray(codes), dict_values, pack_validity(valid, length),
-                   length, logical, fps)
+
+        dict_bytes = sum(b.size for b in dict_values.buffers() if b is not None)
+        use_fsst = (compress == "always"
+                    or (compress == "auto"
+                        and (compressor is not None
+                             or dict_bytes >= FSST_THRESHOLD_BYTES)))
+        if use_fsst and len(dict_values):
+            from liquid_tpu.arrays.fsst import FsstBuffer
+            meta = pk.build_prefix_meta(dict_values)
+            buf = FsstBuffer.from_arrow(dict_values, compressor)
+            return cls(jnp.asarray(codes), None,
+                       pack_validity(valid, length), length, logical, fps,
+                       fsst=buf, prefix_meta=meta)
+        return cls(jnp.asarray(codes), dict_values,
+                   pack_validity(valid, length), length, logical, fps)
 
     # -- LiquidArray -------------------------------------------------------
 
@@ -117,14 +155,39 @@ class LiquidByteViewArray(LiquidArray):
         return self._arrow_type
 
     @property
+    def is_fsst(self) -> bool:
+        return self.fsst is not None and self._dict_raw is None
+
+    @property
+    def dictionary(self) -> pa.Array:
+        """Dictionary values; decompresses when FSST-backed (full decode
+        path -- predicates avoid this)."""
+        if self._dict_raw is not None:
+            return self._dict_raw
+        vt = self._arrow_type
+        if pa.types.is_dictionary(vt):
+            vt = vt.value_type
+        if not (pa.types.is_binary(vt) or pa.types.is_large_binary(vt)
+                or pa.types.is_string(vt) or pa.types.is_large_string(vt)):
+            vt = pa.large_binary()
+        return self.fsst.to_arrow(vt)
+
+    @property
     def dict_size(self) -> int:
-        return len(self.dictionary)
+        if self._dict_raw is not None:
+            return len(self._dict_raw)
+        return len(self.fsst)
 
     def memory_bytes(self) -> int:
         n = self.codes.size * 4
         if self.validity is not None:
             n += self.validity.size * 4
-        n += sum(b.size for b in self.dictionary.buffers() if b is not None)
+        if self.is_fsst:
+            n += self.fsst.memory_bytes()
+            n += self.prefix_meta.prefixes.nbytes + self.prefix_meta.rest_lens.nbytes
+            n += len(self.prefix_meta.shared)
+        else:
+            n += sum(b.size for b in self._dict_raw.buffers() if b is not None)
         if self._fingerprints is not None:
             n += self._fingerprints.nbytes
         return n + 64
@@ -146,16 +209,13 @@ class LiquidByteViewArray(LiquidArray):
 
     # -- encoded predicate eval -------------------------------------------
 
-    def _dict_verdict(self, pred: Predicate) -> Optional[np.ndarray]:
-        """Evaluate predicate over dictionary entries -> bool[dict_size]."""
+    def _dict_verdict_raw(self, pred: Predicate, d: pa.Array
+                          ) -> Optional[np.ndarray]:
+        """Predicate over raw dictionary entries via pyarrow kernels."""
         lit = pred.literal
-        if isinstance(lit, str):
-            lit_b = lit.encode()
-        elif isinstance(lit, bytes):
-            lit_b = lit
-        else:
+        lit_b = _as_bytes(lit)
+        if lit_b is None:
             return None
-        d = self.dictionary
         op = pred.op
         if op in ("contains", "not_contains"):
             pat = lit if isinstance(lit, str) else lit.decode("utf-8", "replace")
@@ -184,6 +244,65 @@ class LiquidByteViewArray(LiquidArray):
         lit_arr = pa.scalar(lit, type=d.type) if not pa.types.is_binary(d.type) \
             else pa.scalar(lit_b, type=d.type)
         return np.asarray(fns[op](d, lit_arr).fill_null(False))
+
+    def _settle_ambiguous(self, op: str, lit_b: bytes,
+                          amb_idx: np.ndarray) -> np.ndarray:
+        """Exact compare for ambiguous dictionary entries: decompress ONLY
+        those (ref comparisons.rs 'decompress ambiguous')."""
+        global FULL_COMPARE_COUNTER
+        FULL_COMPARE_COUNTER += len(amb_idx)
+        vals: List[bytes] = self.fsst.take_bytes(amb_idx)
+        if op == "eq":
+            return np.array([v == lit_b for v in vals], dtype=bool)
+        if op == "ne":
+            return np.array([v != lit_b for v in vals], dtype=bool)
+        if op == "lt":
+            return np.array([v < lit_b for v in vals], dtype=bool)
+        if op == "lt_eq":
+            return np.array([v <= lit_b for v in vals], dtype=bool)
+        if op == "gt":
+            return np.array([v > lit_b for v in vals], dtype=bool)
+        if op == "gt_eq":
+            return np.array([v >= lit_b for v in vals], dtype=bool)
+        if op in ("contains", "not_contains"):
+            hit = np.array([lit_b in v for v in vals], dtype=bool)
+            return ~hit if op == "not_contains" else hit
+        if op == "starts_with":
+            return np.array([v.startswith(lit_b) for v in vals], dtype=bool)
+        if op == "ends_with":
+            return np.array([v.endswith(lit_b) for v in vals], dtype=bool)
+        raise AssertionError(op)
+
+    def _dict_verdict_fsst(self, pred: Predicate) -> Optional[np.ndarray]:
+        lit_b = _as_bytes(pred.literal)
+        if lit_b is None:
+            return None
+        op = pred.op
+        if op == "ends_with" and self._fingerprints is not None and lit_b:
+            # fingerprint prune applies to any needle-containment shape
+            need = np.uint32(_needle_fingerprint(lit_b))
+            candidates = (self._fingerprints & need) == need
+            verdict = np.zeros(self.dict_size, dtype=bool)
+            idx = np.flatnonzero(candidates)
+            if len(idx):
+                verdict[idx] = self._settle_ambiguous(op, lit_b, idx)
+            return verdict
+        needle_fp = _needle_fingerprint(lit_b) if lit_b else 0
+        verdict, amb = pk.prefix_verdict(self.prefix_meta, op, lit_b,
+                                         self._fingerprints, needle_fp)
+        if verdict is None:
+            # no prefix/fingerprint route: full decompress once, raw path
+            return self._dict_verdict_raw(pred, self.dictionary)
+        amb_idx = np.flatnonzero(amb)
+        if len(amb_idx):
+            verdict = verdict.copy()
+            verdict[amb_idx] = self._settle_ambiguous(op, lit_b, amb_idx)
+        return verdict
+
+    def _dict_verdict(self, pred: Predicate) -> Optional[np.ndarray]:
+        if self.is_fsst:
+            return self._dict_verdict_fsst(pred)
+        return self._dict_verdict_raw(pred, self._dict_raw)
 
     def try_eval_predicate(self, pred: Predicate, selection=None):
         key = (pred.op, pred.literal)

@@ -145,11 +145,10 @@ def squeeze_primitive(arr) -> Optional[Tuple[object, bytes]]:
 class SqueezedByteViewArray(LiquidSqueezedArray):
     """Codes + prefix keys + fingerprints resident; dictionary on disk."""
 
-    def __init__(self, codes, prefixes, lengths, fingerprints, validity,
+    def __init__(self, codes, prefix_meta, fingerprints, validity,
                  length, arrow_type, disk_range):
         self.codes = codes                  # int32[BLOCK_ROWS] device
-        self.prefixes = prefixes            # uint64[dict] host (big-endian first 8B)
-        self.lengths = lengths              # int32[dict] host (byte lengths)
+        self.prefix_meta = prefix_meta      # prefixkeys.PrefixMeta (host)
         self.fingerprints = fingerprints    # uint32[dict] host | None
         self.validity = validity
         self.length = length
@@ -157,7 +156,9 @@ class SqueezedByteViewArray(LiquidSqueezedArray):
         self._disk_range = disk_range
 
     def memory_bytes(self) -> int:
-        n = self.codes.size * 4 + self.prefixes.nbytes + self.lengths.nbytes
+        pm = self.prefix_meta
+        n = (self.codes.size * 4 + pm.prefixes.nbytes + pm.rest_lens.nbytes
+             + len(pm.shared))
         if self.fingerprints is not None:
             n += self.fingerprints.nbytes
         if self.validity is not None:
@@ -174,6 +175,8 @@ class SqueezedByteViewArray(LiquidSqueezedArray):
         return self._read_full(io).to_arrow()
 
     def try_eval_predicate(self, pred: Predicate, io):
+        from liquid_tpu.arrays import prefixkeys as pk
+        from liquid_tpu.arrays.byteview import _needle_fingerprint
         lit = pred.literal
         if isinstance(lit, str):
             lit_b = lit.encode()
@@ -182,7 +185,9 @@ class SqueezedByteViewArray(LiquidSqueezedArray):
         else:
             return None
         op = pred.op
-        verdict, ambiguous = self._prefix_verdict(op, lit_b)
+        needle_fp = _needle_fingerprint(lit_b) if lit_b else 0
+        verdict, ambiguous = pk.prefix_verdict(
+            self.prefix_meta, op, lit_b, self.fingerprints, needle_fp)
         if verdict is None:
             return self._full_eval(pred, io)
         if ambiguous.any():
@@ -207,69 +212,15 @@ class SqueezedByteViewArray(LiquidSqueezedArray):
         out = full.try_eval_predicate(pred)
         return out
 
-    def _prefix_verdict(self, op, lit_b: bytes):
-        """-> (verdict bool[dict], ambiguous bool[dict]) or (None, _)."""
-        d = len(self.prefixes)
-        lit_prefix = int.from_bytes(lit_b[:8].ljust(8, b"\0"), "big")
-        lit_len = len(lit_b)
-        p, ln = self.prefixes, self.lengths
-        both_long = (ln > 8) & (lit_len > 8)
-        if op in ("eq", "ne"):
-            prefix_eq = (p == np.uint64(lit_prefix)) & (
-                (ln == lit_len) | both_long)
-            amb = prefix_eq & both_long
-            verdict = prefix_eq & ~amb
-            if op == "ne":
-                verdict = ~verdict & ~amb
-            return verdict, amb
-        if op in ("lt", "lt_eq", "gt", "gt_eq"):
-            # bytewise order: big-endian first-8-bytes compare is exact unless
-            # prefixes tie and either side extends beyond 8 bytes
-            p_lt = p < np.uint64(lit_prefix)
-            p_gt = p > np.uint64(lit_prefix)
-            tie = ~p_lt & ~p_gt
-            # on a tie with both sides <= 8 bytes: shorter sorts first
-            exact_tie = tie & (ln <= 8) & (lit_len <= 8)
-            if op == "lt":
-                verdict = p_lt | (exact_tie & (ln < lit_len))
-            elif op == "lt_eq":
-                verdict = p_lt | (exact_tie & (ln <= lit_len))
-            elif op == "gt":
-                verdict = p_gt | (exact_tie & (ln > lit_len))
-            else:
-                verdict = p_gt | (exact_tie & (ln >= lit_len))
-            amb = tie & ~exact_tie
-            return verdict, amb
-        if op in ("contains", "not_contains") and self.fingerprints is not None:
-            from liquid_tpu.arrays.byteview import _needle_fingerprint
-            need = np.uint32(_needle_fingerprint(lit_b))
-            candidates = (self.fingerprints & need) == need
-            # non-candidates definitely do not contain the needle
-            verdict = np.zeros(d, dtype=bool)
-            if op == "not_contains":
-                verdict = ~candidates  # non-candidates -> True
-                return verdict, candidates
-            return verdict, candidates
-        return None, None
-
 
 def squeeze_byteview(arr) -> Optional[Tuple[object, bytes]]:
-    d = arr.dictionary.cast(pa.large_binary())
-    offsets = np.frombuffer(d.buffers()[1], dtype=np.int64, count=len(d) + 1)
-    data = np.frombuffer(d.buffers()[2] or b"", dtype=np.uint8)
-    lengths = (offsets[1:] - offsets[:-1]).astype(np.int32)
-    # big-endian first-8-bytes as uint64 (order preserving, zero padded)
-    prefixes = np.zeros(len(d), dtype=np.uint64)
-    pad = np.zeros(8, dtype=np.uint8)
-    for shift in range(8):  # vectorized over dict entries, 8 passes
-        has = lengths > shift
-        idx = offsets[:-1] + shift
-        byte = np.where(has, data[np.clip(idx, 0, max(data.size - 1, 0))]
-                        if data.size else 0, 0)
-        prefixes |= byte.astype(np.uint64) << np.uint64((7 - shift) * 8)
+    from liquid_tpu.arrays import prefixkeys as pk
     from liquid_tpu.arrays.byteview import _fingerprints
-    fps = arr._fingerprints if arr._fingerprints is not None else _fingerprints(arr.dictionary)
-    sq = SqueezedByteViewArray(arr.codes, prefixes, lengths, fps,
+    meta = (arr.prefix_meta if arr.prefix_meta is not None
+            else pk.build_prefix_meta(arr.dictionary))
+    fps = (arr._fingerprints if arr._fingerprints is not None
+           else _fingerprints(arr.dictionary))
+    sq = SqueezedByteViewArray(arr.codes, meta, fps,
                                arr.validity, arr.length, arr.arrow_type,
                                disk_range=None)
     return sq, arr.to_bytes()

@@ -114,9 +114,17 @@ def serialize_primitive(a) -> bytes:
 
 def serialize_byteview(a) -> bytes:
     meta = {"length": a.length,
-            "has_fp": a._fingerprints is not None}
-    bufs = [_np_bytes(a.codes), _opt_validity_bytes(a.validity),
-            _arrow_to_bytes(a.dictionary)]
+            "has_fp": a._fingerprints is not None,
+            "fsst": a.is_fsst}
+    if a.is_fsst:
+        bufs = [_np_bytes(a.codes), _opt_validity_bytes(a.validity),
+                a.fsst.to_bytes(),
+                a.prefix_meta.prefixes.tobytes(),
+                a.prefix_meta.rest_lens.tobytes(),
+                a.prefix_meta.shared]
+    else:
+        bufs = [_np_bytes(a.codes), _opt_validity_bytes(a.validity),
+                _arrow_to_bytes(a.dictionary)]
     if a._fingerprints is not None:
         bufs.append(a._fingerprints.tobytes())
     return _emit(PHYS_BYTEVIEW, logical_id(a.arrow_type), meta, bufs)
@@ -144,6 +152,18 @@ def deserialize(data: bytes):
     if physical == PHYS_BYTEVIEW:
         from liquid_tpu.arrays.byteview import LiquidByteViewArray
         codes = jnp.asarray(np.frombuffer(bufs[0], dtype=np.int32))
+        if meta.get("fsst"):
+            from liquid_tpu.arrays.fsst import FsstBuffer
+            from liquid_tpu.arrays.prefixkeys import PrefixMeta
+            fsst = FsstBuffer.from_bytes(bufs[2])
+            pm = PrefixMeta(bytes(bufs[5]),
+                            np.frombuffer(bufs[3], dtype=np.uint64).copy(),
+                            np.frombuffer(bufs[4], dtype=np.int32).copy())
+            fps = (np.frombuffer(bufs[6], dtype=np.uint32)
+                   if meta.get("has_fp") else None)
+            return LiquidByteViewArray(codes, None, _validity_from(bufs[1]),
+                                       meta["length"], t, fps,
+                                       fsst=fsst, prefix_meta=pm)
         fps = (np.frombuffer(bufs[3], dtype=np.uint32)
                if meta.get("has_fp") else None)
         return LiquidByteViewArray(codes, _arrow_from_bytes(bufs[2]),

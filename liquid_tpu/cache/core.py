@@ -119,6 +119,25 @@ class _SqueezeCtx:
         return None
 
 
+class DefaultCacheMetadata:
+    """Per-column shared state: FSST compressors keyed by the entry id
+    with its 16-bit batch field stripped (ref `EntryMetadata` +
+    `DefaultCacheMetadata`, io_context.rs:21-80, and the per-column
+    compressor map in `ParquetCacheMetadata`, io/mod.rs:12-56)."""
+
+    def __init__(self):
+        self._compressors: Dict[int, object] = {}
+
+    def column_key(self, entry_id: int) -> int:
+        return entry_id >> 16
+
+    def compressor_for(self, entry_id: int):
+        return self._compressors.get(self.column_key(entry_id))
+
+    def store_compressor(self, entry_id: int, comp) -> None:
+        self._compressors.setdefault(self.column_key(entry_id), comp)
+
+
 class LiquidCache:
     """insert / get / eval_predicate over encoded column blocks."""
 
@@ -140,6 +159,7 @@ class LiquidCache:
         self.hydration_policy = hydration_policy or pol.AlwaysHydrate()
         self.transcode_on_insert = transcode_on_insert
         self.observer = Observer(trace_events=trace_events)
+        self.metadata = DefaultCacheMetadata()
         self._entries: Dict[int, CacheEntry] = {}
         self._hints: Dict[int, HintVote] = {}
         self._lock = threading.RLock()
@@ -166,10 +186,15 @@ class LiquidCache:
             self.record_hint(entry_id, hint)
         hint = hint if hint is not None else self._hint_for(entry_id)
         if self.transcode_on_insert:
-            liquid = tc.transcode(arr, hint)
+            liquid = tc.transcode(arr, hint,
+                                  compressor=self.metadata.compressor_for(entry_id))
             if liquid is not None:
                 obs.stats.bump("transcodes")
                 obs.event("Transcode", entry_id)
+                fsst = getattr(liquid, "fsst", None)
+                if fsst is not None:
+                    # share the trained compressor across the column's batches
+                    self.metadata.store_compressor(entry_id, fsst.compressor)
                 return self._insert_payload(
                     entry_id, MEMORY_LIQUID, liquid, liquid.memory_bytes(), hint)
         return self._insert_payload(

@@ -13,12 +13,13 @@ either (SURVEY.md section 5 "failure detection").
 """
 from __future__ import annotations
 
+import ctypes
 import os
 import threading
 from typing import Dict, Optional, Tuple
 
 
-class BlockStore:
+class PyBlockStore:
     def __init__(self, path: str):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         self._path = path
@@ -105,3 +106,78 @@ class BlockStore:
     def close(self) -> None:
         with self._lock:
             self._f.close()
+
+
+class NativeBlockStore:
+    """Native (C++) block store: pread-based concurrent range reads
+    outside the GIL (native/blockstore.cpp)."""
+
+    def __init__(self, path: str):
+        from liquid_tpu import _native
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self._lib = _native.lib()
+        self._h = self._lib.lqt_store_open(path.encode())
+        assert self._h, f"cannot open block store at {path}"
+        self._buf_ptr = _native.buf_ptr
+
+    def put(self, key: int, data: bytes) -> Tuple[int, int]:
+        off = ctypes.c_uint64()
+        rc = self._lib.lqt_store_put(self._h, key, self._buf_ptr(data),
+                                     len(data), ctypes.byref(off))
+        assert rc == 0, f"block store write failed ({rc})"
+        return (off.value, len(data))
+
+    def get(self, key: int) -> Optional[bytes]:
+        n = self._lib.lqt_store_get_len(self._h, key)
+        if n < 0:
+            return None
+        out = bytearray(n)
+        rc = self._lib.lqt_store_get(self._h, key, self._buf_ptr(out), n)
+        if rc != 0:
+            return None
+        return bytes(out)
+
+    def read_range(self, rng: Tuple[int, int]) -> bytes:
+        off, ln = rng
+        out = bytearray(ln)
+        rc = self._lib.lqt_store_read_range(self._h, off, ln, self._buf_ptr(out))
+        assert rc == 0, f"range read failed ({rc})"
+        return bytes(out)
+
+    def remove(self, key: int) -> int:
+        return self._lib.lqt_store_remove(self._h, key)
+
+    def contains(self, key: int) -> bool:
+        return bool(self._lib.lqt_store_contains(self._h, key))
+
+    def range_of(self, key: int) -> Optional[Tuple[int, int]]:
+        off = ctypes.c_uint64()
+        ln = ctypes.c_uint64()
+        rc = self._lib.lqt_store_range_of(self._h, key, ctypes.byref(off),
+                                          ctypes.byref(ln))
+        return None if rc != 0 else (off.value, ln.value)
+
+    @property
+    def file_bytes(self) -> int:
+        return self._lib.lqt_store_file_bytes(self._h)
+
+    @property
+    def live_bytes(self) -> int:
+        return self._lib.lqt_store_live_bytes(self._h)
+
+    def compact(self) -> None:
+        rc = self._lib.lqt_store_compact(self._h)
+        assert rc == 0, "compact failed"
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.lqt_store_close(self._h)
+            self._h = None
+
+
+def BlockStore(path: str):
+    """Default store: native C++ when buildable, Python fallback."""
+    from liquid_tpu import _native
+    if _native.available():
+        return NativeBlockStore(path)
+    return PyBlockStore(path)

@@ -19,9 +19,14 @@ from liquid_tpu.arrays.base import LiquidArray
 from liquid_tpu.cache.expressions import ExtractDate32, SubstringSearch
 
 
-def transcode(arr: pa.Array, hint=None) -> Optional[LiquidArray]:
+def transcode(arr: pa.Array, hint=None, compressor=None) -> Optional[LiquidArray]:
     """-> LiquidArray, or None if the type has no liquid encoding yet
-    (caller keeps the arrow form; ref transcode.rs fallthrough)."""
+    (caller keeps the arrow form; ref transcode.rs fallthrough).
+
+    `compressor` is the column's shared FSST compressor; when None a new
+    one is trained on this batch's dictionary (ref
+    with_fsst_compressor_or_train, transcode.rs:16-33).
+    """
     t = arr.type
     if pa.types.is_boolean(t):
         # store as 1-bit primitive; logical type preserved through cast
@@ -32,5 +37,6 @@ def transcode(arr: pa.Array, hint=None) -> Optional[LiquidArray]:
         return float_alp.LiquidFloatArray.from_arrow(arr)
     if byteview.is_supported_type(t):
         return byteview.LiquidByteViewArray.from_arrow(
-            arr, with_fingerprints=isinstance(hint, SubstringSearch))
+            arr, with_fingerprints=isinstance(hint, SubstringSearch),
+            compressor=compressor)
     return None
