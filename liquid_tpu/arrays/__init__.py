@@ -9,6 +9,12 @@ from liquid_tpu.arrays.base import (  # noqa: F401
 from liquid_tpu.arrays.primitive import LiquidPrimitiveArray  # noqa: F401
 from liquid_tpu.arrays.byteview import LiquidByteViewArray  # noqa: F401
 from liquid_tpu.arrays.float_alp import LiquidFloatArray  # noqa: F401
+from liquid_tpu.arrays.decimal import (  # noqa: F401
+    LiquidDecimalArray, LiquidFixedLenByteArray,
+)
+from liquid_tpu.arrays.linear import (  # noqa: F401
+    LiquidLinearArray, LiquidPrimitiveDeltaArray,
+)
 from liquid_tpu.arrays import ipc  # noqa: F401
 from liquid_tpu.arrays.hybrid import (  # noqa: F401
     SqueezedByteViewArray, SqueezedDate32Array, SqueezedPrimitiveArray,

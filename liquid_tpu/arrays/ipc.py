@@ -28,6 +28,10 @@ VERSION = 1
 PHYS_PRIMITIVE = 1
 PHYS_BYTEVIEW = 2
 PHYS_FLOAT = 3
+PHYS_DECIMAL = 4
+PHYS_FIXEDLEN = 5
+PHYS_LINEAR = 6
+PHYS_DELTA = 7
 
 _LOGICAL = [
     pa.bool_(),
@@ -139,6 +143,50 @@ def serialize_float(a) -> bytes:
     return _emit(PHYS_FLOAT, logical_id(a.arrow_type), meta, bufs)
 
 
+def _decimal_meta(t: pa.DataType) -> dict:
+    return {"prec": t.precision, "scale": t.scale,
+            "is256": pa.types.is_decimal256(t)}
+
+
+def _decimal_type(meta: dict) -> pa.DataType:
+    mk = pa.decimal256 if meta.get("is256") else pa.decimal128
+    return mk(meta["prec"], meta["scale"])
+
+
+def serialize_decimal(a) -> bytes:
+    meta = {"width": a.width, "ref": a.reference_value, "length": a.length,
+            "rows": int(a.planes.shape[0]), "words": int(a.planes.shape[1])}
+    meta.update(_decimal_meta(a.arrow_type))
+    bufs = [_np_bytes(a.planes), _opt_validity_bytes(a.validity)]
+    return _emit(PHYS_DECIMAL, 0, meta, bufs)
+
+
+def serialize_fixedlen(a) -> bytes:
+    meta = {"length": a.length, "bw": a.byte_width}
+    meta.update(_decimal_meta(a.arrow_type))
+    bufs = [_np_bytes(a.codes), _opt_validity_bytes(a.validity),
+            a.fsst.to_bytes()]
+    return _emit(PHYS_FIXEDLEN, 0, meta, bufs)
+
+
+def serialize_linear(a) -> bytes:
+    r = a.residuals
+    meta = {"slope": a.slope, "length": a.length,
+            "width": r.width, "ref": r.reference_value,
+            "rows": int(r.planes.shape[0]), "words": int(r.planes.shape[1])}
+    bufs = [_np_bytes(r.planes), _opt_validity_bytes(r.validity)]
+    return _emit(PHYS_LINEAR, logical_id(a.arrow_type), meta, bufs)
+
+
+def serialize_delta(a) -> bytes:
+    d = a.deltas
+    meta = {"first": a.first_value, "length": a.length,
+            "width": d.width, "ref": d.reference_value,
+            "rows": int(d.planes.shape[0]), "words": int(d.planes.shape[1])}
+    bufs = [_np_bytes(d.planes), _opt_validity_bytes(a.validity)]
+    return _emit(PHYS_DELTA, logical_id(a.arrow_type), meta, bufs)
+
+
 def deserialize(data: bytes):
     """Self-describing dispatch (ref ipc.rs read_from_bytes)."""
     physical, logical, meta, bufs = _parse(data)
@@ -177,4 +225,34 @@ def deserialize(data: bytes):
                                 jnp.asarray(np.frombuffer(bufs[2], dtype=np.int32)),
                                 jnp.asarray(np.frombuffer(bufs[3], dtype=np.float64)),
                                 _validity_from(bufs[1]), meta["length"], t)
+    if physical == PHYS_DECIMAL:
+        from liquid_tpu.arrays.decimal import LiquidDecimalArray
+        planes = jnp.asarray(np.frombuffer(bufs[0], dtype=np.uint32)
+                             .reshape(meta["rows"], meta["words"]))
+        return LiquidDecimalArray(planes, meta["width"], meta["ref"],
+                                  _validity_from(bufs[1]), meta["length"],
+                                  _decimal_type(meta))
+    if physical == PHYS_FIXEDLEN:
+        from liquid_tpu.arrays.decimal import LiquidFixedLenByteArray
+        from liquid_tpu.arrays.fsst import FsstBuffer
+        codes = jnp.asarray(np.frombuffer(bufs[0], dtype=np.int32))
+        return LiquidFixedLenByteArray(codes, FsstBuffer.from_bytes(bufs[2]),
+                                       meta["bw"], _validity_from(bufs[1]),
+                                       meta["length"], _decimal_type(meta))
+    if physical in (PHYS_LINEAR, PHYS_DELTA):
+        from liquid_tpu.arrays.linear import (
+            LiquidLinearArray, LiquidPrimitiveDeltaArray)
+        from liquid_tpu.arrays.primitive import LiquidPrimitiveArray
+        planes = jnp.asarray(np.frombuffer(bufs[0], dtype=np.uint32)
+                             .reshape(meta["rows"], meta["words"]))
+        if physical == PHYS_LINEAR:
+            inner = LiquidPrimitiveArray(planes, meta["width"], meta["ref"],
+                                         _validity_from(bufs[1]),
+                                         meta["length"], pa.int64())
+            return LiquidLinearArray(inner, meta["slope"], meta["length"], t)
+        inner = LiquidPrimitiveArray(planes, meta["width"], meta["ref"],
+                                     None, meta["length"], pa.int64())
+        return LiquidPrimitiveDeltaArray(inner, meta["first"],
+                                         _validity_from(bufs[1]),
+                                         meta["length"], t)
     raise ValueError(f"unknown physical id {physical}")

@@ -14,7 +14,7 @@ from typing import Optional
 
 import pyarrow as pa
 
-from liquid_tpu.arrays import byteview, float_alp, primitive
+from liquid_tpu.arrays import byteview, decimal as dec, float_alp, primitive
 from liquid_tpu.arrays.base import LiquidArray
 from liquid_tpu.cache.expressions import ExtractDate32, SubstringSearch
 
@@ -35,6 +35,13 @@ def transcode(arr: pa.Array, hint=None, compressor=None) -> Optional[LiquidArray
         return primitive.LiquidPrimitiveArray.from_arrow(arr)
     if float_alp.is_supported_type(t):
         return float_alp.LiquidFloatArray.from_arrow(arr)
+    if dec.is_supported_type(t):
+        # small decimals -> bit-planes; big ones -> dict + FSST bytes
+        # (ref transcode.rs decimal dispatch -> decimal_array.rs /
+        #  fix_len_byte_array.rs)
+        if dec.LiquidDecimalArray.fits(arr):
+            return dec.LiquidDecimalArray.from_arrow(arr)
+        return dec.LiquidFixedLenByteArray.from_arrow(arr, compressor=compressor)
     if byteview.is_supported_type(t):
         return byteview.LiquidByteViewArray.from_arrow(
             arr, with_fingerprints=isinstance(hint, SubstringSearch),
