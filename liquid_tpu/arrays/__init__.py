@@ -19,3 +19,6 @@ from liquid_tpu.arrays import ipc  # noqa: F401
 from liquid_tpu.arrays.hybrid import (  # noqa: F401
     SqueezedByteViewArray, SqueezedDate32Array, SqueezedPrimitiveArray,
 )
+from liquid_tpu.arrays.variant import (  # noqa: F401
+    VariantStructSqueezedArray, shred_variant,
+)

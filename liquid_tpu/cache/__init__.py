@@ -8,5 +8,5 @@ from liquid_tpu.cache.policies import (  # noqa: F401
     TranscodeEvict, TranscodeSqueezeEvict,
 )
 from liquid_tpu.cache.expressions import (  # noqa: F401
-    ExtractDate32, PredicateColumn, SubstringSearch,
+    ExtractDate32, PredicateColumn, SubstringSearch, VariantGet,
 )

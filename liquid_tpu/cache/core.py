@@ -29,11 +29,15 @@ from liquid_tpu.arrays import ipc
 from liquid_tpu.arrays.base import (
     BLOCK_ROWS, LiquidArray, LiquidSqueezedArray, Predicate,
 )
+from liquid_tpu.arrays import variant
 from liquid_tpu.arrays.hybrid import SqueezedDate32Array, squeeze_date32
+from liquid_tpu.arrays.variant import VariantStructSqueezedArray
 from liquid_tpu.cache import policies as pol
 from liquid_tpu.cache import transcode as tc
 from liquid_tpu.cache.budget import BudgetAccounting
-from liquid_tpu.cache.expressions import ExtractDate32, HintVote, SubstringSearch
+from liquid_tpu.cache.expressions import (
+    ExtractDate32, HintVote, SubstringSearch, VariantGet,
+)
 from liquid_tpu.cache.observer import Observer
 from liquid_tpu.cache.store import BlockStore
 from liquid_tpu.ops import mask as mops
@@ -116,7 +120,19 @@ class _SqueezeCtx:
     def squeeze_with_hint(self, liquid: LiquidArray, hint):
         if isinstance(hint, ExtractDate32) and pa.types.is_date32(liquid.arrow_type):
             return squeeze_date32(liquid, hint.field)
+        if isinstance(hint, VariantGet):
+            # liquid-encoded JSON column: decode, then shred
+            return variant.shred_variant(liquid.to_arrow(), hint.requests)
         return None
+
+    def variant_squeeze(self, payload):
+        """Arrow JSON column + VariantGet hint -> shredded squeezed form
+        (ref try_variant_squeeze, squeeze.rs:222-290); None otherwise."""
+        if not isinstance(self.squeeze_hint, VariantGet):
+            return None
+        if not isinstance(payload, pa.Array):
+            return None
+        return variant.shred_variant(payload, self.squeeze_hint.requests)
 
 
 class DefaultCacheMetadata:
@@ -185,7 +201,9 @@ class LiquidCache:
         if hint is not None:
             self.record_hint(entry_id, hint)
         hint = hint if hint is not None else self._hint_for(entry_id)
-        if self.transcode_on_insert:
+        if self.transcode_on_insert and not isinstance(hint, VariantGet):
+            # variant columns stay arrow until squeezed into shredded form
+            # (ref squeeze.rs:222-290: Arrow -> try_variant_squeeze first)
             liquid = tc.transcode(arr, hint,
                                   compressor=self.metadata.compressor_for(entry_id))
             if liquid is not None:
@@ -352,6 +370,38 @@ class LiquidCache:
                 self.observer.stats.bump("squeeze_io_saved")
             return out
 
+    def get_variant_paths(self, entry_id: int, requests) -> Optional[pa.StructArray]:
+        """Typed variant-path read from a squeezed variant entry
+        (ref core.rs:747-788): zero IO when every requested path is
+        resident; otherwise re-shred from disk with the union of paths
+        (ref hydration merge, hydration.rs:147-160).
+        -> StructArray with one field per (path, type) request, or None
+        if the entry is absent / not a squeezed variant."""
+        requests = tuple(requests)
+        with self._lock:
+            e = self._entries.get(entry_id)
+            if e is None:
+                self.observer.stats.bump("cache_misses")
+                return None
+            if e.state != MEMORY_SQUEEZED or not isinstance(
+                    e.payload, VariantStructSqueezedArray):
+                return None
+            self.observer.stats.bump("cache_hits")
+            self.record_hint(entry_id, VariantGet(requests))
+            io = _SqueezeIo(self, entry_id)
+            if all(e.payload.contains_path(p, t) for p, t in requests):
+                out, _ = e.payload.to_arrow_with_paths(requests, io)
+                self.observer.stats.bump("squeeze_io_saved")
+                return out
+            merged = e.payload.merged_with(requests, io)
+            merged._disk_range = e.disk_range
+            new_mem = merged.memory_bytes()
+            if self.budget.try_update_memory_usage(e.mem_bytes, new_mem):
+                e.payload, e.mem_bytes = merged, new_mem
+                self.observer.event("Hydrate", entry_id, "variant_merge")
+            out, _ = merged.to_arrow_with_paths(requests, io)
+            return out
+
     def _read_arrow(self, entry_id, e, expression_hint=None) -> Optional[pa.Array]:
         if e.state == MEMORY_ARROW:
             return e.payload
@@ -381,7 +431,13 @@ class LiquidCache:
         core.rs:569-593 + hydration.rs)."""
         if not self.hydration_policy.should_hydrate(e.state):
             return
-        if e.state in (MEMORY_SQUEEZED, DISK_LIQUID):
+        if (e.state == MEMORY_SQUEEZED
+                and isinstance(e.payload, LiquidSqueezedArray)
+                and e.payload.disk_backing()[0] == "arrow"):
+            # arrow-backed squeezed entries (variant) hydrate to arrow form
+            # (ref hydration.rs:53-143 disk-arrow variant handling)
+            payload, state, nbytes = arr, MEMORY_ARROW, _arrow_memory_bytes(arr)
+        elif e.state in (MEMORY_SQUEEZED, DISK_LIQUID):
             payload = liquid if liquid is not None else ipc.deserialize(
                 self.store.get(entry_id))
             state, nbytes = MEMORY_LIQUID, payload.memory_bytes()

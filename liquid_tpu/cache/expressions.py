@@ -37,6 +37,26 @@ class PredicateColumn:
     pass
 
 
+@dataclass(frozen=True)
+class VariantGet:
+    """Column is consumed only through `variant_get(col, path [, type])`:
+    squeeze shreds the requested (path, type) pairs into typed resident
+    arrays (ref `CacheExpression::VariantGet` + `VariantRequest`,
+    expressions.rs:38-53, and try_variant_squeeze, squeeze.rs:222-290)."""
+
+    requests: tuple  # of (path: str, type: str)
+
+    def __post_init__(self):
+        from liquid_tpu.arrays.variant import PATH_TYPES
+        for _p, t in self.requests:
+            assert t in PATH_TYPES, t
+
+    def merged(self, other: "VariantGet") -> "VariantGet":
+        want = dict.fromkeys(self.requests)
+        want.update(dict.fromkeys(other.requests))
+        return VariantGet(tuple(want))
+
+
 CacheExpression = object  # union tag for docs; isinstance checks in core
 
 
@@ -48,6 +68,12 @@ def parse_hint(s: str) -> Optional[object]:
         return SubstringSearch()
     if s == "predicate_column":
         return PredicateColumn()
+    if s.startswith("variant_get:"):
+        reqs = []
+        for part in s.split(":", 1)[1].split(","):
+            path, _, t = part.partition("@")
+            reqs.append((path, t or "variant"))
+        return VariantGet(tuple(reqs))
     return None
 
 
@@ -65,4 +91,11 @@ class HintVote:
         if not self._hist:
             return None
         [(hint, _n)] = Counter(self._hist).most_common(1)
+        if isinstance(hint, VariantGet):
+            # variant hints accumulate: the squeeze should keep the union
+            # of every path any query asked for (ref hydration.rs:147-160
+            # merging newly-requested variant paths)
+            for h in self._hist:
+                if isinstance(h, VariantGet):
+                    hint = hint.merged(h)
         return hint

@@ -202,6 +202,10 @@ class TranscodeSqueezeEvict(SqueezePolicy):
     def squeeze(self, state: str, payload, ctx):
         from liquid_tpu.cache import core as c
         if state == c.MEMORY_ARROW:
+            out = ctx.variant_squeeze(payload)
+            if out is not None:  # ref try_variant_squeeze, squeeze.rs:222-290
+                sq, backing = out
+                return (REPLACE, c.MEMORY_SQUEEZED, sq, backing)
             liquid = ctx.transcode(payload)
             if liquid is None:  # untranscodable type: straight to disk (arrow)
                 return (REPLACE, c.DISK_ARROW, None, ctx.arrow_bytes(payload))
@@ -220,8 +224,17 @@ class TranscodeSqueezeEvict(SqueezePolicy):
             return (REPLACE, c.MEMORY_SQUEEZED, sq, backing)
         if state == c.MEMORY_SQUEEZED:
             # backing bytes are already on disk: drop the resident part
-            return (REPLACE, c.DISK_LIQUID, None, None)
+            return (REPLACE, _disk_state_for(payload), None, None)
         return (REMOVE,)
+
+
+def _disk_state_for(squeezed) -> str:
+    """A squeezed entry's backing may be liquid IPC or arrow bytes
+    (ref SqueezedBacking::{Liquid,Arrow}, mod.rs:156-170) -- the disk
+    state must record which so reads deserialize correctly."""
+    from liquid_tpu.cache import core as c
+    kind, _ = squeezed.disk_backing()
+    return c.DISK_ARROW if kind == "arrow" else c.DISK_LIQUID
 
 
 class TranscodeEvict(SqueezePolicy):
@@ -237,7 +250,7 @@ class TranscodeEvict(SqueezePolicy):
         if state == c.MEMORY_LIQUID:
             return (REPLACE, c.DISK_LIQUID, None, payload.to_bytes())
         if state == c.MEMORY_SQUEEZED:
-            return (REPLACE, c.DISK_LIQUID, None, None)
+            return (REPLACE, _disk_state_for(payload), None, None)
         return (REMOVE,)
 
 
@@ -251,7 +264,7 @@ class Evict(SqueezePolicy):
         if state == c.MEMORY_LIQUID:
             return (REPLACE, c.DISK_LIQUID, None, payload.to_bytes())
         if state == c.MEMORY_SQUEEZED:
-            return (REPLACE, c.DISK_LIQUID, None, None)
+            return (REPLACE, _disk_state_for(payload), None, None)
         return (REMOVE,)
 
 

@@ -156,7 +156,16 @@ class ParquetTable:
 
     def get_batch(self, rg: int, col_name: str, batch: int,
                   hint=None) -> pa.Array:
+        from liquid_tpu.cache.expressions import VariantGet
         eid = self.entry_id(rg, col_name, batch)
+        if isinstance(hint, VariantGet):
+            # squeezed-variant shortcut: typed path struct, zero IO when
+            # all requested paths are resident (ref core.rs:747-788)
+            if not self.cache.contains(eid):
+                self.ensure_cached(rg, col_name, hint)
+            out = self.cache.get_variant_paths(eid, hint.requests)
+            if out is not None:
+                return out
         out = self.cache.get(eid)
         if out is None:
             self.ensure_cached(rg, col_name, hint)

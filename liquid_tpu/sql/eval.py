@@ -10,6 +10,7 @@ fallback `ArrowPredicate` path (liquid_cache_reader.rs:152-166).
 from __future__ import annotations
 
 import datetime
+import json
 from typing import Dict, Optional
 
 import numpy as np
@@ -17,6 +18,17 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from liquid_tpu.sql import ast
+
+_VARIANT_TYPE_ALIASES = {
+    "int64": "int64", "int": "int64", "bigint": "int64", "integer": "int64",
+    "float64": "float64", "double": "float64", "float": "float64",
+    "utf8": "utf8", "string": "utf8", "varchar": "utf8", "text": "utf8",
+    "bool": "bool", "boolean": "bool", "variant": "variant", "json": "variant",
+}
+
+
+def normalize_variant_type(t: str) -> str:
+    return _VARIANT_TYPE_ALIASES.get(str(t).lower(), "variant")
 
 
 class Batch:
@@ -271,7 +283,40 @@ class Evaluator:
         if name == "concat":
             args = [self.arr(a).cast(pa.string()) for a in e.args]
             return pc.binary_join_element_wise(*args, "")
+        if name == "variant_get":
+            return self._variant_get(e)
+        if name in ("variant_pretty", "variant_to_json"):
+            # ref variant_pretty / variant_to_json (reader/variant_udf.rs:289,369)
+            from liquid_tpu.arrays import variant as vlib
+            v = self.arr(e.args[0])
+            docs = vlib.parse_docs(v)
+            if name == "variant_pretty":
+                out = [None if d is None else json.dumps(
+                    d, indent=2, ensure_ascii=False) for d in docs]
+            else:
+                out = [None if d is None else json.dumps(
+                    d, separators=(",", ":"), ensure_ascii=False) for d in docs]
+            return pa.array(out, type=pa.string())
         raise NotImplementedError(f"function {name}")
+
+    def _variant_get(self, e: ast.Func):
+        """variant_get(col, 'path' [, type]) (ref variant_udf.rs:120).
+
+        When the scan pre-shredded the column (VariantGet squeeze hint ->
+        cache-side zero-IO path read), the batch holds a StructArray with
+        one typed field per request; otherwise parse the JSON here."""
+        from liquid_tpu.arrays import variant as vlib
+        path = self.eval(e.args[1]).as_py()
+        type_name = normalize_variant_type(
+            self.eval(e.args[2]).as_py()) if len(e.args) > 2 else "variant"
+        v = self.arr(e.args[0])
+        if pa.types.is_struct(v.type):
+            fname = vlib.field_name(path, type_name)
+            idx = v.type.get_field_index(fname)
+            if idx >= 0:
+                return v.field(idx)
+        docs = vlib.parse_docs(v)
+        return vlib.extract_paths(docs, [(path, type_name)]).field(0)
 
 
 def _is_float(v) -> bool:

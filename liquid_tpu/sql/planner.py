@@ -18,7 +18,9 @@ from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
 from liquid_tpu.arrays.base import Predicate
-from liquid_tpu.cache.expressions import ExtractDate32, SubstringSearch
+from liquid_tpu.cache.expressions import (
+    ExtractDate32, SubstringSearch, VariantGet,
+)
 from liquid_tpu.sql import ast
 
 _CMP_FLIP = {"=": "=", "<>": "<>", "<": ">", "<=": ">=", ">": "<", ">=": "<="}
@@ -208,7 +210,10 @@ def plan_scan_filters(where: Optional[ast.Expr]) -> ScanPlan:
 
 def column_hints(q: ast.Select) -> Dict[str, object]:
     """Columns used ONLY via LIKE '%x%' -> SubstringSearch; columns used
-    ONLY via EXTRACT(field) over a raw date column -> ExtractDate32."""
+    ONLY via EXTRACT(field) over a raw date column -> ExtractDate32;
+    columns used ONLY via variant_get(col, path [, type]) -> VariantGet
+    (ref ColumnAnnotation::{DatePart,SubstringSearch,VariantPaths},
+    optimizers/lineage_opt.rs:31-114)."""
     usage: Dict[str, set] = {}
 
     def walk(e, ctx="other"):
@@ -226,6 +231,17 @@ def column_hints(q: ast.Select) -> Dict[str, object]:
             if isinstance(e.operand, ast.Column) and e.field in (
                     "year", "month", "day", "dow"):
                 usage.setdefault(e.operand.name, set()).add(f"extract:{e.field}")
+                return
+        if isinstance(e, ast.Func) and e.name == "variant_get":
+            if (len(e.args) >= 2 and isinstance(e.args[0], ast.Column)
+                    and isinstance(e.args[1], ast.Literal)
+                    and isinstance(e.args[1].value, str)):
+                from liquid_tpu.sql.eval import normalize_variant_type
+                t = "variant"
+                if len(e.args) > 2 and isinstance(e.args[2], ast.Literal):
+                    t = normalize_variant_type(e.args[2].value)
+                usage.setdefault(e.args[0].name, set()).add(
+                    ("variant", e.args[1].value, t))
                 return
         for f_ in getattr(e, "__dataclass_fields__", {}):
             v = getattr(e, f_)
@@ -253,8 +269,11 @@ def column_hints(q: ast.Select) -> Dict[str, object]:
     for col, kinds in usage.items():
         if kinds == {"like"}:
             hints[col] = SubstringSearch()
+        elif all(isinstance(k, tuple) and k[0] == "variant" for k in kinds):
+            hints[col] = VariantGet(tuple(sorted(
+                (path, t) for _, path, t in kinds)))
         elif len(kinds) == 1:
             k = next(iter(kinds))
-            if k.startswith("extract:"):
+            if isinstance(k, str) and k.startswith("extract:"):
                 hints[col] = ExtractDate32(k.split(":")[1])
     return hints
