@@ -32,12 +32,27 @@ Layer map (mirrors reference SURVEY.md section 1):
   server/   - disaggregated mode         (ref: src/datafusion-{server,client}/)
 """
 
+import os
+
 import jax
 
 # A data engine needs exact int64/float64 semantics (UserID columns, SUM/AVG
 # matching DataFusion answers bit-exactly).  TPUs emulate f64/i64; correctness
 # first, hot kernels use narrow types explicitly.
 jax.config.update("jax_enable_x64", True)
+
+# Persistent jit cache: the engine's kernel universe is small and
+# shape-bucketed (ops/bitpack.py WIDTH_BUCKETS); cache slow compiles
+# across processes (default thresholds: writing EVERY tiny executable
+# measurably slows the first run, so those stay default).
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/tmp/liquid_tpu_jit_cache"))
+# Our kernels compile in 0.3-0.7s each (below the 1s default persistence
+# threshold), so fresh processes were re-paying the whole compile set.
+# 0.1s keeps real kernels persistent while skipping the trivial op-by-op
+# dispatch executables (persisting those costs more than it saves).
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 __version__ = "0.1.0"
 

@@ -95,18 +95,18 @@ class Interval(Expr):
     unit: str  # day month year
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class Subquery(Expr):
     query: "Select"
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class Exists(Expr):
     query: "Select"
     negated: bool = False
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class InSubquery(Expr):
     operand: Expr
     query: "Select"
@@ -118,12 +118,37 @@ class Star(Expr):
     table: Optional[str] = None
 
 
+@dataclass(frozen=True, eq=False)
+class CorrLookup(Expr):
+    """Runtime node produced by decorrelating a correlated subquery
+    (EXISTS / IN / scalar aggregate): a per-row lookup into a
+    precomputed inner table keyed by the equality-correlated columns.
+
+    `kind`: "exists" (boolean membership, optionally post-filtered by
+    `extra`, a residual correlated predicate over inner columns and
+    `__outer{i}` stand-ins for `outer_refs`) or "scalar" (map the key to
+    the inner table's `__v` aggregate; missing key -> NULL).
+    identity-eq on purpose: carries an unhashable pa.Table.
+    """
+
+    keys: Tuple[Expr, ...]        # outer key expressions
+    key_cols: Tuple[str, ...]     # inner table key column names
+    kind: str                     # "exists" | "scalar"
+    table: object                 # pa.Table (precomputed inner result)
+    negated: bool = False
+    outer_refs: Tuple[Expr, ...] = ()
+    extra: Optional[Expr] = None
+
+
 # -- relations -------------------------------------------------------------
 
 @dataclass(frozen=True)
 class TableRef:
     name: str
     alias: Optional[str] = None
+    #: column-name prefix ("<alias>__") assigned by the qualification
+    #: pass to aliased tables so self-joins get distinct column names
+    prefix: Optional[str] = None
 
 
 @dataclass(frozen=True)

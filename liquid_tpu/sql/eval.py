@@ -141,7 +141,56 @@ class Evaluator:
         if isinstance(e, ast.Subquery):
             assert self._subq is not None, "scalar subquery in this context"
             return self._subq(e.query)
+        if isinstance(e, ast.CorrLookup):
+            return self._corr_lookup(e)
         raise NotImplementedError(f"eval {type(e).__name__}")
+
+    def _corr_lookup(self, e: ast.CorrLookup):
+        """Decorrelated subquery lookup: equality keys resolved by a hash
+        join against the precomputed inner table (exec._build_exists /
+        _build_scalar_lookup); residual correlated predicates evaluated
+        vectorized on the joined rows."""
+        import pandas as pd
+        n = self.b.length
+        key_arrays = [self.arr(k) for k in e.keys]
+        outer = {f"__k{i}": a.to_pandas() for i, a in enumerate(key_arrays)}
+        outer["__rowid"] = np.arange(n)
+        df = pd.DataFrame(outer)
+        inner = e.table.to_pandas()
+        inner["__idx"] = np.arange(len(inner))
+        kcols = list(e.key_cols)
+        if e.kind == "scalar":
+            m = df.merge(inner[kcols + ["__idx"]], how="left",
+                         left_on=[f"__k{i}" for i in range(len(kcols))],
+                         right_on=kcols)
+            m = m.drop_duplicates("__rowid").sort_values("__rowid")
+            idx = pa.array(
+                [None if pd.isna(x) else int(x) for x in m["__idx"]],
+                pa.int64())
+            return e.table.column("__v").combine_chunks().take(idx)
+        # exists
+        m = df.merge(inner, how="inner",
+                     left_on=[f"__k{i}" for i in range(len(kcols))],
+                     right_on=kcols)
+        if e.extra is not None and len(m):
+            cols = {}
+            for c in e.table.column_names:
+                cols[c] = pa.Array.from_pandas(
+                    m[c], type=e.table.schema.field(c).type)
+            for i, r in enumerate(e.outer_refs):
+                v = self.arr(r)
+                cols[f"__outer{i}"] = v.take(
+                    pa.array(m["__rowid"].to_numpy(), pa.int64()))
+            sub_ev = Evaluator(Batch(cols, len(m)), self._subq)
+            mask = sub_ev.arr(e.extra)
+            keep = pc.fill_null(mask.cast(pa.bool_()), False)
+            m = m[np.asarray(keep)]
+        hit = np.zeros(n, dtype=bool)
+        if len(m):
+            hit[m["__rowid"].to_numpy()] = True
+        if e.negated:
+            hit = ~hit
+        return pa.array(hit)
 
     # -- pieces ------------------------------------------------------------
 

@@ -24,14 +24,27 @@ from liquid_tpu.sql.physical import (
 from liquid_tpu.sql.planner import (
     column_hints, plan_scan_filters, split_conjuncts,
 )
+from liquid_tpu.sql.qualify import Qualifier, map_expr
 
 
 class QueryExecutor:
     def __init__(self, catalog: Dict[str, object]):
         self.catalog = catalog       # name -> ParquetTable
         self.views: Dict[str, ast.Select] = {}
+        self._scalar_cache: Dict[int, object] = {}
 
     # -- statements --------------------------------------------------------
+
+    def _base_columns(self, name: str):
+        if name in self.views:
+            v = self.views[name]
+            return [it.alias or render(it.expr) for it in v.items]
+        if name in self.catalog:
+            return list(self.catalog[name].column_names)
+        return None
+
+    def _qualify(self, q: ast.Select) -> ast.Select:
+        return Qualifier(self._base_columns).qualify(q)
 
     def execute_sql(self, sql: str) -> pa.Table:
         stmt = parse_statement(sql)
@@ -42,7 +55,7 @@ class QueryExecutor:
         if stmt[0] == "drop_view":
             self.views.pop(stmt[1], None)
             return pa.table({})
-        return self.execute(stmt[1])
+        return self.execute(self._qualify(stmt[1]))
 
     # -- queries -----------------------------------------------------------
 
@@ -83,10 +96,12 @@ class QueryExecutor:
 
     def _relation_columns(self, rel) -> List[str]:
         if isinstance(rel, ast.TableRef):
-            if rel.name in self.views:
-                v = self.views[rel.name]
-                return [it.alias or render(it.expr) for it in v.items]
-            return list(self.catalog[rel.name].column_names)
+            cols = self._base_columns(rel.name)
+            if cols is None:
+                raise KeyError(f"unknown relation {rel.name}")
+            if rel.prefix:
+                return [rel.prefix + c for c in cols]
+            return cols
         if isinstance(rel, ast.SubqueryRel):
             return [it.alias or render(it.expr) for it in rel.query.items]
         raise NotImplementedError(type(rel).__name__)
@@ -106,16 +121,33 @@ class QueryExecutor:
                               needed: List[str]) -> pa.Table:
         if isinstance(rel, ast.TableRef) and rel.name in self.catalog:
             table = self.catalog[rel.name]
+            pfx = rel.prefix or ""
+            if pfx:
+                # strip the alias prefix for the physical scan, re-apply after
+                strip = {pfx + c: c for c in table.column_names}
+
+                def unfix(e):
+                    if isinstance(e, ast.Column) and e.name in strip:
+                        return ast.Column(strip[e.name])
+                    return None
+                where = map_expr(where, unfix) if where is not None else None
+                needed = [strip.get(c, c) for c in needed]
             needed = [c for c in needed if c in table.column_names] or \
                 list(table.column_names[:1])
             parts = [b.to_table()
                      for b in self._scan_relation_batches(rel, where, needed)]
             if not parts:
-                return pa.table(
+                out = pa.table(
                     {c: pa.array([], table.field(c).type) for c in needed})
-            return pa.concat_tables(parts)
+            else:
+                out = pa.concat_tables(parts)
+            if pfx:
+                out = out.rename_columns([pfx + c for c in out.column_names])
+            return out
         if isinstance(rel, ast.TableRef) and rel.name in self.views:
-            t = self.execute(self.views[rel.name])
+            t = self.execute(self._qualify(self.views[rel.name]))
+            if rel.prefix:
+                t = t.rename_columns([rel.prefix + c for c in t.column_names])
             return self._filter_table(t, where)
         if isinstance(rel, ast.SubqueryRel):
             t = self.execute(rel.query)
@@ -132,8 +164,9 @@ class QueryExecutor:
     def _join_source(self, q: ast.Select) -> Tuple[pa.Table, Optional[ast.Expr]]:
         """Execute the FROM tree with per-table predicate pushdown; returns
         (joined table, residual where)."""
-        conjuncts = split_conjuncts(self._rewrite_subqueries(q.where)
-                                    if q.where is not None else None)
+        conjuncts = split_conjuncts(
+            self._rewrite_subqueries(q.where, self._scope_cols(q))
+            if q.where is not None else None)
         needed_all: set = set()
         for it in q.items:
             collect_columns(it.expr, needed_all)
@@ -151,13 +184,20 @@ class QueryExecutor:
 
         leaves: List = []
         self._leaf_relations(q.from_, leaves)
-        # alias -> real-name map for qualified refs is flattened: TPC-H
-        # column names are globally unique, so we resolve by membership
+        # alias -> real-name map for qualified refs is flattened by the
+        # qualification pass (aliased tables carry a column prefix), so we
+        # resolve ownership by membership
         leaf_cols = {id(l): set(self._relation_columns(l)) for l in leaves}
 
         def owner(cols: set):
             owners = [l for l in leaves if cols <= leaf_cols[id(l)]]
             return owners[0] if len(owners) == 1 else None
+
+        # leaves on the null-producing side of an outer join must not take
+        # WHERE pushdown (WHERE applies post null-extension); their ON
+        # filters, conversely, MUST be applied pre-join
+        protected: set = set()
+        self._collect_protected(q.from_, protected)
 
         pushed: Dict[int, List[ast.Expr]] = {id(l): [] for l in leaves}
         residual: List[ast.Expr] = []
@@ -165,10 +205,13 @@ class QueryExecutor:
             cols: set = set()
             collect_columns(e, cols)
             o = owner(cols)
-            if o is not None and not _has_subquery(e):
+            if o is not None and id(o) not in protected \
+                    and not _has_subquery(e):
                 pushed[id(o)].append(e)
             else:
                 residual.append(e)
+
+        from_ = self._push_on_filters(q.from_, pushed, leaf_cols, owner)
 
         tables: Dict[int, pa.Table] = {}
         for l in leaves:
@@ -176,8 +219,112 @@ class QueryExecutor:
             need = sorted((needed_all & leaf_cols[id(l)]))
             tables[id(l)] = self._materialize_relation(l, where, need)
 
-        joined = self._fold_join(q.from_, tables, residual)
-        return joined, _and_all(residual)
+        joined = self._fold_join(from_, tables, residual)
+        # remaining residual (cross-leaf non-equi predicates, decorrelated
+        # lookups) evaluates on the joined table
+        joined = self._filter_table(joined, _and_all(residual))
+        return joined, None
+
+    def _collect_protected(self, rel, out: set, under_outer: bool = False
+                           ) -> None:
+        """Mark leaves under the null-producing side of an outer join."""
+        if isinstance(rel, ast.Join):
+            self._collect_protected(
+                rel.left, out, under_outer or rel.kind in ("right", "full"))
+            self._collect_protected(
+                rel.right, out, under_outer or rel.kind in ("left", "full"))
+        elif rel is not None and under_outer:
+            out.add(id(rel))
+
+    def _push_on_filters(self, rel, pushed, leaf_cols, owner):
+        """Move single-leaf non-equi ON conjuncts of outer joins into the
+        leaf's pre-join filter (they apply BEFORE null extension, unlike
+        WHERE; e.g. TPC-H q13's `o_comment not like ...` join filter)."""
+        if not isinstance(rel, ast.Join):
+            return rel
+        left = self._push_on_filters(rel.left, pushed, leaf_cols, owner)
+        right = self._push_on_filters(rel.right, pushed, leaf_cols, owner)
+        if rel.on is None:
+            return ast.Join(left, right, rel.kind, None)
+        keep: List[ast.Expr] = []
+        for c in split_conjuncts(rel.on):
+            cols: set = set()
+            collect_columns(c, cols)
+            o = owner(cols)
+            is_equi = (isinstance(c, ast.Binary) and c.op == "="
+                       and isinstance(c.left, ast.Column)
+                       and isinstance(c.right, ast.Column))
+            if o is not None and not is_equi and not _has_subquery(c):
+                pushed[id(o)].append(c)
+            else:
+                keep.append(c)
+        return ast.Join(left, right, rel.kind, _and_all(keep))
+
+    def _collect_cross(self, rel, tables, residual, comps: List) -> None:
+        """Flatten a maximal cross-join subtree into component tables."""
+        if isinstance(rel, ast.Join) and rel.kind == "cross" and rel.on is None:
+            self._collect_cross(rel.left, tables, residual, comps)
+            self._collect_cross(rel.right, tables, residual, comps)
+        else:
+            comps.append(self._fold_join(rel, tables, residual))
+
+    def _join_components(self, comps: List[pa.Table],
+                         residual: List[ast.Expr]) -> pa.Table:
+        """Greedy equi-join ordering over cross-join components: start from
+        the first component, repeatedly join the component connected by a
+        WHERE equality (consumed as join keys); unconnected components
+        fall back to a true cross product (rare)."""
+        def equi_cols(e):
+            if isinstance(e, ast.Binary) and e.op == "=" \
+                    and isinstance(e.left, ast.Column) \
+                    and isinstance(e.right, ast.Column):
+                return e.left.name, e.right.name
+            return None
+
+        remaining = list(comps)
+        cur = remaining.pop(0)
+        while remaining:
+            best = None  # (comp_idx, [(lkey, rkey)], [conjunct])
+            for i, comp in enumerate(remaining):
+                pairs, used = [], []
+                for e in residual:
+                    ec = equi_cols(e)
+                    if ec is None:
+                        continue
+                    a, b = ec
+                    if a in cur.column_names and b in comp.column_names:
+                        pairs.append((a, b))
+                        used.append(e)
+                    elif b in cur.column_names and a in comp.column_names:
+                        pairs.append((b, a))
+                        used.append(e)
+                if pairs and (best is None or len(pairs) > len(best[1])):
+                    best = (i, pairs, used)
+            if best is None:
+                comp = remaining.pop(
+                    min(range(len(remaining)),
+                        key=lambda i: remaining[i].num_rows))
+                lk = cur.append_column(
+                    "__x", pa.array(np.zeros(cur.num_rows, np.int8)))
+                rk = comp.append_column(
+                    "__x", pa.array(np.zeros(comp.num_rows, np.int8)))
+                cur = lk.join(rk, keys=["__x"],
+                              join_type="inner").drop_columns(["__x"])
+                continue
+            i, pairs, used = best
+            comp = remaining.pop(i)
+            for e in used:
+                residual.remove(e)
+            lkeys = [p[0] for p in pairs]
+            rkeys = [p[1] for p in pairs]
+            cur = cur.join(comp, keys=lkeys, right_keys=rkeys,
+                           join_type="inner")
+            # arrow drops right-side key columns; later equalities or
+            # projections may still reference them
+            for lk_, rk_ in pairs:
+                if rk_ not in cur.column_names and lk_ in cur.column_names:
+                    cur = cur.append_column(rk_, cur.column(lk_))
+        return cur
 
     def _collect_join_columns(self, rel, out: set) -> None:
         if isinstance(rel, ast.Join):
@@ -190,14 +337,17 @@ class QueryExecutor:
                    residual: List[ast.Expr]) -> pa.Table:
         if not isinstance(rel, ast.Join):
             return tables[id(rel)]
+        if rel.kind == "cross" and rel.on is None:
+            # comma-join subtree: flatten into components and order the
+            # joins greedily by equality connectivity, consuming WHERE
+            # equality conjuncts as join keys (ref: DataFusion's
+            # cross-join-to-inner-join rewrite; without this q2/q9 would
+            # build astronomically large cross products)
+            comps: List[pa.Table] = []
+            self._collect_cross(rel, tables, residual, comps)
+            return self._join_components(comps, residual)
         left = self._fold_join(rel.left, tables, residual)
         right = self._fold_join(rel.right, tables, residual)
-        if rel.kind == "cross" and rel.on is None:
-            # cross join: add join key constant
-            lk = left.append_column("__x", pa.array(np.zeros(left.num_rows, np.int8)))
-            rk = right.append_column("__x", pa.array(np.zeros(right.num_rows, np.int8)))
-            out = lk.join(rk, keys=["__x"], join_type="inner")
-            return out.drop_columns(["__x"])
         eq_pairs = []
         extra = []
         for c in split_conjuncts(rel.on):
@@ -266,16 +416,23 @@ class QueryExecutor:
         agg = (GroupedAggregator(key_names, slots) if group
                else ScalarAggregator(slots))
 
+        # rewrite subqueries ONCE (not per batch: correlated lookups
+        # precompute their inner tables during the rewrite)
+        scope = self._scope_cols(q)
+        rew_inputs = {s.name: self._rewrite_subqueries(s.input, scope)
+                      for s in slots if s.input is not None}
+        rew_keys = [self._rewrite_subqueries(ge, scope) for ge, _ in group]
+
         def update_from(batch: Batch):
             ev = Evaluator(batch, self._scalar_subquery)
             inputs: Dict[str, pa.Array] = {}
             for s in slots:
                 if s.input is not None:
-                    arr = ev.arr(self._rewrite_subqueries(s.input))
+                    arr = ev.arr(rew_inputs[s.name])
                     inputs[s.name] = arr
                     input_types.setdefault(s.name, arr.type)
             if group:
-                keys = [ev.arr(self._rewrite_subqueries(ge)) for ge, _ in group]
+                keys = [ev.arr(ge) for ge in rew_keys]
                 agg.update(keys, inputs, batch.length)
             else:
                 agg.update(inputs, batch.length)
@@ -284,7 +441,7 @@ class QueryExecutor:
             rel, where = single
             hints = column_hints(q)
             table = self.catalog[rel.name]
-            plan = plan_scan_filters(self._rewrite_subqueries(where)
+            plan = plan_scan_filters(self._rewrite_subqueries(where, scope)
                                      if where is not None else None)
             need = sorted(c for c in needed if c in table.column_names)
             pure_count = (not need and not group
@@ -337,11 +494,8 @@ class QueryExecutor:
 
         # HAVING
         if q.having is not None:
-            hmap = dict(mapping)
-            for it in q.items:
-                if it.alias:
-                    hmap[ast.Column(it.alias)] = it.alias if it.alias in result.column_names else None
-            h = substitute(q.having, mapping)
+            having = self._rewrite_subqueries(q.having, scope)
+            h = substitute(having, mapping)
             hb = Batch.from_table(_extend(result, final))
             m = Evaluator(hb, self._scalar_subquery).arr(h)
             keep = pc.fill_null(m.cast(pa.bool_()), False)
@@ -412,8 +566,9 @@ class QueryExecutor:
             rel, where = single
             table = self.catalog[rel.name]
             hints = column_hints(q)
-            plan = plan_scan_filters(self._rewrite_subqueries(where)
-                                     if where is not None else None)
+            plan = plan_scan_filters(
+                self._rewrite_subqueries(where, self._scope_cols(q))
+                if where is not None else None)
             needed: set = set()
             for it in q.items:
                 collect_columns(it.expr, needed)
@@ -486,6 +641,8 @@ class QueryExecutor:
 
     def _single_parquet_source(self, q: ast.Select):
         rel = q.from_
+        if isinstance(rel, ast.TableRef) and rel.prefix:
+            return None  # aliased/prefixed: go through _join_source renames
         if isinstance(rel, ast.TableRef) and rel.name in self.catalog:
             if q.where is None or not _has_subquery(q.where):
                 return rel, q.where
@@ -493,32 +650,168 @@ class QueryExecutor:
         return None
 
     def _scalar_subquery(self, sub: ast.Select):
+        # key by identity but PIN the Select in the value: a bare id()
+        # key can be reused by a new object once the old one is GC'd
+        cached = self._scalar_cache.get(id(sub))
+        if cached is not None and cached[0] is sub:
+            return cached[1]
         t = self.execute(sub)
         assert t.num_columns == 1 and t.num_rows <= 1, "scalar subquery shape"
-        if t.num_rows == 0:
-            return pa.scalar(None)
-        return t.column(0)[0]
+        out = pa.scalar(None) if t.num_rows == 0 else t.column(0)[0]
+        self._scalar_cache[id(sub)] = (sub, out)
+        return out
 
-    def _rewrite_subqueries(self, e: ast.Expr) -> ast.Expr:
-        """Uncorrelated IN-subqueries -> literal InList; scalar subqueries
-        stay (handled by the evaluator via _scalar_subquery)."""
+    # -- subquery rewriting / decorrelation ---------------------------------
+    # Ref: DataFusion's decorrelate_predicate_subquery +
+    # scalar_subquery_to_join rules, which the reference gets for free;
+    # TPC-H q2/q4/q17/q20/q21/q22 need them.
+
+    def _scope_cols(self, q: ast.Select) -> frozenset:
+        leaves: List = []
+        self._leaf_relations(q.from_, leaves)
+        out: set = set()
+        for l in leaves:
+            if l is not None:
+                out.update(self._relation_columns(l))
+        return frozenset(out)
+
+    def _rewrite_subqueries(self, e: ast.Expr,
+                            scope: frozenset = frozenset()) -> ast.Expr:
+        """Uncorrelated IN-subqueries -> literal InList; correlated
+        EXISTS / IN / scalar-agg subqueries -> CorrLookup; uncorrelated
+        scalar subqueries stay (evaluator calls _scalar_subquery)."""
         if isinstance(e, ast.InSubquery):
-            cols: set = set()
-            collect_columns(e.query.where, cols) if e.query.where else None
-            t = self.execute(e.query)
+            sub = e.query
+            inner = self._scope_cols(sub)
+            corr = self._split_correlation(sub, inner, scope)
+            if corr["eq"] or corr["extra"]:
+                # correlated IN: EXISTS with one extra equality on operand
+                op_col = sub.items[0].alias or render(sub.items[0].expr)
+                keys = [p[1] for p in corr["eq"]] + [
+                    self._rewrite_subqueries(e.operand, scope)]
+                inner_keys = [p[0] for p in corr["eq"]] + [op_col]
+                return self._build_exists(sub, corr, keys, inner_keys,
+                                          e.negated, extra_item=sub.items[0])
+            t = self.execute(sub)
             vals = tuple(ast.Literal(v) for v in t.column(0).to_pylist()
                          if v is not None)
-            return ast.InList(self._rewrite_subqueries(e.operand), vals, e.negated)
-        if isinstance(e, ast.Binary):
-            return ast.Binary(e.op, self._rewrite_subqueries(e.left),
-                              self._rewrite_subqueries(e.right))
-        if isinstance(e, ast.Unary):
-            return ast.Unary(e.op, self._rewrite_subqueries(e.operand))
-        if isinstance(e, ast.Between):
-            return ast.Between(self._rewrite_subqueries(e.operand),
-                               self._rewrite_subqueries(e.low),
-                               self._rewrite_subqueries(e.high), e.negated)
-        return e
+            return ast.InList(self._rewrite_subqueries(e.operand, scope),
+                              vals, e.negated)
+        if isinstance(e, ast.Exists):
+            sub = e.query
+            inner = self._scope_cols(sub)
+            corr = self._split_correlation(sub, inner, scope)
+            if not corr["eq"] and not corr["extra"]:
+                t = self.execute(sub)  # uncorrelated EXISTS
+                found = t.num_rows > 0
+                return ast.Literal(found != e.negated)
+            keys = [p[1] for p in corr["eq"]]
+            inner_keys = [p[0] for p in corr["eq"]]
+            return self._build_exists(sub, corr, keys, inner_keys, e.negated)
+        if isinstance(e, ast.Subquery):
+            sub = e.query
+            inner = self._scope_cols(sub)
+            corr = self._split_correlation(sub, inner, scope)
+            if not corr["eq"] and not corr["extra"]:
+                # uncorrelated scalar: execute once, inline as a literal
+                v = self._scalar_subquery(sub)
+                return ast.Literal(v.as_py())
+            if corr["extra"]:
+                raise NotImplementedError(
+                    "non-equality correlated scalar subquery")
+            return self._build_scalar_lookup(sub, corr)
+
+        def walk(x):
+            if isinstance(x, (ast.InSubquery, ast.Exists, ast.Subquery)):
+                return self._rewrite_subqueries(x, scope)
+            return None
+        return map_expr(e, walk)
+
+    def _split_correlation(self, sub: ast.Select, inner_cols: frozenset,
+                           scope: frozenset) -> dict:
+        """Classify the subquery's WHERE conjuncts:
+        eq:    [(inner_col_name, outer_expr)] equality correlations
+        extra: conjuncts mixing inner + outer references
+        local: conjuncts over inner columns only (stay in the subquery)."""
+        def refs(x):
+            c: set = set()
+            collect_columns(x, c)
+            return c
+        eq, extra, local = [], [], []
+        for conj in split_conjuncts(sub.where):
+            cols = refs(conj)
+            outer = cols - inner_cols
+            if not outer:
+                local.append(conj)
+                continue
+            pair = None
+            if isinstance(conj, ast.Binary) and conj.op == "=":
+                for a, b in ((conj.left, conj.right), (conj.right, conj.left)):
+                    if (isinstance(a, ast.Column) and a.name in inner_cols
+                            and refs(b) and refs(b) <= (scope - inner_cols)
+                            and not _has_subquery(b)):
+                        pair = (a.name, b)
+                        break
+            if pair is not None:
+                eq.append(pair)
+            else:
+                extra.append(conj)
+        return {"eq": eq, "extra": extra, "local": local}
+
+    def _build_exists(self, sub: ast.Select, corr, keys, inner_keys,
+                      negated: bool, extra_item=None) -> ast.CorrLookup:
+        """Precompute the inner relation and emit a CorrLookup node."""
+        outer_refs: List[ast.Expr] = []
+        inner_cols = self._scope_cols(sub)
+
+        def repl_outer(x):
+            if isinstance(x, ast.Column) and x.name not in inner_cols:
+                for i, r in enumerate(outer_refs):
+                    if r == x:
+                        return ast.Column(f"__outer{i}")
+                outer_refs.append(x)
+                return ast.Column(f"__outer{len(outer_refs) - 1}")
+            return None
+
+        extra = None
+        extra_cols: set = set()
+        if corr["extra"]:
+            extra = _and_all([map_expr(c, repl_outer) for c in corr["extra"]])
+            collect_columns(extra, extra_cols)
+            extra_cols = {c for c in extra_cols if not c.startswith("__outer")}
+
+        items = [ast.SelectItem(ast.Column(k), k) for k in inner_keys
+                 if extra_item is None or k != (extra_item.alias
+                                                or render(extra_item.expr))]
+        if extra_item is not None:
+            items.append(ast.SelectItem(
+                extra_item.expr,
+                extra_item.alias or render(extra_item.expr)))
+        for c in sorted(extra_cols - set(inner_keys)):
+            items.append(ast.SelectItem(ast.Column(c), c))
+        inner_q = ast.Select()
+        inner_q.items = items
+        inner_q.from_ = sub.from_
+        inner_q.where = _and_all(corr["local"])
+        inner_q.distinct = extra is None
+        t = self.execute(inner_q)
+        return ast.CorrLookup(keys=tuple(keys), key_cols=tuple(inner_keys),
+                              kind="exists", table=t, negated=negated,
+                              outer_refs=tuple(outer_refs), extra=extra)
+
+    def _build_scalar_lookup(self, sub: ast.Select, corr) -> ast.CorrLookup:
+        assert len(sub.items) == 1, "scalar subquery must have one item"
+        inner_keys = [p[0] for p in corr["eq"]]
+        keys = [p[1] for p in corr["eq"]]
+        inner_q = ast.Select()
+        inner_q.items = [ast.SelectItem(ast.Column(k), k) for k in inner_keys]
+        inner_q.items.append(ast.SelectItem(sub.items[0].expr, "__v"))
+        inner_q.from_ = sub.from_
+        inner_q.where = _and_all(corr["local"])
+        inner_q.group_by = [ast.Column(k) for k in inner_keys]
+        t = self.execute(inner_q)
+        return ast.CorrLookup(keys=tuple(keys), key_cols=tuple(inner_keys),
+                              kind="scalar", table=t)
 
 
 def _and_all(exprs: List[ast.Expr]) -> Optional[ast.Expr]:

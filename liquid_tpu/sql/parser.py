@@ -507,6 +507,16 @@ class Parser:
             self.i += 1
             return ast.Func(name.lower(), ())
         args = [self.parse_expr()]
+        # SQL-standard SUBSTRING(x FROM start [FOR length])
+        if self.accept_kw("from"):
+            args.append(self.parse_expr())
+            t = self.peek()
+            if t and t.kind == "id" and t.value.lower() == "for":
+                self.i += 1
+                args.append(self.parse_expr())
+            elif t and t.kind == "kw" and t.value == "for":
+                self.i += 1
+                args.append(self.parse_expr())
         while self.accept_op(","):
             args.append(self.parse_expr())
         self.expect_op(")")

@@ -36,7 +36,56 @@ def split_conjuncts(e: Optional[ast.Expr]) -> List[ast.Expr]:
     if isinstance(e, ast.Between) and not e.negated:
         return (split_conjuncts(ast.Binary(">=", e.operand, e.low))
                 + split_conjuncts(ast.Binary("<=", e.operand, e.high)))
+    if isinstance(e, ast.Binary) and e.op == "or":
+        hoisted = _hoist_or_common(e)
+        if len(hoisted) > 1:
+            out: List[ast.Expr] = []
+            for h in hoisted:
+                out.extend(split_conjuncts(h))
+            return out
     return [e]
+
+
+def _flatten_or(e: ast.Expr) -> List[ast.Expr]:
+    if isinstance(e, ast.Binary) and e.op == "or":
+        return _flatten_or(e.left) + _flatten_or(e.right)
+    return [e]
+
+
+def _hoist_or_common(e: ast.Expr) -> List[ast.Expr]:
+    """Factor conjuncts common to every OR branch out of the disjunction:
+    `(a AND x AND y) OR (a AND z)` -> `a AND ((x AND y) OR z)`.
+
+    TPC-H q19's three-branch OR repeats `p_partkey = l_partkey` (the join
+    key!), `l_shipmode in (...)`, `l_shipinstruct = ...` in every branch;
+    without hoisting the join degenerates to a cross product.  (The
+    reference inherits this rewrite from DataFusion's expr simplifier.)
+    """
+    branches = _flatten_or(e)
+    if len(branches) < 2:
+        return [e]
+    sets = [split_conjuncts(b) for b in branches]
+    try:
+        common = set(sets[0])
+        for s in sets[1:]:
+            common &= set(s)
+    except TypeError:
+        return [e]  # unhashable nodes (runtime lookups): no hoisting
+    if not common:
+        return [e]
+    rest = []
+    for s in sets:
+        rem = [c for c in s if c not in common]
+        if not rem:
+            return [e]  # one branch is fully common: OR is just the common part
+        r = rem[0]
+        for c in rem[1:]:
+            r = ast.Binary("and", r, c)
+        rest.append(r)
+    or_part = rest[0]
+    for r in rest[1:]:
+        or_part = ast.Binary("or", or_part, r)
+    return [c for c in sets[0] if c in common] + [or_part]
 
 
 def _unwrap_column(e: ast.Expr) -> Optional[Tuple[str, str]]:
