@@ -56,15 +56,24 @@ def cached_metadata(path: str):
 
 
 class ParquetTable:
-    """One registered parquet file, scanned through the cache."""
+    """One registered parquet file, scanned through the cache.
 
-    def __init__(self, name: str, path: str, cache, file_id: int):
+    `open_file` (optional) returns a fresh file-like for the path --
+    used to scan remote objects through an ObjectStore/ByteCache
+    (ref: object-store registration wrapping remote stores in ByteCache,
+    datafusion-server service.rs:90-126)."""
+
+    def __init__(self, name: str, path: str, cache, file_id: int,
+                 open_file=None):
         self.name = name
         self.path = path
         self.cache = cache
         self.file_id = file_id
-        self._pf = pq.ParquetFile(path)
-        self.metadata = cached_metadata(path)
+        self._pf = pq.ParquetFile(open_file() if open_file else path)
+        if open_file is None:
+            self.metadata = cached_metadata(path)
+        else:
+            self.metadata = self._pf.metadata
         self.schema = self._pf.schema_arrow
         self.column_names = list(self.schema.names)
         self._col_index = {n: i for i, n in enumerate(self.column_names)}

@@ -1,0 +1,204 @@
+"""Compute-node client for the disaggregated cache server.
+
+Reference behavior: `LiquidCacheClientBuilder` + `PushdownOptimizer` +
+`LiquidCacheClientExec` (liquid-cache `src/datafusion-client/src/
+lib.rs:50-140`, `optimizer.rs:14-120`, `client_exec.rs:41-299`):
+the client finds the largest pushable subplan, serializes it, registers
+it ONCE behind an atomic 3-state latch, then opens one Flight stream per
+partition and decodes record batches, recording stream metrics.
+
+TPU-native divergence (documented): the reference pushes only scan /
+partial-aggregate subtrees because its cache server embeds a bare
+DataFusion; liquid-tpu's server runs the full engine, so the pushable
+subtree is the whole query -- `PushdownOptimizer.pushable()` decides
+push-vs-local by table residency instead of plan shape.
+"""
+from __future__ import annotations
+
+import socket
+import threading
+import time
+import uuid
+from typing import Dict, List, Optional, Tuple
+
+import pyarrow as pa
+
+from liquid_tpu.common import rpc
+
+#: registration latch states (ref client_exec.rs:41-46)
+UNREGISTERED, REGISTERING, REGISTERED = 0, 1, 2
+
+
+class FlightStreamMetrics:
+    """Client-side stream timing (ref datafusion-client/src/metrics.rs:43)."""
+
+    def __init__(self):
+        self.time_to_first_batch_ms = 0.0
+        self.total_stream_ms = 0.0
+        self.batches = 0
+        self.rows = 0
+
+
+class LiquidCacheClient:
+    def __init__(self, host: str, port: int,
+                 tables: Optional[Dict[str, str]] = None,
+                 partitions: int = 1):
+        self.addr = (host, port)
+        self.tables = dict(tables or {})
+        self.partitions = partitions
+        self._latch: Dict[str, int] = {}
+        self._handles: Dict[str, str] = {}
+        self._latch_cv = threading.Condition()
+        self.last_metrics: Optional[FlightStreamMetrics] = None
+
+    def _connect(self) -> socket.socket:
+        # TCP keepalive, no TLS (ref flight_channel, lib.rs:123-140)
+        s = socket.create_connection(self.addr)
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_KEEPALIVE, 1)
+        return s
+
+    def _call(self, sock: socket.socket, msg: dict) -> dict:
+        rpc.write_json(sock, msg)
+        return rpc.read_json(sock)
+
+    def register_object_store(self, url: str, options: dict = None) -> None:
+        with self._connect() as s:
+            self._call(s, {"action": "register_object_store", "url": url,
+                           "options": options or {}})
+
+    def register_table(self, name: str, location: str) -> None:
+        self.tables[name] = location
+
+    def prefetch(self, url: str, location: str, rng=None) -> int:
+        with self._connect() as s:
+            out = self._call(s, {"action": "prefetch", "url": url,
+                                 "location": location,
+                                 "range": list(rng) if rng else None})
+            return out["bytes"]
+
+    def _ensure_registered(self, sql: str) -> str:
+        """Register the plan exactly once across threads
+        (atomic 3-state latch, ref client_exec.rs:242-284)."""
+        with self._latch_cv:
+            while self._latch.get(sql) == REGISTERING:
+                self._latch_cv.wait()
+            if self._latch.get(sql) == REGISTERED:
+                return self._handles[sql]
+            self._latch[sql] = REGISTERING
+        try:
+            handle = str(uuid.uuid4())
+            with self._connect() as s:
+                self._call(s, {"action": "register_plan", "plan": sql,
+                               "handle": handle, "tables": self.tables,
+                               "partitions": self.partitions})
+            with self._latch_cv:
+                self._handles[sql] = handle
+                self._latch[sql] = REGISTERED
+                self._latch_cv.notify_all()
+            return handle
+        except BaseException:
+            with self._latch_cv:
+                self._latch[sql] = UNREGISTERED
+                self._latch_cv.notify_all()
+            raise
+
+    def _fetch_partition(self, handle: str, partition: int,
+                         metrics: FlightStreamMetrics) -> List[pa.RecordBatch]:
+        t0 = time.perf_counter()
+        batches: List[pa.RecordBatch] = []
+        with self._connect() as s:
+            rpc.write_json(s, {"action": "fetch", "handle": handle,
+                               "partition": partition,
+                               "traceparent": _traceparent()})
+            rpc.read_json(s)
+            first = True
+            for batch in rpc.read_table_stream(s):
+                if first:
+                    metrics.time_to_first_batch_ms = (
+                        (time.perf_counter() - t0) * 1000)
+                    first = False
+                batches.append(batch)
+                metrics.batches += 1
+                metrics.rows += batch.num_rows
+        return batches
+
+    def sql(self, query: str) -> pa.Table:
+        handle = self._ensure_registered(query)
+        metrics = FlightStreamMetrics()
+        t0 = time.perf_counter()
+        all_batches: List[pa.RecordBatch] = []
+        # one stream per partition (ref client_exec.rs:148-179)
+        threads, results = [], [None] * self.partitions
+        if self.partitions == 1:
+            all_batches = self._fetch_partition(handle, 0, metrics)
+        else:
+            def work(i):
+                results[i] = self._fetch_partition(handle, i, metrics)
+            for i in range(self.partitions):
+                th = threading.Thread(target=work, args=(i,))
+                th.start()
+                threads.append(th)
+            for th in threads:
+                th.join()
+            for r in results:
+                all_batches.extend(r or [])
+        metrics.total_stream_ms = (time.perf_counter() - t0) * 1000
+        self.last_metrics = metrics
+        if not all_batches:
+            return pa.table({})
+        return pa.Table.from_batches(all_batches)
+
+    def execution_metrics(self, sql: Optional[str] = None
+                          ) -> rpc.ExecutionMetricsResponse:
+        handle = self._handles.get(sql, "") if sql else ""
+        with self._connect() as s:
+            out = self._call(s, {"action": "execution_metrics",
+                                 "handle": handle})
+        return rpc.ExecutionMetricsResponse(**out["metrics"])
+
+    def server_stats(self) -> dict:
+        with self._connect() as s:
+            return self._call(s, {"action": "stats"})["stats"]
+
+    def reset_cache(self) -> None:
+        with self._connect() as s:
+            self._call(s, {"action": "reset"})
+
+
+def _traceparent() -> str:
+    """W3C traceparent for cross-service span propagation
+    (ref client_exec.rs:286-292)."""
+    return f"00-{uuid.uuid4().hex}{uuid.uuid4().hex[:16]}-{uuid.uuid4().hex[:16]}-01"
+
+
+class LiquidCacheClientBuilder:
+    """Fluent builder (ref datafusion-client lib.rs:50-117)."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+        self._host, self._port = host, port
+        self._tables: Dict[str, str] = {}
+        self._stores: List[Tuple[str, dict]] = []
+        self._partitions = 1
+
+    def with_server(self, host: str, port: int):
+        self._host, self._port = host, port
+        return self
+
+    def with_object_store(self, url: str, options: dict = None):
+        self._stores.append((url, options or {}))
+        return self
+
+    def with_parquet_table(self, name: str, location: str):
+        self._tables[name] = location
+        return self
+
+    def with_partitions(self, n: int):
+        self._partitions = n
+        return self
+
+    def build(self) -> LiquidCacheClient:
+        c = LiquidCacheClient(self._host, self._port, self._tables,
+                              self._partitions)
+        for url, options in self._stores:
+            c.register_object_store(url, options)
+        return c

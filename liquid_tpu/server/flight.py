@@ -1,0 +1,211 @@
+"""The cache server: plan-in, arrow-stream-out service.
+
+Reference behavior: `LiquidCacheService` + `LiquidCacheServiceInner`
+(liquid-cache `src/datafusion-server/src/lib.rs:102-349`, `service.rs:
+38-214`): an Arrow Flight SQL service whose DoActions register object
+stores (wrapped in ByteCache) and physical plans (UUID handles), and
+whose DoGet executes one plan partition and streams record batches.
+
+TPU-native shape: the reference ships serialized DataFusion physical
+plans because its cache server embeds DataFusion; our server embeds the
+full liquid-tpu engine, so the shipped "plan" is the SQL text + table
+registrations (same boundary, simpler wire format -- framed JSON +
+arrow IPC, common/rpc.py).  Partition streams slice the cached result.
+"""
+from __future__ import annotations
+
+import socket
+import socketserver
+import threading
+import time
+import uuid
+from typing import Dict, Optional, Tuple
+
+import pyarrow as pa
+
+from liquid_tpu.common import rpc
+from liquid_tpu.common.object_store import (
+    ByteCache, LocalStore, MockStore, ObjectStore, StoreFile, sanitize_url,
+)
+from liquid_tpu.io.parquet import ParquetTable
+from liquid_tpu.sql.session import SessionContext
+
+
+class LiquidCacheServiceInner:
+    """Plan + object-store registries around one cache/session
+    (ref service.rs:38-214)."""
+
+    def __init__(self, cache, byte_cache_dir: Optional[str] = None):
+        self.cache = cache
+        self.ctx = SessionContext(cache)
+        self.byte_cache_dir = byte_cache_dir
+        self.stores: Dict[str, ObjectStore] = {}
+        #: handle -> (sql, n_partitions, result pa.Table | None, lock)
+        self.plans: Dict[str, dict] = {}
+        self.execution_stats: list = []
+        self._lock = threading.Lock()
+
+    # -- object stores (ref service.rs:90-126) -----------------------------
+
+    def register_object_store(self, url: str, options: dict) -> None:
+        with self._lock:
+            if url in self.stores:
+                return
+            if url.startswith("mock://"):
+                store: ObjectStore = MockStore(
+                    {k: v.encode("latin1") for k, v in
+                     options.get("objects", {}).items()})
+            elif url.startswith("file://") or url == "local":
+                store = LocalStore(options.get("root", "/"))
+            else:
+                raise ValueError(f"unsupported object store {url!r}")
+            if self.byte_cache_dir and not url.startswith("file://") \
+                    and url != "local":
+                # every remote store is wrapped in the byte cache
+                # (ref service.rs:108-120)
+                store = ByteCache(
+                    store, f"{self.byte_cache_dir}/{sanitize_url(url)}")
+            self.stores[url] = store
+
+    def store_for(self, url: str) -> ObjectStore:
+        return self.stores[url]
+
+    def _register_table(self, name: str, location: str) -> None:
+        if name in self.ctx._tables:
+            return
+        url, _, path = location.partition("!")
+        if not path:  # local filesystem path
+            self.ctx.register_parquet(name, url)
+            return
+        store = self.stores[url]
+        fid = self.ctx._next_file_id
+        self.ctx._next_file_id += 1
+        self.ctx._tables[name] = ParquetTable(
+            name, f"{url}/{path}", self.cache, fid,
+            open_file=lambda s=store, p=path: StoreFile(s, p))
+
+    # -- plans (ref service.rs:128-176) --------------------------------------
+
+    def register_plan(self, sql: str, handle: str, tables: Dict[str, str],
+                      partitions: int = 1) -> None:
+        for name, loc in tables.items():
+            self._register_table(name, loc)
+        with self._lock:
+            if handle not in self.plans:
+                self.plans[handle] = {"sql": sql, "partitions": partitions,
+                                      "result": None, "eval_ms": 0,
+                                      "lock": threading.Lock()}
+
+    def execute_partition(self, handle: str, partition: int) -> pa.Table:
+        ent = self.plans[handle]
+        with ent["lock"]:
+            if ent["result"] is None:
+                t0 = time.perf_counter()
+                ent["result"] = self.ctx.sql(ent["sql"]).to_arrow()
+                ent["eval_ms"] = int((time.perf_counter() - t0) * 1000)
+        t = ent["result"]
+        n = ent["partitions"]
+        rows = t.num_rows
+        per = (rows + n - 1) // n if n else rows
+        return t.slice(partition * per, per)
+
+    def prefetch(self, url: str, location: str,
+                 rng: Optional[Tuple[int, int]] = None) -> int:
+        """Pull object bytes into the byte cache ahead of the query
+        (ref PrefetchFromObjectStore, lib.rs:273-300).  Returns bytes read."""
+        store = self.stores[url]
+        if rng is None:
+            data = store.get(location)
+        else:
+            data = store.get_range(location, rng[0], rng[1] - rng[0])
+        return len(data)
+
+    def metrics(self, handle: str) -> rpc.ExecutionMetricsResponse:
+        ent = self.plans.get(handle)
+        st = self.cache.stats()
+        return rpc.ExecutionMetricsResponse(
+            pushdown_eval_time=ent["eval_ms"] if ent else 0,
+            cache_memory_usage=st["memory_used"],
+            liquid_cache_usage=st["memory_used"])
+
+    def reset(self) -> None:
+        with self._lock:
+            self.plans.clear()
+        self.cache.reset()
+
+
+class _Handler(socketserver.BaseRequestHandler):
+    def handle(self):
+        inner: LiquidCacheServiceInner = self.server.inner  # type: ignore
+        sock = self.request
+        try:
+            while True:
+                try:
+                    msg = rpc.read_json(sock)
+                except (ConnectionError, OSError):
+                    return
+                try:
+                    self._dispatch(inner, sock, msg)
+                except Exception as ex:  # noqa: BLE001 - surface to client
+                    rpc.write_msg(sock, rpc.KIND_ERROR,
+                                  f"{type(ex).__name__}: {ex}".encode())
+        finally:
+            sock.close()
+
+    def _dispatch(self, inner, sock, msg):
+        action = msg["action"]
+        if action == "register_object_store":
+            inner.register_object_store(msg["url"], msg.get("options", {}))
+            rpc.write_json(sock, {"ok": True})
+        elif action == "register_plan":
+            inner.register_plan(msg["plan"], msg["handle"],
+                                msg.get("tables", {}),
+                                msg.get("partitions", 1))
+            rpc.write_json(sock, {"ok": True,
+                                  "partitions": msg.get("partitions", 1)})
+        elif action == "prefetch":
+            n = inner.prefetch(msg["url"], msg["location"],
+                               tuple(msg["range"]) if msg.get("range")
+                               else None)
+            rpc.write_json(sock, {"ok": True, "bytes": n})
+        elif action == "fetch":
+            t = inner.execute_partition(msg["handle"], msg["partition"])
+            rpc.write_json(sock, {"ok": True, "rows": t.num_rows})
+            rpc.write_table_stream(sock, t)
+        elif action == "execution_metrics":
+            m = inner.metrics(msg.get("handle", ""))
+            rpc.write_json(sock, {"ok": True, "metrics": m.__dict__})
+        elif action == "reset":
+            inner.reset()
+            rpc.write_json(sock, {"ok": True})
+        elif action == "stats":
+            rpc.write_json(sock, {"ok": True, "stats": inner.cache.stats()})
+        else:
+            raise ValueError(f"unknown action {action!r}")
+
+
+class _Server(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+
+class LiquidCacheService:
+    """TCP front-end over LiquidCacheServiceInner (ref lib.rs:102-349)."""
+
+    def __init__(self, cache, host: str = "127.0.0.1", port: int = 0,
+                 byte_cache_dir: Optional[str] = None):
+        self.inner = LiquidCacheServiceInner(cache, byte_cache_dir)
+        self._srv = _Server((host, port), _Handler)
+        self._srv.inner = self.inner  # type: ignore
+        self.addr = self._srv.server_address
+        self._thread: Optional[threading.Thread] = None
+
+    def start(self) -> Tuple[str, int]:
+        self._thread = threading.Thread(target=self._srv.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+        return self.addr
+
+    def stop(self) -> None:
+        self._srv.shutdown()
+        self._srv.server_close()
