@@ -214,6 +214,12 @@ class Evaluator:
         if isinstance(r, ast.Interval):
             return _date_arith(l, r, op)
         l, r = _coerce(l, r)
+        if _is_null_typed(l) or _is_null_typed(r):
+            # NULL literal operand (e.g. empty scalar subquery): SQL
+            # comparisons/arithmetic with NULL are NULL
+            return pa.nulls(self.b.length, pa.bool_()
+                            if op in ("=", "<>", "<", "<=", ">", ">=")
+                            else pa.float64())
         fns = {"+": pc.add_checked, "-": pc.subtract_checked,
                "*": pc.multiply_checked, "/": _divide, "%": _modulo,
                "=": pc.equal, "<>": pc.not_equal, "<": pc.less,
@@ -366,6 +372,11 @@ class Evaluator:
                 return v.field(idx)
         docs = vlib.parse_docs(v)
         return vlib.extract_paths(docs, [(path, type_name)]).field(0)
+
+
+def _is_null_typed(v) -> bool:
+    t = getattr(v, "type", None)
+    return t is not None and pa.types.is_null(t)
 
 
 def _is_float(v) -> bool:
