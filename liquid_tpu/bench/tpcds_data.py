@@ -1,0 +1,252 @@
+"""Deterministic TPC-DS data generator (core-table subset).
+
+Equivalent role to the reference's TPC-DS data (liquid-cache
+`benchmark/tpcds/manifest.json` + `tpcds_gen.py` which shells out to
+duckdb's dsdgen; unavailable here, so we generate spec-shaped tables
+directly).  Covers the 12 tables the shipped query subset touches:
+store_sales, catalog_sales, web_sales, store_returns, date_dim,
+time_dim, item, customer, customer_address, customer_demographics,
+household_demographics, store.
+
+Correctness of query answers is verified DIFFERENTIALLY (engine vs
+pandas on the same data) plus a dual-path self-check, so official dsdgen
+bytes are not required -- deterministic, realistically-distributed data
+is.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+CATEGORIES = ["Books", "Home", "Electronics", "Jewelry", "Men", "Music",
+              "Shoes", "Sports", "Children", "Women"]
+STATES = ["AL", "CA", "GA", "IL", "IN", "KS", "KY", "MI", "MN", "MO",
+          "NC", "NY", "OH", "TN", "TX", "VA", "WA", "WI"]
+COUNTIES = [f"{w} County" for w in
+            ["Ziebach", "Walker", "Williamson", "Franklin", "Fairfield",
+             "Bronx", "Orange", "Daviess", "Barrow", "Luce"]]
+EDUCATION = ["Primary", "Secondary", "College", "2 yr Degree", "4 yr Degree",
+             "Advanced Degree", "Unknown"]
+MARITAL = ["M", "S", "D", "W", "U"]
+GENDER = ["M", "F"]
+CREDIT = ["Low Risk", "High Risk", "Good", "Unknown"]
+BUY_POTENTIAL = [">10000", "5001-10000", "1001-5000", "501-1000",
+                 "0-500", "Unknown"]
+
+
+def _money(rng, n, lo, hi):
+    return np.round(rng.uniform(lo, hi, n), 2)
+
+
+def generate(sf: float = 0.01, seed: int = 20030101) -> Dict[str, pa.Table]:
+    rng = np.random.default_rng(seed)
+    n_item = max(200, int(18_000 * sf))
+    n_cust = max(500, int(100_000 * sf))
+    n_store = max(4, int(12 * max(sf, 0.1)))
+    # floors keep selective official parameters (manager/moy/year bands)
+    # non-empty even at tiny scale factors
+    n_ss = max(60_000, int(2_880_000 * sf))
+    n_cs = max(30_000, int(1_440_000 * sf))
+    n_ws = max(15_000, int(720_000 * sf))
+    n_ca = n_cust
+    n_cd = 1000
+    n_hd = 200
+
+    # date_dim: 1998-01-01 .. 2003-12-31 (dbgen uses 1900..2100; queries
+    # live in 1998-2002)
+    dates = np.arange(np.datetime64("1998-01-01"), np.datetime64("2004-01-01"))
+    nd = len(dates)
+    d_sk = np.arange(1, nd + 1)
+    d_date = dates.astype("datetime64[D]")
+    yy = d_date.astype("datetime64[Y]").astype(int) + 1970
+    mm = d_date.astype("datetime64[M]").astype(int) % 12 + 1
+    dow = (d_date.astype("datetime64[D]").view("int64") + 4) % 7
+    dom = (d_date - d_date.astype("datetime64[M]")).astype(int) + 1
+    qoy = (mm - 1) // 3 + 1
+    date_dim = pa.table({
+        "d_date_sk": pa.array(d_sk, pa.int64()),
+        "d_date": pa.array(d_date.astype(object)),
+        "d_year": pa.array(yy.astype(np.int64)),
+        "d_moy": pa.array(mm.astype(np.int64)),
+        "d_dom": pa.array(dom.astype(np.int64)),
+        "d_dow": pa.array(dow.astype(np.int64)),
+        "d_qoy": pa.array(qoy.astype(np.int64)),
+        "d_month_seq": pa.array(((yy - 1998) * 12 + mm - 1).astype(np.int64)),
+        "d_day_name": pa.array(np.array(
+            ["Sunday", "Monday", "Tuesday", "Wednesday", "Thursday",
+             "Friday", "Saturday"])[dow.astype(int)]),
+    })
+
+    time_dim = pa.table({
+        "t_time_sk": pa.array(np.arange(86400, dtype=np.int64)),
+        "t_hour": pa.array((np.arange(86400) // 3600).astype(np.int64)),
+        "t_minute": pa.array((np.arange(86400) % 3600 // 60).astype(np.int64)),
+    })
+
+    i_cat = rng.choice(CATEGORIES, n_item)
+    item = pa.table({
+        "i_item_sk": pa.array(np.arange(1, n_item + 1), pa.int64()),
+        "i_item_id": pa.array([f"AAAAAAAA{i:08d}" for i in range(1, n_item + 1)]),
+        "i_item_desc": pa.array([f"item desc {i}" for i in range(1, n_item + 1)]),
+        "i_category": pa.array(i_cat),
+        "i_class": pa.array([f"{c[:4].lower()}class{rng.integers(1, 8)}"
+                             for c in i_cat]),
+        "i_brand": pa.array([f"brand#{rng.integers(1, 100)}"
+                             for _ in range(n_item)]),
+        "i_brand_id": pa.array(rng.integers(1000001, 10016017, n_item), pa.int64()),
+        "i_manufact_id": pa.array(
+            (np.arange(n_item) % 1000 + 1).astype(np.int64)),
+        "i_manager_id": pa.array(
+            (np.arange(n_item) % 100 + 1).astype(np.int64)),
+        "i_current_price": pa.array(_money(rng, n_item, 0.5, 100.0)),
+        "i_wholesale_cost": pa.array(_money(rng, n_item, 0.3, 70.0)),
+    })
+
+    customer_address = pa.table({
+        "ca_address_sk": pa.array(np.arange(1, n_ca + 1), pa.int64()),
+        "ca_state": pa.array(rng.choice(STATES, n_ca)),
+        "ca_county": pa.array(rng.choice(COUNTIES, n_ca)),
+        "ca_city": pa.array([f"city{rng.integers(1, 200)}" for _ in range(n_ca)]),
+        "ca_country": pa.array(np.full(n_ca, "United States")),
+        "ca_zip": pa.array([f"{rng.integers(10000, 99999)}" for _ in range(n_ca)]),
+        "ca_gmt_offset": pa.array(rng.choice([-5.0, -6.0, -7.0, -8.0], n_ca)),
+    })
+
+    customer_demographics = pa.table({
+        "cd_demo_sk": pa.array(np.arange(1, n_cd + 1), pa.int64()),
+        "cd_gender": pa.array(rng.choice(GENDER, n_cd)),
+        "cd_marital_status": pa.array(rng.choice(MARITAL, n_cd)),
+        "cd_education_status": pa.array(rng.choice(EDUCATION, n_cd)),
+        "cd_credit_rating": pa.array(rng.choice(CREDIT, n_cd)),
+        "cd_dep_count": pa.array(rng.integers(0, 7, n_cd), pa.int64()),
+    })
+
+    household_demographics = pa.table({
+        "hd_demo_sk": pa.array(np.arange(1, n_hd + 1), pa.int64()),
+        "hd_buy_potential": pa.array(rng.choice(BUY_POTENTIAL, n_hd)),
+        "hd_dep_count": pa.array(rng.integers(0, 10, n_hd), pa.int64()),
+        "hd_vehicle_count": pa.array(rng.integers(-1, 5, n_hd), pa.int64()),
+    })
+
+    customer = pa.table({
+        "c_customer_sk": pa.array(np.arange(1, n_cust + 1), pa.int64()),
+        "c_customer_id": pa.array([f"CUST{i:012d}" for i in range(1, n_cust + 1)]),
+        "c_first_name": pa.array([f"First{i % 500}" for i in range(n_cust)]),
+        "c_last_name": pa.array([f"Last{i % 700}" for i in range(n_cust)]),
+        "c_current_addr_sk": pa.array(rng.integers(1, n_ca + 1, n_cust), pa.int64()),
+        "c_current_cdemo_sk": pa.array(rng.integers(1, n_cd + 1, n_cust), pa.int64()),
+        "c_current_hdemo_sk": pa.array(rng.integers(1, n_hd + 1, n_cust), pa.int64()),
+        "c_birth_country": pa.array(rng.choice(
+            ["UNITED STATES", "CANADA", "MEXICO", "GERMANY", "JAPAN"], n_cust)),
+    })
+
+    store = pa.table({
+        "s_store_sk": pa.array(np.arange(1, n_store + 1), pa.int64()),
+        "s_store_id": pa.array([f"ST{i:06d}" for i in range(1, n_store + 1)]),
+        "s_store_name": pa.array([f"store {chr(96 + i)}"
+                                  for i in range(1, n_store + 1)]),
+        "s_state": pa.array(rng.choice(STATES[:6], n_store)),
+        "s_county": pa.array([COUNTIES[i % len(COUNTIES)]
+                              for i in range(n_store)]),
+        "s_city": pa.array([f"city{i}" for i in range(1, n_store + 1)]),
+        "s_number_employees": pa.array(rng.integers(200, 301, n_store), pa.int64()),
+        "s_gmt_offset": pa.array(rng.choice([-5.0, -6.0], n_store)),
+    })
+
+    def sales(n, prefix, with_store=False, seed_off=0):
+        r = np.random.default_rng(seed + 7 + seed_off)
+        sold_date = r.integers(1, nd + 1, n)
+        qty = r.integers(1, 101, n).astype(np.float64)
+        wholesale = _money(r, n, 1.0, 100.0)
+        list_price = np.round(wholesale * r.uniform(1.0, 2.5, n), 2)
+        sales_price = np.round(list_price * r.uniform(0.2, 1.0, n), 2)
+        discount = np.round((list_price - sales_price) * qty, 2)
+        ext_sales = np.round(sales_price * qty, 2)
+        ext_list = np.round(list_price * qty, 2)
+        ext_wholesale = np.round(wholesale * qty, 2)
+        coupon = np.where(r.random(n) < 0.1, np.round(ext_sales * 0.1, 2), 0.0)
+        net_paid = np.round(ext_sales - coupon, 2)
+        net_profit = np.round(net_paid - ext_wholesale, 2)
+        cols = {
+            f"{prefix}_sold_date_sk": pa.array(sold_date, pa.int64()),
+            f"{prefix}_sold_time_sk": pa.array(
+                r.integers(0, 86400, n), pa.int64()),
+            f"{prefix}_item_sk": pa.array(r.integers(1, n_item + 1, n), pa.int64()),
+            f"{prefix}_customer_sk": pa.array(
+                r.integers(1, n_cust + 1, n), pa.int64()),
+            f"{prefix}_cdemo_sk": pa.array(r.integers(1, n_cd + 1, n), pa.int64()),
+            f"{prefix}_hdemo_sk": pa.array(r.integers(1, n_hd + 1, n), pa.int64()),
+            f"{prefix}_addr_sk": pa.array(r.integers(1, n_ca + 1, n), pa.int64()),
+            f"{prefix}_ticket_number" if prefix == "ss" else
+            f"{prefix}_order_number": pa.array(
+                np.arange(1, n + 1), pa.int64()),
+            f"{prefix}_quantity": pa.array(qty),
+            f"{prefix}_wholesale_cost": pa.array(wholesale),
+            f"{prefix}_list_price": pa.array(list_price),
+            f"{prefix}_sales_price": pa.array(sales_price),
+            f"{prefix}_ext_discount_amt": pa.array(discount),
+            f"{prefix}_ext_sales_price": pa.array(ext_sales),
+            f"{prefix}_ext_list_price": pa.array(ext_list),
+            f"{prefix}_ext_wholesale_cost": pa.array(ext_wholesale),
+            f"{prefix}_coupon_amt": pa.array(coupon),
+            f"{prefix}_net_paid": pa.array(net_paid),
+            f"{prefix}_net_profit": pa.array(net_profit),
+            f"{prefix}_promo_sk": pa.array(r.integers(1, 31, n), pa.int64()),
+        }
+        if with_store:
+            cols["ss_store_sk"] = pa.array(
+                r.integers(1, n_store + 1, n), pa.int64())
+        return pa.table(cols)
+
+    n_promo = 30
+    promotion = pa.table({
+        "p_promo_sk": pa.array(np.arange(1, n_promo + 1), pa.int64()),
+        "p_promo_id": pa.array([f"PROMO{i:08d}" for i in range(1, n_promo + 1)]),
+        "p_channel_email": pa.array(rng.choice(["Y", "N"], n_promo)),
+        "p_channel_event": pa.array(rng.choice(["Y", "N"], n_promo)),
+        "p_channel_tv": pa.array(rng.choice(["Y", "N"], n_promo)),
+    })
+
+    store_sales = sales(n_ss, "ss", with_store=True)
+    catalog_sales = sales(n_cs, "cs", seed_off=1)
+    web_sales = sales(n_ws, "ws", seed_off=2)
+
+    # store_returns: ~10% of store_sales tickets
+    r = np.random.default_rng(seed + 99)
+    n_sr = n_ss // 10
+    ret_idx = r.choice(n_ss, n_sr, replace=False)
+    ss_item = np.asarray(store_sales.column("ss_item_sk"))
+    ss_cust = np.asarray(store_sales.column("ss_customer_sk"))
+    ss_ticket = np.asarray(store_sales.column("ss_ticket_number"))
+    store_returns = pa.table({
+        "sr_returned_date_sk": pa.array(r.integers(1, nd + 1, n_sr), pa.int64()),
+        "sr_item_sk": pa.array(ss_item[ret_idx], pa.int64()),
+        "sr_customer_sk": pa.array(ss_cust[ret_idx], pa.int64()),
+        "sr_ticket_number": pa.array(ss_ticket[ret_idx], pa.int64()),
+        "sr_return_quantity": pa.array(r.integers(1, 50, n_sr), pa.int64()),
+        "sr_return_amt": pa.array(_money(r, n_sr, 1.0, 2000.0)),
+    })
+
+    return {
+        "date_dim": date_dim, "time_dim": time_dim, "item": item,
+        "customer": customer, "customer_address": customer_address,
+        "customer_demographics": customer_demographics,
+        "household_demographics": household_demographics, "store": store,
+        "promotion": promotion,
+        "store_sales": store_sales, "catalog_sales": catalog_sales,
+        "web_sales": web_sales, "store_returns": store_returns,
+    }
+
+
+def write_parquet(tables: Dict[str, pa.Table], out_dir: str) -> Dict[str, str]:
+    os.makedirs(out_dir, exist_ok=True)
+    paths = {}
+    for name, t in tables.items():
+        p = os.path.join(out_dir, f"{name}.parquet")
+        pq.write_table(t, p, row_group_size=1 << 16)
+        paths[name] = p
+    return paths

@@ -1,0 +1,241 @@
+"""Independent pandas implementations of the TPC-DS query subset
+(differential oracle, same role as tpch_ref.py; the reference verifies
+TPC-DS against DataFusion answers, liquid-cache `tpcds_client.rs`)."""
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+import pandas as pd
+
+
+def q3(t):
+    j = (t["date_dim"].merge(t["store_sales"], left_on="d_date_sk",
+                             right_on="ss_sold_date_sk")
+         .merge(t["item"], left_on="ss_item_sk", right_on="i_item_sk"))
+    j = j[(j.i_manufact_id == 128) & (j.d_moy == 11)]
+    g = j.groupby(["d_year", "i_brand_id", "i_brand"], as_index=False
+                  ).ss_ext_sales_price.sum()
+    g.columns = ["d_year", "brand_id", "brand", "sum_agg"]
+    g = g.sort_values(["d_year", "sum_agg", "brand_id"],
+                      ascending=[True, False, True])
+    return g.head(100).reset_index(drop=True)
+
+
+def _q7_like(t, fact, pfx):
+    j = (t[fact]
+         .merge(t["date_dim"], left_on=f"{pfx}_sold_date_sk",
+                right_on="d_date_sk")
+         .merge(t["item"], left_on=f"{pfx}_item_sk", right_on="i_item_sk")
+         .merge(t["customer_demographics"], left_on=f"{pfx}_cdemo_sk",
+                right_on="cd_demo_sk")
+         .merge(t["promotion"], left_on=f"{pfx}_promo_sk",
+                right_on="p_promo_sk"))
+    j = j[(j.cd_gender == "M") & (j.cd_marital_status == "S")
+          & (j.cd_education_status == "College")
+          & ((j.p_channel_email == "N") | (j.p_channel_event == "N"))
+          & (j.d_year == 2000)]
+    g = j.groupby("i_item_id", as_index=False).agg(
+        agg1=(f"{pfx}_quantity", "mean"), agg2=(f"{pfx}_list_price", "mean"),
+        agg3=(f"{pfx}_coupon_amt", "mean"), agg4=(f"{pfx}_sales_price", "mean"))
+    return g.sort_values("i_item_id").head(100).reset_index(drop=True)
+
+
+def q7(t):
+    return _q7_like(t, "store_sales", "ss")
+
+
+def q26(t):
+    return _q7_like(t, "catalog_sales", "cs")
+
+
+def q13(t):
+    j = (t["store_sales"]
+         .merge(t["store"], left_on="ss_store_sk", right_on="s_store_sk")
+         .merge(t["date_dim"], left_on="ss_sold_date_sk", right_on="d_date_sk")
+         .merge(t["customer_demographics"], left_on="ss_cdemo_sk",
+                right_on="cd_demo_sk")
+         .merge(t["household_demographics"], left_on="ss_hdemo_sk",
+                right_on="hd_demo_sk")
+         .merge(t["customer_address"], left_on="ss_addr_sk",
+                right_on="ca_address_sk"))
+    j = j[j.d_year == 2001]
+    m1 = (((j.cd_marital_status == "M")
+           & (j.cd_education_status == "Advanced Degree")
+           & j.ss_sales_price.between(100.0, 150.0) & (j.hd_dep_count == 3))
+          | ((j.cd_marital_status == "S")
+             & (j.cd_education_status == "College")
+             & j.ss_sales_price.between(50.0, 100.0) & (j.hd_dep_count == 1))
+          | ((j.cd_marital_status == "W")
+             & (j.cd_education_status == "2 yr Degree")
+             & j.ss_sales_price.between(150.0, 200.0) & (j.hd_dep_count == 1)))
+    m2 = ((j.ca_country == "United States")
+          & ((j.ca_state.isin(["TX", "OH"]) & j.ss_net_profit.between(100, 200))
+             | (j.ca_state.isin(["OR", "NM", "KY"])
+                & j.ss_net_profit.between(150, 300))
+             | (j.ca_state.isin(["VA", "TX", "MS"])
+                & j.ss_net_profit.between(50, 250))))
+    d = j[m1 & m2]
+    if not len(d):
+        return pd.DataFrame({"a1": [np.nan], "a2": [np.nan],
+                             "a3": [np.nan], "a4": [np.nan]})
+    return pd.DataFrame({
+        "a1": [d.ss_quantity.mean()], "a2": [d.ss_ext_sales_price.mean()],
+        "a3": [d.ss_ext_wholesale_cost.mean()],
+        "a4": [d.ss_ext_wholesale_cost.sum()]})
+
+
+def q19(t):
+    j = (t["date_dim"].merge(t["store_sales"], left_on="d_date_sk",
+                             right_on="ss_sold_date_sk")
+         .merge(t["item"], left_on="ss_item_sk", right_on="i_item_sk")
+         .merge(t["customer"], left_on="ss_customer_sk",
+                right_on="c_customer_sk")
+         .merge(t["customer_address"], left_on="c_current_addr_sk",
+                right_on="ca_address_sk")
+         .merge(t["store"], left_on="ss_store_sk", right_on="s_store_sk"))
+    j = j[(j.i_manager_id == 8) & (j.d_moy == 11) & (j.d_year == 1998)
+          & (j.ca_zip.str[:5] != j.s_city.str[:5])]
+    g = j.groupby(["i_brand_id", "i_brand", "i_manufact_id"],
+                  as_index=False).ss_ext_sales_price.sum()
+    g.columns = ["brand_id", "brand", "i_manufact_id", "ext_price"]
+    g = g.sort_values(["ext_price", "brand_id", "i_manufact_id"],
+                      ascending=[False, True, True])
+    return g.head(100).reset_index(drop=True)
+
+
+def _brand_agg(t, manager, year, moy, with_year=True, order_in_year=True):
+    j = (t["date_dim"].merge(t["store_sales"], left_on="d_date_sk",
+                             right_on="ss_sold_date_sk")
+         .merge(t["item"], left_on="ss_item_sk", right_on="i_item_sk"))
+    j = j[(j.i_manager_id == manager) & (j.d_moy == moy)]
+    if year is not None:
+        j = j[j.d_year == year]
+    keys = (["d_year", "i_brand_id", "i_brand"] if with_year
+            else ["i_brand_id", "i_brand"])
+    g = j.groupby(keys, as_index=False).ss_ext_sales_price.sum()
+    return g
+
+
+def q42(t):
+    j = (t["date_dim"].merge(t["store_sales"], left_on="d_date_sk",
+                             right_on="ss_sold_date_sk")
+         .merge(t["item"], left_on="ss_item_sk", right_on="i_item_sk"))
+    j = j[(j.i_manager_id == 1) & (j.d_moy == 11) & (j.d_year == 2000)]
+    g = j.groupby(["d_year", "i_category"], as_index=False
+                  ).ss_ext_sales_price.sum()
+    g.columns = ["d_year", "i_category", "total_sales"]
+    g = g.sort_values(["total_sales", "d_year", "i_category"],
+                      ascending=[False, True, True])
+    return g.head(100).reset_index(drop=True)
+
+
+def q43(t):
+    j = (t["date_dim"].merge(t["store_sales"], left_on="d_date_sk",
+                             right_on="ss_sold_date_sk")
+         .merge(t["store"], left_on="ss_store_sk", right_on="s_store_sk"))
+    j = j[(j.s_gmt_offset == -5) & (j.d_year == 2000)].copy()
+    for day, col in [("Sunday", "sun_sales"), ("Monday", "mon_sales"),
+                     ("Friday", "fri_sales"), ("Saturday", "sat_sales")]:
+        j[col] = np.where(j.d_day_name == day, j.ss_sales_price, np.nan)
+    g = j.groupby(["s_store_name", "s_store_id"], as_index=False).agg(
+        sun_sales=("sun_sales", "sum"), mon_sales=("mon_sales", "sum"),
+        fri_sales=("fri_sales", "sum"), sat_sales=("sat_sales", "sum"))
+    return g.sort_values(["s_store_name", "s_store_id"]).head(100
+                                                              ).reset_index(drop=True)
+
+
+def q52(t):
+    g = _brand_agg(t, manager=1, year=2000, moy=11)
+    g.columns = ["d_year", "brand_id", "brand", "ext_price"]
+    g = g[["d_year", "brand_id", "brand", "ext_price"]]
+    g = g.sort_values(["d_year", "ext_price", "brand_id"],
+                      ascending=[True, False, True])
+    return g.head(100).reset_index(drop=True)
+
+
+def q55(t):
+    g = _brand_agg(t, manager=28, year=1999, moy=11, with_year=False)
+    g.columns = ["brand_id", "brand", "ext_price"]
+    g = g.sort_values(["ext_price", "brand_id"], ascending=[False, True])
+    return g.head(100).reset_index(drop=True)
+
+
+def q73(t):
+    j = (t["store_sales"]
+         .merge(t["date_dim"], left_on="ss_sold_date_sk", right_on="d_date_sk")
+         .merge(t["store"], left_on="ss_store_sk", right_on="s_store_sk")
+         .merge(t["household_demographics"], left_on="ss_hdemo_sk",
+                right_on="hd_demo_sk"))
+    j = j[j.d_dom.between(1, 2)
+          & j.hd_buy_potential.isin([">10000", "Unknown"])
+          & (j.hd_vehicle_count > 0)
+          & j.d_year.isin([1999, 2000, 2001])
+          & j.s_county.isin(["Williamson County", "Franklin County",
+                             "Bronx County", "Orange County"])]
+    g = j.groupby(["ss_ticket_number", "ss_customer_sk"],
+                  as_index=False).size().rename(columns={"size": "cnt"})
+    g = g[g.cnt.between(1, 5)]
+    out = g.merge(t["customer"], left_on="ss_customer_sk",
+                  right_on="c_customer_sk")
+    out = out[["c_last_name", "c_first_name", "c_customer_sk",
+               "ss_ticket_number", "cnt"]]
+    out.columns = ["c_last_name", "c_first_name", "c_salutation",
+                   "ss_ticket_number", "cnt"]
+    out = out.sort_values(["cnt", "c_last_name", "ss_ticket_number"],
+                          ascending=[False, True, True])
+    return out.head(1000).reset_index(drop=True)
+
+
+def q90(t):
+    def cnt(h0, h1):
+        j = (t["web_sales"]
+             .merge(t["time_dim"], left_on="ws_sold_time_sk",
+                    right_on="t_time_sk")
+             .merge(t["household_demographics"], left_on="ws_hdemo_sk",
+                    right_on="hd_demo_sk"))
+        return len(j[(j.t_hour.between(h0, h1)) & (j.hd_dep_count == 6)])
+    amc, pmc = cnt(8, 9), cnt(19, 20)
+    ratio = float(amc) / float(pmc) if pmc else np.nan
+    return pd.DataFrame({"am_pm_ratio": [ratio]})
+
+
+def q93(t):
+    ss, sr = t["store_sales"], t["store_returns"]
+    j = ss.merge(sr, how="left",
+                 left_on=["ss_item_sk", "ss_ticket_number"],
+                 right_on=["sr_item_sk", "sr_ticket_number"])
+    act = np.where(j.sr_return_quantity.notna(),
+                   (j.ss_quantity - j.sr_return_quantity) * j.ss_sales_price,
+                   j.ss_quantity * j.ss_sales_price)
+    g = pd.DataFrame({"ss_customer_sk": j.ss_customer_sk, "act_sales": act})
+    g = g.groupby("ss_customer_sk", as_index=False).act_sales.sum().rename(
+        columns={"act_sales": "sumsales"})
+    g = g.sort_values(["sumsales", "ss_customer_sk"], ascending=[False, True])
+    return g.head(100).reset_index(drop=True)
+
+
+def q96(t):
+    j = (t["store_sales"]
+         .merge(t["time_dim"], left_on="ss_sold_time_sk", right_on="t_time_sk")
+         .merge(t["household_demographics"], left_on="ss_hdemo_sk",
+                right_on="hd_demo_sk")
+         .merge(t["store"], left_on="ss_store_sk", right_on="s_store_sk"))
+    n = len(j[(j.t_hour == 20) & (j.t_minute >= 30) & (j.hd_dep_count == 7)
+              & (j.s_store_name == "store a")])
+    return pd.DataFrame({"cnt": [n]})
+
+
+REFS = {i: globals()[f"q{i}"] for i in
+        (3, 7, 13, 19, 26, 42, 43, 52, 55, 73, 90, 93, 96)}
+
+
+def to_pandas_tables(tables) -> Dict[str, pd.DataFrame]:
+    out = {}
+    for name, tt in tables.items():
+        df = tt.to_pandas()
+        for col in df.columns:
+            if tt.schema.field(col).type == "date32[day]":
+                df[col] = pd.to_datetime(df[col])
+        out[name] = df
+    return out

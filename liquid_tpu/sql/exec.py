@@ -317,6 +317,8 @@ class QueryExecutor:
                 residual.remove(e)
             lkeys = [p[0] for p in pairs]
             rkeys = [p[1] for p in pairs]
+            cur = _fix_null_keys(cur, lkeys, comp, rkeys)
+            comp = _fix_null_keys(comp, rkeys, cur, lkeys)
             cur = cur.join(comp, keys=lkeys, right_keys=rkeys,
                            join_type="inner")
             # arrow drops right-side key columns; later equalities or
@@ -362,6 +364,8 @@ class QueryExecutor:
         rkeys = [p[1] for p in eq_pairs]
         jt = {"inner": "inner", "left": "left outer", "right": "right outer",
               "full": "full outer"}[rel.kind]
+        left = _fix_null_keys(left, lkeys, right, rkeys)
+        right = _fix_null_keys(right, rkeys, left, lkeys)
         out = left.join(right, keys=lkeys, right_keys=rkeys, join_type=jt)
         # arrow drops right-side keys; re-add under their own names if needed
         for lk, rk in eq_pairs:
@@ -812,6 +816,22 @@ class QueryExecutor:
         t = self.execute(inner_q)
         return ast.CorrLookup(keys=tuple(keys), key_cols=tuple(inner_keys),
                               kind="scalar", table=t)
+
+
+def _fix_null_keys(t: pa.Table, keys: List[str],
+                   other: pa.Table, other_keys: List[str]) -> pa.Table:
+    """An empty relation can carry null-typed key columns (schema unknown
+    at zero rows); arrow joins reject null keys, so cast them to the
+    other side's type."""
+    for k, ok in zip(keys, other_keys):
+        if k in t.column_names and pa.types.is_null(t.column(k).type):
+            target = (other.column(ok).type
+                      if ok in other.column_names else pa.int64())
+            if pa.types.is_null(target):
+                target = pa.int64()
+            idx = t.column_names.index(k)
+            t = t.set_column(idx, k, t.column(k).cast(target))
+    return t
 
 
 def _and_all(exprs: List[ast.Expr]) -> Optional[ast.Expr]:
