@@ -9,7 +9,8 @@ import sys
 import tempfile
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax
+jax.config.update("jax_platforms", "cpu")  # the env var is ignored under the axon plugin
 
 import numpy as np  # noqa: E402
 import pyarrow as pa  # noqa: E402

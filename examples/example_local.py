@@ -8,7 +8,8 @@ import sys
 import tempfile
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax
+jax.config.update("jax_platforms", "cpu")  # the env var is ignored under the axon plugin
 
 from liquid_tpu.cache import LiquidPolicy, TranscodeSqueezeEvict  # noqa: E402
 from liquid_tpu.sql.session import LiquidCacheLocalBuilder  # noqa: E402

@@ -27,8 +27,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 SUBL = 8
-# words per grid step (per-plane): 64KB/plane at 4096 words
-TILE_WORDS = 4096
+# words per grid step (per-plane): 64KB/plane tile
+TILE_WORDS = 16384
 
 
 def _interpret() -> bool:
@@ -40,6 +40,25 @@ def _cb_vector(c, width: int) -> jax.Array:
     c = jnp.asarray(c).astype(jnp.uint64)
     bits = (c >> jnp.arange(width, dtype=jnp.uint64)) & jnp.uint64(1)
     return jnp.where(bits != 0, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+
+
+
+def prep(planes: jax.Array) -> jax.Array:
+    """[width, W] planes -> pallas-ready [width, Wp/LANES, LANES] tiles
+    (padded to TILE_WORDS).  Do this ONCE per stored column: reshaping a
+    2D operand at every pallas_call costs a relayout copy across the
+    Mosaic boundary (measured 8x off roofline; see count_gt)."""
+    width, w_words = planes.shape
+    pad = (-w_words) % TILE_WORDS
+    p = planes if pad == 0 else jnp.pad(planes, ((0, 0), (0, pad)))
+    return p.reshape(width, (w_words + pad) // LANES, LANES)
+
+
+def _as_tiles(planes):
+    """-> (p3, w_words): accept either flat [w, W] or prepared tiles."""
+    if planes.ndim == 3:
+        return planes, planes.shape[1] * LANES
+    return prep(planes), planes.shape[1]
 
 
 def _cmp_kernel(cb_ref, planes_ref, lt_ref, eq_ref):
@@ -59,43 +78,44 @@ def _cmp_kernel(cb_ref, planes_ref, lt_ref, eq_ref):
 def cmp_const_planes(planes: jax.Array, c, interpret: bool | None = None):
     """planes uint32[width, W] (W % TILE_WORDS == 0 after padding), traced
     scalar c -> (lt, eq) packed uint32[W]."""
-    width, w_words = planes.shape
+    width = planes.shape[0]
     if width == 0:
-        n = w_words
+        n = planes.shape[1] if planes.ndim == 2 else planes.shape[1] * LANES
         full = jnp.full((n,), jnp.uint32(0xFFFFFFFF))
         zero = jnp.zeros((n,), jnp.uint32)
         c64 = jnp.asarray(c).astype(jnp.uint64)
         over = jnp.where(c64 != 0, full, zero)
         return over, jnp.where(c64 != 0, zero, full)
     interp = _interpret() if interpret is None else interpret
-    pad = (-w_words) % TILE_WORDS
-    p = jnp.pad(planes, ((0, 0), (0, pad)))
-    wpad = w_words + pad
-    p3 = p.reshape(width, wpad // LANES, LANES)
+    p3, w_words = _as_tiles(planes)
+    wpad = p3.shape[1] * LANES
     cb = _cb_vector(c, width)
     grid = (wpad // TILE_WORDS,)
     tw = TILE_WORDS // LANES
-    lt, eq = pl.pallas_call(
-        _cmp_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((width, 1), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((width, tw, LANES), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((tw, LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tw, LANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((wpad // LANES, LANES), jnp.uint32),
-            jax.ShapeDtypeStruct((wpad // LANES, LANES), jnp.uint32),
-        ],
-        interpret=interp,
-    )(cb.reshape(width, 1), p3)
+    with jax.enable_x64(False):
+        # Mosaic cannot legalize the i64 scalars x64 mode gives the
+        # BlockSpec index maps (PERF_NOTES.md); the kernel is 32-bit pure
+        lt, eq = pl.pallas_call(
+            _cmp_kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((width, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((width, tw, LANES), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((tw, LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tw, LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((wpad // LANES, LANES), jnp.uint32),
+                jax.ShapeDtypeStruct((wpad // LANES, LANES), jnp.uint32),
+            ],
+            interpret=interp,
+        )(cb.reshape(width, 1), p3)
     lt = lt.reshape(-1)[:w_words]
     eq = eq.reshape(-1)[:w_words]
     # constant bits above the stored width
@@ -133,36 +153,35 @@ def _cmp_count_kernel(cb_ref, planes_ref, out_ref):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def count_gt(planes: jax.Array, c, interpret: bool | None = None) -> jax.Array:
     """Fused: number of rows with value > c (packed domain)."""
-    width, w_words = planes.shape
+    width = planes.shape[0]
     if width == 0:
         return jnp.int32(0)
     interp = _interpret() if interpret is None else interpret
-    pad = (-w_words) % TILE_WORDS
-    p = jnp.pad(planes, ((0, 0), (0, pad)))
-    wpad = w_words + pad
-    p3 = p.reshape(width, wpad // LANES, LANES)
+    p3, w_words = _as_tiles(planes)
+    wpad = p3.shape[1] * LANES
     cb = _cb_vector(c, width)
     grid = (wpad // TILE_WORDS,)
     tw = TILE_WORDS // LANES
-    partials = pl.pallas_call(
-        _cmp_count_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((width, 1), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((width, tw, LANES), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((SUBL, LANES), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((SUBL, LANES), jnp.int32),
-        interpret=interp,
-    )(cb.reshape(width, 1), p3)
+    with jax.enable_x64(False):
+        partials = pl.pallas_call(
+            _cmp_count_kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((width, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((width, tw, LANES), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((SUBL, LANES), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((SUBL, LANES), jnp.int32),
+            interpret=interp,
+        )(cb.reshape(width, 1), p3)
     total = partials.sum(dtype=jnp.int32)
     if width < 64:
         # c has bits above the stored width: no value can exceed it
         c64 = jnp.asarray(c).astype(jnp.uint64)
         total = jnp.where((c64 >> jnp.uint64(width)) != 0, jnp.int32(0), total)
-    return total
+    return total.astype(jnp.int32)
 
 
