@@ -140,3 +140,117 @@ def dist_shuffle_by_key(mesh: Mesh, rows_per_device: int):
         return (rk.reshape(-1), rv.reshape(-1), rm.reshape(-1), overflow)
 
     return step
+
+
+# -- distributed hash join ---------------------------------------------------
+
+def dist_lookup_join(mesh: Mesh, probe_rows_per_device: int,
+                     build_rows_per_device: int):
+    """Distributed equi-join: probe side (large, e.g. lineitem) against a
+    build side with UNIQUE keys (dimension table) -- the dominant join
+    shape of the star-schema suites.
+
+    Both sides are hash-repartitioned by key over ICI so matching keys
+    land on the same device (the all-to-all shuffle replacing the
+    reference's single-node join, SURVEY.md section 2.10); the local
+    probe is a sort + searchsorted (static shapes, no dynamic hash table
+    growth under jit).  Returns per device:
+    (probe_keys, probe_vals, joined_build_vals, valid_mask, overflow).
+    """
+    n = mesh.shape[DATA_AXIS]
+    pcap = max(1, (2 * probe_rows_per_device) // n)
+    bcap = max(1, (2 * build_rows_per_device) // n)
+
+    def _bucketize(keys, values, cap):
+        dest = (_hash64(keys) % jnp.uint64(n)).astype(jnp.int32)
+        onehot = jax.nn.one_hot(dest, n, dtype=jnp.int32)
+        rank = jnp.cumsum(onehot, axis=0) - onehot
+        my_rank = (rank * onehot).sum(axis=1)
+        slot = dest * cap + my_rank
+        ok = my_rank < cap
+        tgt = jnp.where(ok, slot, n * cap)
+        k = jnp.zeros((n * cap,), keys.dtype).at[tgt].set(keys, mode="drop")
+        v = jnp.zeros((n * cap,), values.dtype).at[tgt].set(values, mode="drop")
+        m = jnp.zeros((n * cap,), jnp.bool_).at[tgt].set(True, mode="drop")
+        ovf = (~ok).sum()[None]
+        ex = lambda x: jax.lax.all_to_all(  # noqa: E731
+            x.reshape(n, cap), DATA_AXIS, 0, 0, tiled=False).reshape(-1)
+        return ex(k), ex(v), ex(m), ovf
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+             out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                        P(DATA_AXIS), P(DATA_AXIS)))
+    def step(probe_keys, probe_vals, build_keys, build_vals):
+        pk, pv, pm, povf = _bucketize(probe_keys, probe_vals, pcap)
+        bk, bv, bm, bovf = _bucketize(build_keys, build_vals, bcap)
+        # local lookup: sort build side, binary-search the probes
+        sentinel = jnp.asarray(jnp.iinfo(bk.dtype).max, bk.dtype)
+        bk_s = jnp.where(bm, bk, sentinel)
+        order = jnp.argsort(bk_s)
+        bk_sorted = bk_s[order]
+        bv_sorted = bv[order]
+        pos = jnp.searchsorted(bk_sorted, pk)
+        pos = jnp.clip(pos, 0, bk_sorted.shape[0] - 1)
+        hit = (bk_sorted[pos] == pk) & pm
+        joined = jnp.where(hit, bv_sorted[pos], 0)
+        return pk, pv, joined, hit, povf + bovf
+
+    return step
+
+
+def dist_agg_by_key(mesh: Mesh, rows_per_device: int):
+    """Distributed high-cardinality SUM-by-key, skew-resistant: each
+    device pre-aggregates ITS OWN rows into (key, partial) pairs via
+    sort + segment-sum BEFORE the shuffle, so a heavy key contributes at
+    most ONE row per source device to the exchange (the "salted
+    repartition of heavy keys" design of SURVEY.md section 7 -- local
+    combining is the salt); the shuffle then routes partials to key
+    owners which reduce them the same way.
+
+    Returns per device (keys, sums, valid_mask, overflow).
+    """
+    n = mesh.shape[DATA_AXIS]
+    cap = max(1, (2 * rows_per_device) // n)
+
+    def _local_combine(keys, values, valid):
+        """Sort + segment-reduce to (unique key, partial sum) pairs packed
+        at the front; rows past the unique count carry sentinel/0."""
+        sentinel = jnp.asarray(jnp.iinfo(keys.dtype).max, keys.dtype)
+        k = jnp.where(valid, keys, sentinel)
+        order = jnp.argsort(k)
+        ks, vs = k[order], jnp.where(valid, values, 0)[order]
+        first = jnp.concatenate([jnp.ones((1,), jnp.bool_), ks[1:] != ks[:-1]])
+        seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+        m = ks.shape[0]
+        uk = jnp.full((m,), sentinel, ks.dtype).at[seg].min(ks)
+        us = jnp.zeros((m,), vs.dtype).at[seg].add(vs)
+        uvalid = uk != sentinel
+        return uk, us, uvalid
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+             out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                        P(DATA_AXIS)))
+    def step(keys, values):
+        uk, us, uvalid = _local_combine(
+            keys, values, jnp.ones(keys.shape, jnp.bool_))
+        dest = (_hash64(uk) % jnp.uint64(n)).astype(jnp.int32)
+        dest = jnp.where(uvalid, dest, n)  # invalid rows go nowhere
+        onehot = jax.nn.one_hot(dest, n, dtype=jnp.int32)
+        rank = jnp.cumsum(onehot, axis=0) - onehot
+        my_rank = (rank * onehot).sum(axis=1)
+        slot = dest * cap + my_rank
+        ok = (my_rank < cap) & uvalid
+        tgt = jnp.where(ok, slot, n * cap)
+        k = jnp.zeros((n * cap,), uk.dtype).at[tgt].set(uk, mode="drop")
+        v = jnp.zeros((n * cap,), us.dtype).at[tgt].set(us, mode="drop")
+        m = jnp.zeros((n * cap,), jnp.bool_).at[tgt].set(True, mode="drop")
+        ovf = (uvalid & ~ok).sum()[None]
+        ex = lambda x: jax.lax.all_to_all(  # noqa: E731
+            x.reshape(n, cap), DATA_AXIS, 0, 0, tiled=False).reshape(-1)
+        rk, rv, rm = ex(k), ex(v), ex(m)
+        fk, fs, fvalid = _local_combine(rk, rv, rm)
+        return fk, fs, fvalid, ovf
+
+    return step

@@ -81,3 +81,61 @@ def test_shuffle_skew_overflow(mesh):
     lost = int(np.asarray(overflow).sum())
     assert kept + lost == n
     assert lost > 0  # skew detected and reported, not silently dropped
+
+
+def test_dist_lookup_join(mesh):
+    """Probe (fact) x build (dimension, unique keys) equi-join across the
+    mesh: every probe row finds its build value exactly."""
+    import numpy as np
+    import jax.numpy as jnp
+    rng = np.random.default_rng(5)
+    n_probe, n_build = 1024, 256
+    build_keys = np.arange(1, n_build + 1).astype(np.int64)
+    build_vals = (build_keys * 10).astype(np.int64)
+    probe_keys = rng.choice(build_keys, n_probe).astype(np.int64)
+    probe_vals = rng.integers(0, 100, n_probe).astype(np.int64)
+    # some probe keys miss (no build row)
+    probe_keys[:32] = 10_000 + np.arange(32)
+
+    step = dist.dist_lookup_join(mesh, n_probe // 8, n_build // 8)
+    pk, pv, joined, hit, ovf = step(
+        dist.shard_rows(mesh, jnp.asarray(probe_keys)),
+        dist.shard_rows(mesh, jnp.asarray(probe_vals)),
+        dist.shard_rows(mesh, jnp.asarray(build_keys)),
+        dist.shard_rows(mesh, jnp.asarray(build_vals)))
+    assert int(jnp.asarray(ovf).sum()) == 0
+    pk = np.asarray(pk); joined = np.asarray(joined); hit = np.asarray(hit)
+    # every surviving probe row: joined value == key * 10
+    assert hit.sum() == (probe_keys <= n_build).sum()
+    ok = hit & (pk <= n_build)
+    assert (joined[ok] == pk[ok] * 10).all()
+    # misses are not marked hit
+    assert not hit[(pk > n_build) & (pk != 0)].any()
+
+
+def test_dist_agg_by_key_skewed(mesh):
+    """SUM by key with one very heavy key: local combining keeps the
+    exchange within capacity (no overflow) and the totals are exact."""
+    import numpy as np
+    import jax.numpy as jnp
+    rng = np.random.default_rng(6)
+    n = 2048
+    keys = rng.integers(0, 50, n).astype(np.int64)
+    keys[: n // 2] = 7  # 50%+ of all rows carry one key
+    values = rng.integers(0, 1000, n).astype(np.int64)
+
+    step = dist.dist_agg_by_key(mesh, n // 8)
+    fk, fs, fvalid, ovf = step(
+        dist.shard_rows(mesh, jnp.asarray(keys)),
+        dist.shard_rows(mesh, jnp.asarray(values)))
+    assert int(jnp.asarray(ovf).sum()) == 0, "skew overflowed the exchange"
+    fk = np.asarray(fk); fs = np.asarray(fs); fvalid = np.asarray(fvalid)
+    got = {}
+    for k, s, v in zip(fk, fs, fvalid):
+        if v:
+            got[int(k)] = got.get(int(k), 0) + int(s)
+    import collections
+    expect = collections.defaultdict(int)
+    for k, v in zip(keys, values):
+        expect[int(k)] += int(v)
+    assert got == dict(expect)
