@@ -226,8 +226,26 @@ def q96(t):
     return pd.DataFrame({"cnt": [n]})
 
 
+def q97(t):
+    def side(fact, pfx):
+        j = t[fact].merge(t["date_dim"], left_on=f"{pfx}_sold_date_sk",
+                          right_on="d_date_sk")
+        j = j[j.d_month_seq.between(24, 35)]
+        return j[[f"{pfx}_customer_sk", f"{pfx}_item_sk"]].drop_duplicates()
+    ss = side("store_sales", "ss").rename(columns={
+        "ss_customer_sk": "customer_sk", "ss_item_sk": "item_sk"})
+    cs = side("catalog_sales", "cs").rename(columns={
+        "cs_customer_sk": "customer_sk", "cs_item_sk": "item_sk"})
+    m = ss.merge(cs, on=["customer_sk", "item_sk"], how="outer",
+                 indicator=True)
+    return pd.DataFrame({
+        "store_only": [int((m._merge == "left_only").sum())],
+        "catalog_only": [int((m._merge == "right_only").sum())],
+        "store_and_catalog": [int((m._merge == "both").sum())]})
+
+
 REFS = {i: globals()[f"q{i}"] for i in
-        (3, 7, 13, 19, 26, 42, 43, 52, 55, 73, 90, 93, 96)}
+        (3, 7, 13, 19, 26, 42, 43, 52, 55, 73, 90, 93, 96, 97)}
 
 
 def to_pandas_tables(tables) -> Dict[str, pd.DataFrame]:

@@ -189,3 +189,5 @@ class Select:
     limit: Optional[int] = None
     offset: Optional[int] = None
     distinct: bool = False
+    #: WITH-clause common table expressions: [(name, Select)]
+    ctes: List = field(default_factory=list)

@@ -55,7 +55,20 @@ class QueryExecutor:
         if stmt[0] == "drop_view":
             self.views.pop(stmt[1], None)
             return pa.table({})
-        return self.execute(self._qualify(stmt[1]))
+        q = stmt[1]
+        if q.ctes:
+            # CTEs are statement-scoped views (evaluated on use; a CTE may
+            # reference earlier CTEs in the list)
+            added = []
+            try:
+                for name, sub in q.ctes:
+                    self.views[name] = sub
+                    added.append(name)
+                return self.execute(self._qualify(q))
+            finally:
+                for name in added:
+                    self.views.pop(name, None)
+        return self.execute(self._qualify(q))
 
     # -- queries -----------------------------------------------------------
 
@@ -366,11 +379,25 @@ class QueryExecutor:
               "full": "full outer"}[rel.kind]
         left = _fix_null_keys(left, lkeys, right, rkeys)
         right = _fix_null_keys(right, rkeys, left, lkeys)
+        if jt != "inner":
+            # arrow COALESCES outer-join key columns; carry the original
+            # per-side keys through so IS NULL sees true nullability
+            # (TPC-DS q97's store_only/catalog_only cases)
+            for lk, rk in eq_pairs:
+                left = left.append_column("__l__" + lk, left.column(lk))
+                right = right.append_column("__r__" + rk, right.column(rk))
         out = left.join(right, keys=lkeys, right_keys=rkeys, join_type=jt)
-        # arrow drops right-side keys; re-add under their own names if needed
-        for lk, rk in eq_pairs:
-            if rk not in out.column_names and lk in out.column_names:
-                out = out.append_column(rk, out.column(lk))
+        if jt != "inner":
+            cols = {n: out.column(n) for n in out.column_names}
+            for lk, rk in eq_pairs:
+                cols[lk] = cols.pop("__l__" + lk)
+                cols[rk] = cols.pop("__r__" + rk)
+            out = pa.table(cols)
+        else:
+            # arrow drops right-side keys; re-add under their own names
+            for lk, rk in eq_pairs:
+                if rk not in out.column_names and lk in out.column_names:
+                    out = out.append_column(rk, out.column(lk))
         if extra:
             # ON residuals: for outer joins this is approximate (applied
             # post-join); inner joins are exact

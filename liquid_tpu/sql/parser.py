@@ -29,7 +29,7 @@ KEYWORDS = {
     "else", "end", "cast", "extract", "interval", "date", "timestamp",
     "join", "inner", "left", "right", "full", "outer", "cross", "on",
     "union", "all", "exists", "asc", "desc", "nulls", "first", "last",
-    "substring", "for",
+    "substring", "for", "with",
 }
 
 
@@ -145,7 +145,29 @@ class Parser:
     # -- entry -------------------------------------------------------------
 
     def parse(self) -> ast.Select:
+        ctes = []
+        if self.accept_kw("with"):
+            # WITH name [(cols)] AS ( select ) [, ...]  (TPC-DS q95/q97...)
+            while True:
+                name = self.next().value
+                cols = None
+                if self.accept_op("("):
+                    cols = [self.next().value]
+                    while self.accept_op(","):
+                        cols.append(self.next().value)
+                    self.expect_op(")")
+                self.expect_kw("as")
+                self.expect_op("(")
+                sub = self.parse_select()
+                self.expect_op(")")
+                if cols:
+                    for item, cname in zip(sub.items, cols):
+                        item.alias = cname
+                ctes.append((name, sub))
+                if not self.accept_op(","):
+                    break
         q = self.parse_select()
+        q.ctes = ctes
         self.accept_op(";")
         if self.peek() is not None:
             raise SyntaxError(f"trailing tokens at {self.peek()}")

@@ -107,6 +107,14 @@ class Qualifier:
         scope = Scope()
         leaves: List = []
         _leaves(q.from_, leaves)
+        # columns owned by more than one relation force a prefix even on
+        # unaliased tables (e.g. two CTEs exposing the same column names,
+        # TPC-DS q97's full outer join)
+        col_owners: Dict[str, int] = {}
+        for leaf in leaves:
+            if isinstance(leaf, ast.TableRef):
+                for c in self.rel_columns(leaf.name) or []:
+                    col_owners[c] = col_owners.get(c, 0) + 1
         new_leaf: Dict[int, object] = {}
         for leaf in leaves:
             if isinstance(leaf, ast.TableRef):
@@ -114,6 +122,8 @@ class Qualifier:
                 prefix = None
                 if leaf.alias and leaf.alias != leaf.name:
                     prefix = leaf.alias + "__"
+                elif any(col_owners.get(c, 0) > 1 for c in cols):
+                    prefix = (leaf.alias or leaf.name) + "__"
                 scope.add(leaf.alias or leaf.name, prefix, list(cols))
                 new_leaf[id(leaf)] = dataclasses.replace(leaf, prefix=prefix)
             elif isinstance(leaf, ast.SubqueryRel):
