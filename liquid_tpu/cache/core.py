@@ -40,6 +40,7 @@ from liquid_tpu.cache.expressions import (
 )
 from liquid_tpu.cache.observer import Observer
 from liquid_tpu.cache.store import BlockStore
+from liquid_tpu.utils.tracing import TRACER
 from liquid_tpu.ops import mask as mops
 
 # entry states (ref cached_batch.rs:12-33)
@@ -192,6 +193,7 @@ class LiquidCache:
 
     # -- insert (ref builders.rs:162-214 + core.rs:339-369) ----------------
 
+    @TRACER.trace("cache.insert")
     def insert(self, entry_id: int, arr: pa.Array, hint=None) -> bool:
         """Cache an arrow column block.  Returns False if it could only be
         written to disk (or dropped) due to memory pressure."""
@@ -335,6 +337,7 @@ class LiquidCache:
 
     # -- get (ref core.rs:595-788) -----------------------------------------
 
+    @TRACER.trace("cache.get")
     def get(self, entry_id: int, selection: Optional[jax.Array] = None,
             expression_hint=None) -> Optional[pa.Array]:
         obs = self.observer
@@ -452,6 +455,7 @@ class LiquidCache:
 
     # -- predicate eval (ref core.rs:862-930) ------------------------------
 
+    @TRACER.trace("cache.eval_predicate")
     def eval_predicate(self, entry_id: int, pred: Predicate,
                        selection: Optional[jax.Array] = None
                        ) -> Optional[mops.BoolMask]:

@@ -103,13 +103,14 @@ class LiquidCacheClient:
             raise
 
     def _fetch_partition(self, handle: str, partition: int,
-                         metrics: FlightStreamMetrics) -> List[pa.RecordBatch]:
+                         metrics: FlightStreamMetrics,
+                         traceparent: str = "") -> List[pa.RecordBatch]:
         t0 = time.perf_counter()
         batches: List[pa.RecordBatch] = []
         with self._connect() as s:
             rpc.write_json(s, {"action": "fetch", "handle": handle,
                                "partition": partition,
-                               "traceparent": _traceparent()})
+                               "traceparent": traceparent or _traceparent()})
             rpc.read_json(s)
             first = True
             for batch in rpc.read_table_stream(s):
@@ -123,17 +124,23 @@ class LiquidCacheClient:
         return batches
 
     def sql(self, query: str) -> pa.Table:
+        from liquid_tpu.utils.tracing import TRACER
+        with TRACER.span("client.sql", query=query[:120]):
+            return self._sql_inner(query)
+
+    def _sql_inner(self, query: str) -> pa.Table:
         handle = self._ensure_registered(query)
         metrics = FlightStreamMetrics()
         t0 = time.perf_counter()
         all_batches: List[pa.RecordBatch] = []
         # one stream per partition (ref client_exec.rs:148-179)
         threads, results = [], [None] * self.partitions
+        tp = _traceparent()  # capture on the caller thread (span stack)
         if self.partitions == 1:
-            all_batches = self._fetch_partition(handle, 0, metrics)
+            all_batches = self._fetch_partition(handle, 0, metrics, tp)
         else:
             def work(i):
-                results[i] = self._fetch_partition(handle, i, metrics)
+                results[i] = self._fetch_partition(handle, i, metrics, tp)
             for i in range(self.partitions):
                 th = threading.Thread(target=work, args=(i,))
                 th.start()
@@ -167,8 +174,10 @@ class LiquidCacheClient:
 
 def _traceparent() -> str:
     """W3C traceparent for cross-service span propagation
-    (ref client_exec.rs:286-292)."""
-    return f"00-{uuid.uuid4().hex}{uuid.uuid4().hex[:16]}-{uuid.uuid4().hex[:16]}-01"
+    (ref client_exec.rs:286-292): continues the client's current span
+    when tracing is enabled."""
+    from liquid_tpu.utils.tracing import TRACER
+    return TRACER.current_traceparent()
 
 
 class LiquidCacheClientBuilder:

@@ -24,6 +24,7 @@ from typing import Dict, Optional, Tuple
 import pyarrow as pa
 
 from liquid_tpu.common import rpc
+from liquid_tpu.utils.tracing import TRACER
 from liquid_tpu.common.object_store import (
     ByteCache, LocalStore, MockStore, ObjectStore, StoreFile, sanitize_url,
 )
@@ -169,7 +170,13 @@ class _Handler(socketserver.BaseRequestHandler):
                                else None)
             rpc.write_json(sock, {"ok": True, "bytes": n})
         elif action == "fetch":
-            t = inner.execute_partition(msg["handle"], msg["partition"])
+            # continue the client's trace (ref W3C traceparent decode,
+            # datafusion-server lib.rs:215-217)
+            with TRACER.remote_span("server.fetch",
+                                    msg.get("traceparent", ""),
+                                    handle=msg["handle"],
+                                    partition=msg["partition"]):
+                t = inner.execute_partition(msg["handle"], msg["partition"])
             rpc.write_json(sock, {"ok": True, "rows": t.num_rows})
             rpc.write_table_stream(sock, t)
         elif action == "execution_metrics":

@@ -25,6 +25,7 @@ from liquid_tpu.sql.planner import (
     column_hints, plan_scan_filters, split_conjuncts,
 )
 from liquid_tpu.sql.qualify import Qualifier, map_expr
+from liquid_tpu.utils.tracing import TRACER
 
 
 class QueryExecutor:
@@ -47,6 +48,10 @@ class QueryExecutor:
         return Qualifier(self._base_columns).qualify(q)
 
     def execute_sql(self, sql: str) -> pa.Table:
+        with TRACER.span("sql.execute", sql=sql[:120]):
+            return self._execute_sql_inner(sql)
+
+    def _execute_sql_inner(self, sql: str) -> pa.Table:
         stmt = parse_statement(sql)
         if stmt[0] == "create_view":
             _, name, query = stmt
