@@ -13,6 +13,7 @@ reads the parquet column chunk once and inserts every batch of it.
 """
 from __future__ import annotations
 
+import datetime
 import threading
 from typing import Dict, List, Optional, Tuple
 
@@ -77,6 +78,8 @@ class ParquetTable:
         self.schema = self._pf.schema_arrow
         self.column_names = list(self.schema.names)
         self._col_index = {n: i for i, n in enumerate(self.column_names)}
+        self._zones: Dict[tuple, tuple] = {}  # batch-level min/max zone maps
+        self.zone_prunes = 0  # batches skipped by zone maps (scan metric)
         self._lock = threading.Lock()
 
     @property
@@ -142,6 +145,59 @@ class ParquetTable:
                 continue  # incomparable stats (e.g. bytes vs str)
         return True
 
+    # -- batch-level zone maps (ref page-index pruning, opener.rs:314-327:
+    # the reference prunes parquet PAGES by their column-index stats; our
+    # unit of caching is the 8192-row batch, so min/max zone maps at batch
+    # granularity are the equivalent -- built once on first load, pruning
+    # every later scan without touching the encoded data) -----------------
+
+    def _zone_key(self, rg: int, col_name: str, batch: int):
+        return (rg, col_name, batch)
+
+    def _record_zone(self, rg: int, col_name: str, batch: int,
+                     chunk: pa.Array) -> None:
+        t = chunk.type
+        if not (pa.types.is_integer(t) or pa.types.is_floating(t)
+                or pa.types.is_date(t) or pa.types.is_timestamp(t)):
+            return
+        import pyarrow.compute as pc
+        mm = pc.min_max(chunk)
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        if isinstance(lo, datetime.date) and not isinstance(
+                lo, datetime.datetime):
+            # predicates arrive in the raw date32 domain (days since epoch)
+            epoch = datetime.date(1970, 1, 1)
+            lo, hi = (lo - epoch).days, (hi - epoch).days
+        if lo is not None and not isinstance(lo, datetime.datetime):
+            self._zones[self._zone_key(rg, col_name, batch)] = (lo, hi)
+
+    def batch_may_match(self, rg: int, col_name: str, batch: int,
+                        pred: Predicate) -> bool:
+        """False only when the zone map PROVES no row in the batch can
+        match `pred` (unknown zones always pass)."""
+        z = self._zones.get(self._zone_key(rg, col_name, batch))
+        if z is None:
+            return True
+        lo, hi = z
+        v = pred.literal
+        if isinstance(v, datetime.date) and not isinstance(
+                v, datetime.datetime):
+            v = (v - datetime.date(1970, 1, 1)).days
+        try:
+            if pred.op == "eq":
+                return not (v < lo or v > hi)
+            if pred.op == "lt":
+                return lo < v
+            if pred.op == "lt_eq":
+                return lo <= v
+            if pred.op == "gt":
+                return hi > v
+            if pred.op == "gt_eq":
+                return hi >= v
+        except TypeError:
+            return True
+        return True
+
     # -- column loading through the cache ----------------------------------
 
     def ensure_cached(self, rg: int, col_name: str, hint=None) -> List[int]:
@@ -159,6 +215,8 @@ class ParquetTable:
                 rg, columns=[col_name]).column(0).combine_chunks()
             for b, eid in enumerate(ids):
                 chunk = data.slice(b * BLOCK_ROWS, BLOCK_ROWS)
+                if self._zone_key(rg, col_name, b) not in self._zones:
+                    self._record_zone(rg, col_name, b, chunk)
                 if not self.cache.contains(eid):
                     self.cache.insert(eid, chunk, hint=hint)
         return ids

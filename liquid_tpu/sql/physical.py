@@ -187,6 +187,16 @@ def scan_blocks(table, plan: ScanPlan, hints: Dict[str, object],
             cols_cache: dict = {}
             empty = False
             for group in plan.pushdown:
+                # batch-level zone-map pruning (the page-index equivalent,
+                # ref opener.rs:314-327): the whole OR group must be
+                # provably empty for the batch to be skipped
+                may = getattr(table, "batch_may_match", None)
+                if may is not None and all(
+                        not may(rg, col, b, pred)
+                        for col, pred in group.alternatives):
+                    empty = True
+                    table.zone_prunes += 1
+                    break
                 combined = None
                 fallback = False
                 for col, pred in group.alternatives:

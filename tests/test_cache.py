@@ -257,3 +257,38 @@ def test_concurrent_inserts(tmp_path):
     readable = sum(1 for b in range(4) for i in range(10)
                    if cache.get(b * 100 + i) is not None)
     assert readable >= 1
+
+
+# -- batch zone maps (page-index-pruning equivalent) -------------------------
+
+def test_zone_map_pruning(tmp_path):
+    """After the first scan builds zone maps, selective predicates skip
+    whole batches without touching encoded data (ref page-index pruning,
+    opener.rs:314-327, at our batch granularity)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from liquid_tpu.sql.session import LiquidCacheLocalBuilder
+
+    n = 80_000  # ~10 batches, values strictly increasing -> disjoint zones
+    t = pa.table({"v": pa.array(np.arange(n, dtype=np.int64)),
+                  "w": pa.array(np.ones(n, dtype=np.int64))})
+    p = str(tmp_path / "z.parquet")
+    pq.write_table(t, p, row_group_size=n)
+    sess, cache = (LiquidCacheLocalBuilder()
+                   .with_cache_dir(str(tmp_path)).build())
+    sess.register_parquet("t", p)
+    table = sess._tables["t"]
+
+    q = "SELECT SUM(w) AS s FROM t WHERE v >= 79000"
+    out1 = sess.sql(q).to_arrow()
+    assert out1.column("s")[0].as_py() == 1000
+    # zones are recorded when the row group loads (first batch touch), so
+    # even the FIRST scan prunes the later batches it would have evaluated
+    assert table.zone_prunes >= 8, "zone maps did not prune"
+    evals_before = cache.observer.stats.get("predicate_evals")
+    out2 = sess.sql(q).to_arrow()
+    assert out2.column("s")[0].as_py() == 1000
+    # pruned batches cost no predicate evaluations on the warm scan
+    evals = cache.observer.stats.get("predicate_evals") - evals_before
+    assert evals <= 2
