@@ -137,23 +137,30 @@ class LiquidPrimitiveArray(LiquidArray):
                             mask=~valid)
         return pa.array(host, type=self._arrow_type)
 
-    def try_eval_predicate(self, pred: Predicate, selection=None):
+    def packed_plan(self, pred: Predicate):
+        """Host-side range analysis of a predicate against this block's
+        packed domain (literals are static at plan time).
+
+        -> ("const", bool) | ("cmp", offset_u64, op) | None (unsupported).
+        Shared by the per-block path and the batched row-group path
+        (cache.eval_predicate_many)."""
         if pred.op not in ("eq", "ne", "lt", "lt_eq", "gt", "gt_eq"):
             return None
         lit = pred.literal
-        if isinstance(lit, bool) or not isinstance(lit, (int, float, np.integer, np.floating)):
+        if isinstance(lit, bool) or not isinstance(
+                lit, (int, float, np.integer, np.floating)):
             return None
         op = pred.op
         # normalize non-integral float literals against an integer domain
         if isinstance(lit, (float, np.floating)):
             if math.isnan(lit):
-                return self._const_mask(False if op != "ne" else True)
+                return ("const", op == "ne")
             if float(lit) != int(lit):
                 f = float(lit)
                 if op == "eq":
-                    return self._const_mask(False)
+                    return ("const", False)
                 if op == "ne":
-                    return self._const_mask(True)
+                    return ("const", True)
                 if op in ("lt", "lt_eq"):    # v < 10.5  <=>  v <= 10
                     lit, op = math.floor(f), "lt_eq"
                 else:                         # v > 10.5  <=>  v >= 11
@@ -163,27 +170,32 @@ class LiquidPrimitiveArray(LiquidArray):
         lit = int(lit)
         r = self.reference_value
         max_rep = r + (1 << self.width) - 1
-        # host-side range analysis (literals are static at plan time)
         if op == "eq":
             if lit < r or lit > max_rep:
-                return self._const_mask(False)
-            bits = bp.cmp_const_op(self.planes, np.uint64(lit - r), "eq")
+                return ("const", False)
         elif op == "ne":
             if lit < r or lit > max_rep:
-                return self._const_mask(True)
-            bits = bp.cmp_const_op(self.planes, np.uint64(lit - r), "ne")
+                return ("const", True)
         elif op in ("lt", "lt_eq"):
             if (lit <= r and op == "lt") or (lit < r):
-                return self._const_mask(False)
+                return ("const", False)
             if (lit > max_rep) or (lit == max_rep and op == "lt_eq"):
-                return self._const_mask(True)
-            bits = bp.cmp_const_op(self.planes, np.uint64(lit - r), op)
+                return ("const", True)
         else:  # gt, gt_eq
             if (lit >= max_rep and op == "gt") or (lit > max_rep):
-                return self._const_mask(False)
+                return ("const", False)
             if (lit < r) or (lit == r and op == "gt_eq"):
-                return self._const_mask(True)
-            bits = bp.cmp_const_op(self.planes, np.uint64(lit - r), op)
+                return ("const", True)
+        return ("cmp", np.uint64(lit - r), op)
+
+    def try_eval_predicate(self, pred: Predicate, selection=None):
+        plan = self.packed_plan(pred)
+        if plan is None:
+            return None
+        if plan[0] == "const":
+            return self._const_mask(plan[1])
+        _, u, op = plan
+        bits = bp.cmp_const_op(self.planes, u, op)
         return mops.BoolMask(bits, validity_mask_or_full(self.validity, self.length))
 
     def _const_mask(self, value: bool) -> mops.BoolMask:

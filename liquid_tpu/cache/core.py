@@ -494,6 +494,68 @@ class LiquidCache:
                 return out
             return None  # MEMORY_ARROW / DISK_ARROW: materialize path
 
+    @TRACER.trace("cache.eval_predicate_many")
+    def eval_predicate_many(self, entry_ids, pred: Predicate):
+        """Batched encoded predicate evaluation over many entries (a row
+        group's batches of one column): primitive blocks sharing a width
+        bucket are stacked and compared in ONE vmapped dispatch
+        (ops/bitpack.cmp_const_op_many); everything else falls back to
+        the per-entry path.  -> list of BoolMask|None aligned with
+        entry_ids (None = caller materializes that entry).
+
+        TPU-native: the reference's hot loop is per-batch
+        (liquid_cache_reader.rs:296-339) because CPU dispatch is free;
+        on TPU per-block dispatch dominated the scan (PERF_NOTES.md).
+        """
+        import jax.numpy as jnp
+        from liquid_tpu.arrays.base import BLOCK_ROWS as _BR
+        from liquid_tpu.arrays.primitive import LiquidPrimitiveArray
+        obs = self.observer
+        results: list = [None] * len(entry_ids)
+        prim: Dict[tuple, list] = {}  # (bucket, op) -> [(idx, payload, u)]
+        slow: list = []
+        with self._lock:
+            for i, eid in enumerate(entry_ids):
+                e = self._entries.get(eid)
+                if e is None:
+                    continue
+                if e.state == MEMORY_LIQUID and isinstance(
+                        e.payload, LiquidPrimitiveArray):
+                    p = e.payload
+                    plan = p.packed_plan(pred)
+                    if plan is None:
+                        continue
+                    obs.stats.bump("predicate_evals")
+                    obs.stats.bump("predicate_evals_on_encoded")
+                    if plan[0] == "const":
+                        results[i] = p._const_mask(plan[1])
+                    else:
+                        prim.setdefault(
+                            (p.planes.shape[0], plan[2]), []).append(
+                                (i, p, plan[1]))
+                else:
+                    slow.append((i, eid))
+        from liquid_tpu.arrays.base import validity_mask_or_full
+        from liquid_tpu.ops import bitpack as bp
+        for (bucket, op), items in prim.items():
+            if len(items) == 1:
+                i, p, u = items[0]
+                bits = bp.cmp_const_op(p.planes, u, op)
+                results[i] = mops.BoolMask(
+                    bits, validity_mask_or_full(p.validity, p.length))
+                continue
+            stack = jnp.stack([p.planes for _, p, _ in items])
+            cs = jnp.asarray(np.array([u for _, _, u in items],
+                                      dtype=np.uint64))
+            bits_all = bp.cmp_const_op_many(stack, cs, op)
+            for j, (i, p, _u) in enumerate(items):
+                results[i] = mops.BoolMask(
+                    bits_all[j], validity_mask_or_full(p.validity, p.length))
+        for i, eid in enumerate(slow):
+            idx, entry_id = eid
+            results[idx] = self.eval_predicate(entry_id, pred)
+        return results
+
     # -- admin (ref core.rs:224-277, stats :68-119) ------------------------
 
     def contains(self, entry_id: int) -> bool:

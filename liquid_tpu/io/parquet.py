@@ -252,3 +252,13 @@ class ParquetTable:
         if not self.cache.contains(eid):
             self.ensure_cached(rg, col_name, hint)
         return self.cache.eval_predicate(eid, pred)
+
+    def eval_predicate_many(self, rg: int, col_name: str, pred: Predicate,
+                            hint=None, batches=None):
+        """Evaluate `pred` over the requested batches of (rg, col) in one
+        batched cache call; -> {batch: BoolMask|None}."""
+        ids = self.ensure_cached(rg, col_name, hint)
+        want = range(len(ids)) if batches is None else batches
+        eids = [ids[b] for b in want]
+        masks = self.cache.eval_predicate_many(eids, pred)
+        return dict(zip(want, masks))

@@ -164,3 +164,17 @@ def in_range(planes: jax.Array, lo_hi) -> jax.Array:
     lt_lo, _ = cmp_const(planes, lo)
     lt_hi, eq_hi = cmp_const(planes, hi)
     return ~lt_lo & (lt_hi | eq_hi)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def cmp_const_op_many(planes_stack: jax.Array, cs: jax.Array,
+                      op: str) -> jax.Array:
+    """Batched packed compare: planes_stack uint32[B, bucket, W] (same
+    width bucket), cs uint64[B] per-block constants (reference-value
+    offsets differ per block) -> packed masks uint32[B, W].
+
+    ONE dispatch for a whole row group's blocks -- the per-block
+    dispatch overhead (and per-block host syncs) dominated the scan loop
+    before this (PERF_NOTES.md).
+    """
+    return jax.vmap(lambda p, c: cmp_const_op(p, c, op))(planes_stack, cs)

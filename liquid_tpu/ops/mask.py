@@ -15,8 +15,11 @@ from __future__ import annotations
 from dataclasses import dataclass
 from functools import partial
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 BLOCK_ROWS = 8192  # canonical block size, matches reference batch_size 8192
 WORD_BITS = 32
@@ -47,6 +50,8 @@ def unpack_bits(words: jax.Array) -> jax.Array:
 
 def tail_mask(length, n_rows: int) -> jax.Array:
     """uint32[n_rows/32] with the first `length` bits set (length may be traced)."""
+    if isinstance(length, int):
+        return _tail_mask_static(length, n_rows)
     w = num_words(n_rows)
     base = jnp.arange(w, dtype=jnp.int64) * WORD_BITS
     k = jnp.clip(length - base, 0, WORD_BITS)
@@ -55,12 +60,28 @@ def tail_mask(length, n_rows: int) -> jax.Array:
     return words.astype(_U32)
 
 
+@functools.lru_cache(maxsize=1024)
+def _tail_mask_static(length: int, n_rows: int) -> jax.Array:
+    """Static lengths dominate (block tails): build once on host, keep the
+    device constant cached -- op-by-op construction per block was a
+    measurable slice of the scan loop."""
+    w = num_words(n_rows)
+    host = np.zeros(w, dtype=np.uint32)
+    full_words = min(length // WORD_BITS, w)
+    host[:full_words] = 0xFFFFFFFF
+    rem = length - full_words * WORD_BITS
+    if 0 < rem and full_words < w:
+        host[full_words] = (1 << rem) - 1
+    return jnp.asarray(host)
+
+
 def all_set(n_rows: int, length=None) -> jax.Array:
     if length is None:
         length = n_rows
     return tail_mask(length, n_rows)
 
 
+@functools.lru_cache(maxsize=64)
 def none_set(n_rows: int) -> jax.Array:
     return jnp.zeros((num_words(n_rows),), dtype=_U32)
 
@@ -68,6 +89,14 @@ def none_set(n_rows: int) -> jax.Array:
 def count(words: jax.Array) -> jax.Array:
     """Popcount over packed mask -> int32 scalar."""
     return jax.lax.population_count(words).astype(jnp.int32).sum()
+
+
+@jax.jit
+def count_many(stacked: jax.Array) -> jax.Array:
+    """uint32[B, W] packed selections -> int32[B] set-bit counts
+    (ONE host fetch for a whole row group instead of B syncs)."""
+    return jax.lax.population_count(stacked).astype(jnp.int32).sum(
+        axis=tuple(range(1, stacked.ndim)), dtype=jnp.int32)
 
 
 def and_(a: jax.Array, b: jax.Array) -> jax.Array:

@@ -126,6 +126,40 @@ def _literal_value(e: ast.Expr):
         if e.type_name == "date" and isinstance(v, str):
             return datetime.date.fromisoformat(v)
         return v
+    if isinstance(e, ast.Binary) and e.op in ("+", "-", "*", "/"):
+        # constant folding at plan time (the reference inherits this from
+        # DataFusion's simplifier): date +/- interval and literal
+        # arithmetic -- without it `x < date '1994-01-01' + interval '1'
+        # year` can't push down and every block pays a pyarrow fallback
+        if isinstance(e.right, ast.Interval):
+            base = _literal_value(e.left)
+            if isinstance(base, datetime.date) and not isinstance(
+                    base, datetime.datetime):
+                return _date_plus_interval(
+                    base, e.right, -1 if e.op == "-" else 1)
+            return None
+        lv, rv = _literal_value(e.left), _literal_value(e.right)
+        if isinstance(lv, (int, float)) and isinstance(rv, (int, float)) \
+                and not isinstance(lv, bool) and not isinstance(rv, bool):
+            try:
+                return {"+": lv + rv, "-": lv - rv, "*": lv * rv,
+                        "/": lv / rv if rv != 0 else None}[e.op]
+            except TypeError:
+                return None
+    return None
+
+
+def _date_plus_interval(d: datetime.date, iv: ast.Interval, sign: int):
+    n = iv.value * sign
+    if iv.unit == "day":
+        return d + datetime.timedelta(days=n)
+    if iv.unit in ("month", "year"):
+        months = n * (12 if iv.unit == "year" else 1)
+        total = d.year * 12 + (d.month - 1) + months
+        y, m = divmod(total, 12)
+        import calendar
+        day = min(d.day, calendar.monthrange(y, m + 1)[1])
+        return datetime.date(y, m + 1, day)
     return None
 
 

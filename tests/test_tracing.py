@@ -98,5 +98,7 @@ def test_end_to_end_propagation_through_server(tmp_path):
     assert sfetch.trace_id == csql.trace_id, "trace did not propagate"
     assert sfetch.parent_id == csql.span_id
     # cache hot-path spans recorded under the server's execution
-    assert "cache.insert" in by_name and "cache.eval_predicate" in by_name
+    assert "cache.insert" in by_name
+    assert ("cache.eval_predicate" in by_name
+            or "cache.eval_predicate_many" in by_name)
     assert by_name["cache.insert"][0].trace_id == csql.trace_id
