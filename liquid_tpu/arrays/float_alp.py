@@ -139,11 +139,21 @@ class LiquidFloatArray(LiquidArray):
         return jnp.asarray(vals), self.validity
 
     def to_arrow(self) -> pa.Array:
-        vals = self._decode_host()[: self.length]
+        off = np.asarray(bp.unpack_bitplanes(
+            self.planes, jnp.uint64 if self.planes.shape[0] > 32 else jnp.uint32))
+        return self.decode_from_offsets(off)
+
+    def decode_from_offsets(self, off: np.ndarray) -> pa.Array:
+        """Batched-decode entry point (see primitive.decode_from_offsets)."""
+        enc = off.astype(np.int64) + self.reference_value
+        vals = enc.astype(np.float64) * self._inv
+        vals[self.patch_idx] = self.patch_vals
+        vals = vals[: self.length]
         if pa.types.is_float32(self._arrow_type):
             vals = vals.astype(np.float32)
         if self.validity is not None:
-            valid = np.asarray(mops.unpack_bits(self.validity))[: self.length]
+            valid = mops.unpack_bits_host(
+                np.asarray(self.validity))[: self.length]
             return pa.array(vals, type=self._arrow_type, mask=~valid)
         return pa.array(vals, type=self._arrow_type)
 

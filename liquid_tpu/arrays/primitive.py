@@ -127,14 +127,21 @@ class LiquidPrimitiveArray(LiquidArray):
         return vals, self.validity
 
     def to_arrow(self) -> pa.Array:
-        vals, _ = self.to_device()
-        host = np.asarray(vals)[: self.length]
+        out_dtype = jnp.uint64 if self.planes.shape[0] > 32 else jnp.uint32
+        off = np.asarray(bp.unpack_bitplanes(self.planes, out_dtype))
+        return self.decode_from_offsets(off)
+
+    def decode_from_offsets(self, off: np.ndarray) -> pa.Array:
+        """Finish decoding from already-unpacked offsets (host array) --
+        the batched row-group decode path (cache.get_arrow_many) unpacks
+        many blocks in one dispatch and hands each block its slice."""
+        host = (off.astype(np.int64) + self.reference_value)[: self.length]
         np_dtype = _np_dtype_for(self._arrow_type)
         host = host.astype(np_dtype)
         if self.validity is not None:
-            valid = np.asarray(mops.unpack_bits(self.validity))[: self.length]
-            return pa.array(host, type=self._arrow_type,
-                            mask=~valid)
+            valid = mops.unpack_bits_host(
+                np.asarray(self.validity))[: self.length]
+            return pa.array(host, type=self._arrow_type, mask=~valid)
         return pa.array(host, type=self._arrow_type)
 
     def packed_plan(self, pred: Predicate):

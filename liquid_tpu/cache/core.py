@@ -556,6 +556,49 @@ class LiquidCache:
             results[idx] = self.eval_predicate(entry_id, pred)
         return results
 
+    @TRACER.trace("cache.get_arrow_many")
+    def get_arrow_many(self, entry_ids):
+        """Batched materialization: entries whose payload exposes
+        `decode_from_offsets` (primitive/float bit-plane blocks) are
+        unpacked in ONE vmapped dispatch per width bucket + ONE host
+        transfer; the rest go through the per-entry get().
+        -> list of pa.Array|None aligned with entry_ids."""
+        import jax.numpy as jnp
+        from liquid_tpu.ops import bitpack as bp
+        obs = self.observer
+        results: list = [None] * len(entry_ids)
+        grouped: Dict[int, list] = {}  # bucket -> [(idx, payload)]
+        slow: list = []
+        with self._lock:
+            for i, eid in enumerate(entry_ids):
+                e = self._entries.get(eid)
+                if e is None:
+                    obs.stats.bump("gets")
+                    obs.stats.bump("cache_misses")
+                    continue
+                p = e.payload
+                if e.state == MEMORY_LIQUID and hasattr(
+                        p, "decode_from_offsets") and hasattr(p, "planes"):
+                    obs.stats.bump("gets")
+                    obs.stats.bump("cache_hits")
+                    obs.record_access("get", eid, e.mem_bytes)
+                    grouped.setdefault(p.planes.shape[0], []).append((i, p))
+                else:
+                    slow.append((i, eid))
+        for bucket, items in grouped.items():
+            if len(items) == 1:
+                i, p = items[0]
+                results[i] = p.to_arrow()
+                continue
+            out_dtype = jnp.uint64 if bucket > 32 else jnp.uint32
+            stack = jnp.stack([p.planes for _, p in items])
+            offs = np.asarray(bp.unpack_bitplanes_many(stack, out_dtype))
+            for j, (i, p) in enumerate(items):
+                results[i] = p.decode_from_offsets(offs[j])
+        for i, eid in slow:
+            results[i] = self.get(eid)
+        return results
+
     # -- admin (ref core.rs:224-277, stats :68-119) ------------------------
 
     def contains(self, entry_id: int) -> bool:

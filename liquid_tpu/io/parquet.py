@@ -253,6 +253,21 @@ class ParquetTable:
             self.ensure_cached(rg, col_name, hint)
         return self.cache.eval_predicate(eid, pred)
 
+    def get_batches(self, rg: int, col_name: str, hint=None, batches=None):
+        """Materialize the requested batches of (rg, col) in one batched
+        cache decode; -> {batch: pa.Array}."""
+        ids = self.ensure_cached(rg, col_name, hint)
+        want = list(range(len(ids)) if batches is None else batches)
+        arrays = self.cache.get_arrow_many([ids[b] for b in want])
+        out = {}
+        for b, arr in zip(want, arrays):
+            if arr is None:  # cache refused under pressure: direct read
+                arr = self.get_batch(rg, col_name, b, hint)
+            if pa.types.is_dictionary(arr.type):
+                arr = arr.cast(arr.type.value_type)
+            out[b] = arr
+        return out
+
     def eval_predicate_many(self, rg: int, col_name: str, pred: Predicate,
                             hint=None, batches=None):
         """Evaluate `pred` over the requested batches of (rg, col) in one

@@ -178,3 +178,11 @@ def cmp_const_op_many(planes_stack: jax.Array, cs: jax.Array,
     before this (PERF_NOTES.md).
     """
     return jax.vmap(lambda p, c: cmp_const_op(p, c, op))(planes_stack, cs)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def unpack_bitplanes_many(planes_stack: jax.Array, out_dtype=jnp.uint32
+                          ) -> jax.Array:
+    """Batched decode: uint32[B, bucket, W] -> out_dtype[B, W*32] in one
+    dispatch + one host transfer for a whole row group's blocks."""
+    return jax.vmap(lambda p: unpack_bitplanes(p, out_dtype))(planes_stack)

@@ -48,6 +48,14 @@ def unpack_bits(words: jax.Array) -> jax.Array:
     return bits.reshape(-1).astype(jnp.bool_)
 
 
+def unpack_bits_host(words: np.ndarray) -> np.ndarray:
+    """numpy uint32[W] -> bool[W*32] without a device dispatch (decode
+    paths touch validity masks per block; keep that on the host)."""
+    w = np.asarray(words, dtype=np.uint32)
+    bits = (w[:, None] >> np.arange(WORD_BITS, dtype=np.uint32)) & 1
+    return bits.reshape(-1).astype(bool)
+
+
 def tail_mask(length, n_rows: int) -> jax.Array:
     """uint32[n_rows/32] with the first `length` bits set (length may be traced)."""
     if isinstance(length, int):

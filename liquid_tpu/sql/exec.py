@@ -488,9 +488,32 @@ class QueryExecutor:
                 # statistics-based count)
                 agg.update({}, table.num_rows)
             else:
+                # buffer selected blocks and aggregate in ~256k-row chunks:
+                # one pyarrow group_by per chunk instead of per block
+                # (38 per-block partial group_bys dominated warm q1)
+                buf: List[pa.Table] = []
+                buf_rows = 0
+                plain_rows = 0
+
+                def flush():
+                    nonlocal buf, buf_rows
+                    if buf:
+                        t = pa.concat_tables(buf)
+                        update_from(Batch.from_table(t))
+                        buf, buf_rows = [], 0
+
                 for block in scan_blocks(table, plan, hints, need):
+                    if not need:
+                        plain_rows += block.num_selected
+                        continue
                     cols = {c: block.col(c, hints.get(c)) for c in need}
-                    update_from(Batch(cols, block.num_selected))
+                    buf.append(pa.table(cols))
+                    buf_rows += block.num_selected
+                    if buf_rows >= (1 << 18):
+                        flush()
+                flush()
+                if plain_rows:
+                    agg.update({}, plain_rows) if not group else None
         else:
             joined, _resid = self._join_source(q)
             if joined.num_rows:

@@ -237,12 +237,30 @@ def scan_blocks(table, plan: ScanPlan, hints: Dict[str, object],
                 if counts[j] == 0:
                     alive[b] = False
 
-        for b in range(n_b):
-            if not alive[b]:
-                continue
+        survivors = [b for b in range(n_b) if alive[b]]
+        if not survivors:
+            continue
+        # batched materialization: decode every surviving batch of every
+        # column the projection/residuals touch in one dispatch per column
+        mats: Dict[int, dict] = {b: {} for b in survivors}
+        gb = getattr(table, "get_batches", None)
+        if gb is not None:
+            prefetch: set = set(needed_cols) & set(table.column_names)
+            for b in survivors:
+                for conj in deferred[b] + plan.residual:
+                    collect_columns(conj, prefetch)
+            from liquid_tpu.cache.expressions import VariantGet
+            for c in sorted(prefetch & set(table.column_names)):
+                if isinstance(hints.get(c), VariantGet):
+                    continue  # variant struct shortcut stays per-block
+                for b, arr in gb(rg, c, hints.get(c),
+                                 batches=survivors).items():
+                    mats[b][c] = arr
+
+        for b in survivors:
             length = lengths[b]
             sel = sels[b]
-            cols_cache: dict = {}
+            cols_cache: dict = mats.get(b, {})
             empty = False
             for conj in deferred[b] + plan.residual:
                 cols = set()
