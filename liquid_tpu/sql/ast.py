@@ -140,6 +140,17 @@ class CorrLookup(Expr):
     extra: Optional[Expr] = None
 
 
+@dataclass
+class SetOp:
+    """UNION [ALL] chain; `order_by`/`limit` apply to the combined
+    result (members' own ORDER BY is only meaningful with LIMIT)."""
+
+    members: List["Select"] = field(default_factory=list)
+    all: bool = False
+    order_by: List["OrderItem"] = field(default_factory=list)
+    limit: Optional[int] = None
+
+
 # -- relations -------------------------------------------------------------
 
 @dataclass(frozen=True)

@@ -61,6 +61,8 @@ class QueryExecutor:
             self.views.pop(stmt[1], None)
             return pa.table({})
         q = stmt[1]
+        if isinstance(q, ast.SetOp):
+            return self._execute_setop(q)
         if q.ctes:
             # CTEs are statement-scoped views (evaluated on use; a CTE may
             # reference earlier CTEs in the list)
@@ -74,6 +76,43 @@ class QueryExecutor:
                 for name in added:
                     self.views.pop(name, None)
         return self.execute(self._qualify(q))
+
+    def _execute_setop(self, u: ast.SetOp) -> pa.Table:
+        """UNION [ALL] of member selects: concatenate positionally (first
+        member's column names win, SQL semantics), dedup unless ALL."""
+        parts = []
+        added = []
+        try:
+            for name, sub in u.members[0].ctes:
+                self.views[name] = sub
+                added.append(name)
+            for m in u.members:
+                m.ctes = []
+                parts.append(self.execute(self._qualify(m)))
+        finally:
+            for name in added:
+                self.views.pop(name, None)
+        names = parts[0].column_names
+        parts = [p.rename_columns(names) for p in parts]
+        out = pa.concat_tables(parts, promote_options="permissive")
+        if not u.all:
+            out = out.group_by(names, use_threads=False).aggregate([])
+        if u.order_by:
+            keys = []
+            for o in u.order_by:
+                if isinstance(o.expr, ast.Literal) and isinstance(
+                        o.expr.value, int):
+                    nm = names[o.expr.value - 1]
+                elif isinstance(o.expr, ast.Column):
+                    nm = o.expr.name
+                else:
+                    raise NotImplementedError(
+                        "UNION ORDER BY supports columns/positions")
+                keys.append((nm, "descending" if o.desc else "ascending"))
+            out = out.sort_by(keys)
+        if u.limit is not None:
+            out = out.slice(0, u.limit)
+        return out
 
     # -- queries -----------------------------------------------------------
 

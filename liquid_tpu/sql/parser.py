@@ -168,6 +168,23 @@ class Parser:
                     break
         q = self.parse_select()
         q.ctes = ctes
+        if self.peek() and self.peek().kind == "kw" \
+                and self.peek().value == "union":
+            members = [q]
+            is_all = False
+            while self.accept_kw("union"):
+                is_all = bool(self.accept_kw("all")) or is_all
+                members.append(self.parse_select())
+            # trailing ORDER BY / LIMIT bind to the whole union: the last
+            # member's clauses are hoisted
+            last = members[-1]
+            u = ast.SetOp(members, is_all, last.order_by, last.limit)
+            last.order_by, last.limit = [], None
+            u.members[0].ctes = ctes
+            self.accept_op(";")
+            if self.peek() is not None:
+                raise SyntaxError(f"trailing tokens at {self.peek()}")
+            return u
         self.accept_op(";")
         if self.peek() is not None:
             raise SyntaxError(f"trailing tokens at {self.peek()}")
