@@ -791,8 +791,14 @@ class QueryExecutor:
                 return self._build_exists(sub, corr, keys, inner_keys,
                                           e.negated, extra_item=sub.items[0])
             t = self.execute(sub)
-            vals = tuple(ast.Literal(v) for v in t.column(0).to_pylist()
-                         if v is not None)
+            pylist = t.column(0).to_pylist()
+            has_null = any(v is None for v in pylist)
+            vals = tuple(ast.Literal(v) for v in pylist if v is not None)
+            if e.negated and has_null:
+                # SQL three-valued logic: `x NOT IN (S)` with NULL in S is
+                # never TRUE (FALSE or NULL) -- under a WHERE clause that
+                # filters every row
+                return ast.Literal(False)
             return ast.InList(self._rewrite_subqueries(e.operand, scope),
                               vals, e.negated)
         if isinstance(e, ast.Exists):

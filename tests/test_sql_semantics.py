@@ -1,0 +1,137 @@
+"""Adversarial SQL semantics: three-valued logic, NULL joins, empty
+inputs, type edges -- the places engines silently diverge.
+
+The reference inherits these from DataFusion; every case here is checked
+against the SQL-standard behavior (and, where easy, a pandas oracle).
+"""
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture()
+def sess(tmp_path):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from liquid_tpu.sql.session import LiquidCacheLocalBuilder
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "x": pa.array([10, None, 30, None, 50], pa.int64()),
+        "s": pa.array(["a", "b", None, "d", "e"], pa.string()),
+    })
+    u = pa.table({
+        "uid": pa.array([1, 2, None, 4], pa.int64()),
+        "w": pa.array([100, 200, 300, 400], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "t.parquet"))
+    pq.write_table(u, str(tmp_path / "u.parquet"))
+    s, _ = LiquidCacheLocalBuilder().with_cache_dir(str(tmp_path)).build()
+    s.register_parquet("t", str(tmp_path / "t.parquet"))
+    s.register_parquet("u", str(tmp_path / "u.parquet"))
+    return s
+
+
+def q(sess, sql):
+    return sess.sql(sql).to_arrow()
+
+
+def test_null_comparison_filters_row(sess):
+    out = q(sess, "select id from t where x > 5 order by id")
+    assert out.column("id").to_pylist() == [1, 3, 5]
+    out = q(sess, "select id from t where not (x > 5) order by id")
+    assert out.column("id").to_pylist() == []  # NOT NULL is still NULL
+
+
+def test_not_in_subquery_with_nulls_matches_nothing(sess):
+    # u.uid contains NULL -> NOT IN is never true (three-valued logic)
+    out = q(sess, "select id from t where id not in (select uid from u)")
+    assert out.num_rows == 0
+
+
+def test_in_subquery_with_nulls_matches_known(sess):
+    out = q(sess, "select id from t where id in (select uid from u) order by id")
+    assert out.column("id").to_pylist() == [1, 2, 4]
+
+
+def test_in_list_with_null_operand(sess):
+    out = q(sess, "select id from t where x in (10, 50) order by id")
+    assert out.column("id").to_pylist() == [1, 5]
+
+
+def test_count_ignores_nulls_count_star_does_not(sess):
+    out = q(sess, "select count(*) as a, count(x) as b, count(s) as c from t")
+    assert out.column("a")[0].as_py() == 5
+    assert out.column("b")[0].as_py() == 3
+    assert out.column("c")[0].as_py() == 4
+
+
+def test_sum_avg_null_handling(sess):
+    out = q(sess, "select sum(x) as s, avg(x) as a from t where x is null")
+    assert out.column("s")[0].as_py() is None
+    assert out.column("a")[0].as_py() is None
+    out = q(sess, "select sum(x) as s from t")
+    assert out.column("s")[0].as_py() == 90
+
+
+def test_group_by_null_key_forms_group(sess):
+    out = q(sess, "select x, count(*) as c from t group by x order by x")
+    d = dict(zip(out.column("x").to_pylist(), out.column("c").to_pylist()))
+    assert d[None] == 2 and d[10] == 1
+
+
+def test_join_null_keys_never_match(sess):
+    out = q(sess, "select id, w from t, u where id = uid order by id")
+    assert out.column("id").to_pylist() == [1, 2, 4]
+
+
+def test_left_join_preserves_unmatched(sess):
+    out = q(sess, "select id, w from t left join u on id = uid order by id")
+    assert out.num_rows == 5
+    d = dict(zip(out.column("id").to_pylist(), out.column("w").to_pylist()))
+    assert d[3] is None and d[5] is None and d[1] == 100
+
+
+def test_is_distinct_semantics_via_is_null(sess):
+    out = q(sess, "select count(*) as c from t where x is null")
+    assert out.column("c")[0].as_py() == 2
+    out = q(sess, "select count(*) as c from t where x is not null")
+    assert out.column("c")[0].as_py() == 3
+
+
+def test_string_null_in_like(sess):
+    out = q(sess, "select id from t where s like '%a%' order by id")
+    assert out.column("id").to_pylist() == [1]  # NULL never matches
+
+
+def test_empty_table_aggregates(sess):
+    out = q(sess, "select count(*) as c, sum(x) as s, min(x) as m from t "
+                  "where id > 100")
+    assert out.column("c")[0].as_py() == 0
+    assert out.column("s")[0].as_py() is None
+    assert out.column("m")[0].as_py() is None
+
+
+def test_empty_group_by_returns_no_rows(sess):
+    out = q(sess, "select x, count(*) as c from t where id > 100 group by x")
+    assert out.num_rows == 0
+
+
+def test_case_null_propagation(sess):
+    out = q(sess, "select id, case when x > 20 then 'big' else 'small' end "
+                  "as sz from t order by id")
+    # NULL condition -> ELSE branch (CASE WHEN NULL is not-true)
+    assert out.column("sz").to_pylist() == [
+        "small", "small", "big", "small", "big"]
+
+
+def test_distinct_with_nulls(sess):
+    out = q(sess, "select distinct x from t")
+    vals = out.column("x").to_pylist()
+    assert len(vals) == 4 and None in vals
+
+
+def test_union_distinct_dedups_across_members(sess):
+    out = q(sess, "select id from t where id <= 2 union select id from t "
+                  "where id <= 3 order by id")
+    assert out.column("id").to_pylist() == [1, 2, 3]
