@@ -312,8 +312,11 @@ class LiquidByteViewArray(LiquidArray):
             if verdict is None:
                 return None
             self._verdict_cache[key] = verdict
-        vd = jnp.asarray(verdict)
-        bits = _verdict_gather(vd, self.codes)
+        return self._mask_from_verdict(verdict)
+
+    def _mask_from_verdict(self, verdict: np.ndarray) -> mops.BoolMask:
+        """Distinct-value verdicts -> packed row mask via code gather."""
+        bits = _verdict_gather(jnp.asarray(verdict), self.codes)
         return mops.BoolMask(bits, validity_mask_or_full(self.validity, self.length))
 
     def to_bytes(self) -> bytes:
@@ -329,3 +332,11 @@ class LiquidByteViewArray(LiquidArray):
 def _verdict_gather(verdict: jax.Array, codes: jax.Array) -> jax.Array:
     """bool[dict] , int32[N] -> packed uint32[N/32] row mask."""
     return mops.pack_bools(verdict[codes])
+
+
+@jax.jit
+def _verdict_gather_many(verdicts: jax.Array, codes: jax.Array) -> jax.Array:
+    """Batched row-group form: bool[B, max_dict] x int32[B, N] ->
+    packed uint32[B, N/32] in ONE dispatch (per-block dictionaries are
+    padded to the widest; codes only index their own dictionary)."""
+    return jax.vmap(lambda v, c: mops.pack_bools(v[c]))(verdicts, codes)

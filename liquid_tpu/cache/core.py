@@ -510,9 +510,11 @@ class LiquidCache:
         import jax.numpy as jnp
         from liquid_tpu.arrays.base import BLOCK_ROWS as _BR
         from liquid_tpu.arrays.primitive import LiquidPrimitiveArray
+        from liquid_tpu.arrays.byteview import LiquidByteViewArray
         obs = self.observer
         results: list = [None] * len(entry_ids)
         prim: Dict[tuple, list] = {}  # (bucket, op) -> [(idx, payload, u)]
+        bv: list = []                 # [(idx, payload)] byteview blocks
         slow: list = []
         with self._lock:
             for i, eid in enumerate(entry_ids):
@@ -533,6 +535,9 @@ class LiquidCache:
                         prim.setdefault(
                             (p.planes.shape[0], plan[2]), []).append(
                                 (i, p, plan[1]))
+                elif e.state == MEMORY_LIQUID and isinstance(
+                        e.payload, LiquidByteViewArray):
+                    bv.append((i, e.payload))
                 else:
                     slow.append((i, eid))
         from liquid_tpu.arrays.base import validity_mask_or_full
@@ -551,6 +556,35 @@ class LiquidCache:
             for j, (i, p, _u) in enumerate(items):
                 results[i] = mops.BoolMask(
                     bits_all[j], validity_mask_or_full(p.validity, p.length))
+        if bv:
+            # string blocks: per-block host verdicts over distinct values
+            # (prefix keys / fingerprints / pyarrow kernels), then ONE
+            # vmapped gather over the stacked code vectors
+            from liquid_tpu.arrays.base import validity_mask_or_full as vmof
+            from liquid_tpu.arrays.byteview import _verdict_gather_many
+            evald = []
+            for i, p in bv:
+                vd = p._dict_verdict(pred)
+                if vd is None:
+                    slow.append((i, entry_ids[i]))
+                    continue
+                obs.stats.bump("predicate_evals")
+                obs.stats.bump("predicate_evals_on_encoded")
+                evald.append((i, p, vd))
+            if len(evald) == 1:
+                i, p, vd = evald[0]
+                results[i] = p._mask_from_verdict(vd)
+            elif evald:
+                max_d = max(len(vd) for _, _, vd in evald)
+                verdicts = np.zeros((len(evald), max_d), dtype=bool)
+                for j, (_i, _p, vd) in enumerate(evald):
+                    verdicts[j, :len(vd)] = vd
+                import jax.numpy as _jnp
+                codes = _jnp.stack([p.codes for _, p, _ in evald])
+                bits_all = _verdict_gather_many(_jnp.asarray(verdicts), codes)
+                for j, (i, p, _vd) in enumerate(evald):
+                    results[i] = mops.BoolMask(
+                        bits_all[j], vmof(p.validity, p.length))
         for i, eid in enumerate(slow):
             idx, entry_id = eid
             results[idx] = self.eval_predicate(entry_id, pred)
