@@ -263,6 +263,11 @@ class LiquidCache:
     def _write_disk(self, entry_id: int, data: bytes) -> bool:
         """Disk write under the disk budget (ref write_batch_to_disk,
         core.rs:790-819): evict disk victims until it fits."""
+        old = self.store.range_of(entry_id)
+        if old is not None:
+            # put() replaces the record: release the old reservation so
+            # hydrate/squeeze cycles don't leak disk budget
+            self.budget.release_disk(old[1])
         while not self.budget.try_reserve_disk(len(data)):
             victims = [v for v in self.cache_policy.find_disk_victims(8)
                        if v != entry_id]
@@ -564,7 +569,12 @@ class LiquidCache:
             from liquid_tpu.arrays.byteview import _verdict_gather_many
             evald = []
             for i, p in bv:
-                vd = p._dict_verdict(pred)
+                vkey = (pred.op, pred.literal)
+                vd = p._verdict_cache.get(vkey)
+                if vd is None:
+                    vd = p._dict_verdict(pred)
+                    if vd is not None:
+                        p._verdict_cache[vkey] = vd
                 if vd is None:
                     slow.append((i, entry_ids[i]))
                     continue

@@ -142,13 +142,16 @@ class CorrLookup(Expr):
 
 @dataclass
 class SetOp:
-    """UNION [ALL] chain; `order_by`/`limit` apply to the combined
-    result (members' own ORDER BY is only meaningful with LIMIT)."""
+    """UNION [ALL] chain; `all_flags[i]` is the ALL-ness of the union
+    BETWEEN members[i] and members[i+1] (left-associative semantics:
+    a UNION b UNION ALL c dedups {a,b} then appends c).  Trailing
+    `order_by`/`limit`/`offset` apply to the combined result."""
 
     members: List["Select"] = field(default_factory=list)
-    all: bool = False
+    all_flags: List[bool] = field(default_factory=list)
     order_by: List["OrderItem"] = field(default_factory=list)
     limit: Optional[int] = None
+    offset: Optional[int] = None
 
 
 # -- relations -------------------------------------------------------------

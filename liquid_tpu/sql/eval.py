@@ -119,9 +119,25 @@ class Evaluator:
         if isinstance(e, ast.InList):
             v = self.arr(e.operand)
             items = [self.eval(i) for i in e.items]
-            vs = pa.array([i.as_py() if isinstance(i, pa.Scalar) else i
-                           for i in items])
-            out = pc.is_in(v, value_set=vs.cast(v.type) if vs.type != v.type else vs)
+            py = [i.as_py() if isinstance(i, pa.Scalar) else i for i in items]
+            has_null = any(x is None for x in py)
+            vs = pa.array([x for x in py if x is not None])
+            if len(vs) == 0:
+                # IN () -> FALSE/NULL; NOT IN () -> TRUE/NULL per operand
+                base = pa.array(np.zeros(self.b.length, bool))
+                out = pc.if_else(pc.is_valid(v), base, pa.scalar(None, pa.bool_()))
+            else:
+                out = pc.is_in(
+                    v, value_set=vs.cast(v.type) if vs.type != v.type else vs)
+                # NULL operand -> NULL (is_in says False)
+                out = pc.if_else(pc.is_valid(v), out,
+                                 pa.scalar(None, pa.bool_()))
+            if has_null:
+                # three-valued logic: a NULL in the list turns every
+                # non-match into UNKNOWN (x IN (1, NULL): TRUE or NULL;
+                # NOT IN: FALSE or NULL -- never TRUE)
+                out = pc.if_else(pc.fill_null(out, False), out,
+                                 pa.scalar(None, pa.bool_()))
             return pc.invert(out) if e.negated else out
         if isinstance(e, ast.Between):
             v = self.eval(e.operand)
@@ -156,17 +172,31 @@ class Evaluator:
         outer = {f"__k{i}": a.to_pandas() for i, a in enumerate(key_arrays)}
         outer["__rowid"] = np.arange(n)
         df = pd.DataFrame(outer)
+        # SQL: NULL never equals anything, but pandas merge matches
+        # NaN == NaN -- drop NULL-keyed rows from both merge sides (a
+        # NULL correlation key means the subquery matches nothing)
+        outer_null = np.zeros(n, dtype=bool)
+        for a in key_arrays:
+            outer_null |= np.asarray(pc.is_null(a))
+        df = df[~outer_null]
         inner = e.table.to_pandas()
-        inner["__idx"] = np.arange(len(inner))
+        inner["__idx"] = np.arange(len(inner))  # indexes e.table (pre-filter)
         kcols = list(e.key_cols)
+        inner = inner[~inner[kcols].isna().any(axis=1)]
         if e.kind == "scalar":
             m = df.merge(inner[kcols + ["__idx"]], how="left",
                          left_on=[f"__k{i}" for i in range(len(kcols))],
                          right_on=kcols)
-            m = m.drop_duplicates("__rowid").sort_values("__rowid")
-            idx = pa.array(
-                [None if pd.isna(x) else int(x) for x in m["__idx"]],
-                pa.int64())
+            m = m.drop_duplicates("__rowid")
+            # NULL-keyed outer rows were dropped from the merge: re-expand
+            # to all n rows with NULL lookups
+            full = np.full(n, -1, dtype=np.int64)
+            mi = m["__idx"].to_numpy()
+            rid = m["__rowid"].to_numpy()
+            ok = ~pd.isna(mi)
+            full[rid[ok]] = mi[ok].astype(np.int64)
+            idx = pa.array([None if x < 0 else int(x) for x in full],
+                           pa.int64())
             return e.table.column("__v").combine_chunks().take(idx)
         # exists
         m = df.merge(inner, how="inner",
@@ -396,9 +426,14 @@ def _divide(l, r):
 def _modulo(l, r):
     if hasattr(pc, "modulo"):
         return pc.modulo(l, r)
-    ln = np.asarray(l)
+    ln = l.as_py() if isinstance(l, pa.Scalar) else np.asarray(l)
     rn = r.as_py() if isinstance(r, pa.Scalar) else np.asarray(r)
-    return pa.array(np.mod(ln, rn))
+    # SQL modulo takes the DIVIDEND's sign (np.mod takes the divisor's):
+    # -7 % 3 = -1 per DataFusion/Postgres
+    out = np.fmod(ln, rn)
+    if np.ndim(out) == 0:
+        return pa.scalar(out.item())
+    return pa.array(out)
 
 
 def _rank(t: pa.DataType) -> int:

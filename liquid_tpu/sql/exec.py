@@ -65,38 +65,49 @@ class QueryExecutor:
             return self._execute_setop(q)
         if q.ctes:
             # CTEs are statement-scoped views (evaluated on use; a CTE may
-            # reference earlier CTEs in the list)
-            added = []
+            # reference earlier CTEs, and may SHADOW a stored view, which
+            # must be restored afterwards)
+            saved = {}
             try:
                 for name, sub in q.ctes:
+                    saved[name] = self.views.get(name)
                     self.views[name] = sub
-                    added.append(name)
                 return self.execute(self._qualify(q))
             finally:
-                for name in added:
-                    self.views.pop(name, None)
+                for name, prior in saved.items():
+                    if prior is None:
+                        self.views.pop(name, None)
+                    else:
+                        self.views[name] = prior
         return self.execute(self._qualify(q))
 
     def _execute_setop(self, u: ast.SetOp) -> pa.Table:
-        """UNION [ALL] of member selects: concatenate positionally (first
-        member's column names win, SQL semantics), dedup unless ALL."""
+        """UNION [ALL] chain, left-associative: `a UNION b UNION ALL c`
+        dedups {a, b} then appends c.  Columns align positionally (first
+        member's names win, SQL semantics)."""
         parts = []
-        added = []
+        saved = {}
         try:
             for name, sub in u.members[0].ctes:
+                saved[name] = self.views.get(name)
                 self.views[name] = sub
-                added.append(name)
             for m in u.members:
                 m.ctes = []
                 parts.append(self.execute(self._qualify(m)))
         finally:
-            for name in added:
-                self.views.pop(name, None)
+            for name, prior in saved.items():
+                if prior is None:
+                    self.views.pop(name, None)
+                else:
+                    self.views[name] = prior
         names = parts[0].column_names
         parts = [p.rename_columns(names) for p in parts]
-        out = pa.concat_tables(parts, promote_options="permissive")
-        if not u.all:
-            out = out.group_by(names, use_threads=False).aggregate([])
+        out = parts[0]
+        for part, is_all in zip(parts[1:], u.all_flags):
+            out = pa.concat_tables([out, part],
+                                   promote_options="permissive")
+            if not is_all:
+                out = out.group_by(names, use_threads=False).aggregate([])
         if u.order_by:
             keys = []
             for o in u.order_by:
@@ -110,6 +121,8 @@ class QueryExecutor:
                         "UNION ORDER BY supports columns/positions")
                 keys.append((nm, "descending" if o.desc else "ascending"))
             out = out.sort_by(keys)
+        if u.offset:
+            out = out.slice(u.offset)
         if u.limit is not None:
             out = out.slice(0, u.limit)
         return out
@@ -543,7 +556,12 @@ class QueryExecutor:
 
                 for block in scan_blocks(table, plan, hints, need):
                     if not need:
-                        plain_rows += block.num_selected
+                        if group:
+                            # constant group keys: evaluate on an empty-
+                            # column batch of the right length
+                            update_from(Batch({}, block.num_selected))
+                        else:
+                            plain_rows += block.num_selected
                         continue
                     cols = {c: block.col(c, hints.get(c)) for c in need}
                     buf.append(pa.table(cols))
@@ -552,7 +570,7 @@ class QueryExecutor:
                         flush()
                 flush()
                 if plain_rows:
-                    agg.update({}, plain_rows) if not group else None
+                    agg.update({}, plain_rows)
         else:
             joined, _resid = self._join_source(q)
             if joined.num_rows:
@@ -792,13 +810,9 @@ class QueryExecutor:
                                           e.negated, extra_item=sub.items[0])
             t = self.execute(sub)
             pylist = t.column(0).to_pylist()
-            has_null = any(v is None for v in pylist)
-            vals = tuple(ast.Literal(v) for v in pylist if v is not None)
-            if e.negated and has_null:
-                # SQL three-valued logic: `x NOT IN (S)` with NULL in S is
-                # never TRUE (FALSE or NULL) -- under a WHERE clause that
-                # filters every row
-                return ast.Literal(False)
+            # NULLs stay in the list: the evaluator implements the
+            # three-valued IN / NOT IN semantics
+            vals = tuple(ast.Literal(v) for v in dict.fromkeys(pylist))
             return ast.InList(self._rewrite_subqueries(e.operand, scope),
                               vals, e.negated)
         if isinstance(e, ast.Exists):

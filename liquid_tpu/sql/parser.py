@@ -171,15 +171,16 @@ class Parser:
         if self.peek() and self.peek().kind == "kw" \
                 and self.peek().value == "union":
             members = [q]
-            is_all = False
+            all_flags = []
             while self.accept_kw("union"):
-                is_all = bool(self.accept_kw("all")) or is_all
+                all_flags.append(bool(self.accept_kw("all")))
                 members.append(self.parse_select())
-            # trailing ORDER BY / LIMIT bind to the whole union: the last
-            # member's clauses are hoisted
+            # trailing ORDER BY / LIMIT / OFFSET bind to the whole union:
+            # the last member's clauses are hoisted
             last = members[-1]
-            u = ast.SetOp(members, is_all, last.order_by, last.limit)
-            last.order_by, last.limit = [], None
+            u = ast.SetOp(members, all_flags, last.order_by, last.limit,
+                          last.offset)
+            last.order_by, last.limit, last.offset = [], None, None
             u.members[0].ctes = ctes
             self.accept_op(";")
             if self.peek() is not None:

@@ -265,6 +265,9 @@ def scan_blocks(table, plan: ScanPlan, hints: Dict[str, object],
             for conj in deferred[b] + plan.residual:
                 cols = set()
                 collect_columns(conj, cols)
+                # decorrelated lookups reference inner-table / __outer
+                # names that are not scan columns: fetch only real ones
+                cols &= set(table.column_names)
                 batch = Batch({c: _full(table, rg, b, c, cols_cache, hints)
                                for c in cols}, length)
                 m = _pred_to_expr_mask(batch, conj)
