@@ -323,6 +323,16 @@ def make_slots(aggs: List[ast.Func]) -> List[AggSlot]:
         elif f.name in ("sum", "avg", "min", "max"):
             assert not f.distinct, f"{f.name} DISTINCT unsupported"
             slots.append(AggSlot(f, nm, f.name, f.args[0]))
+        elif f.name in ("stddev", "var"):
+            # Welford-free two-pass form: (count, sum, sum of squares)
+            # merged across partials; sample variance (DataFusion default)
+            slots.append(AggSlot(f, nm, f.name, f.args[0]))
+        elif f.name == "median":
+            slots.append(AggSlot(f, nm, "median", f.args[0]))
+        elif f.name == "approx_distinct":
+            # exact distinct count (a strict refinement of the reference's
+            # HLL-based approx_distinct)
+            slots.append(AggSlot(f, nm, "count_distinct", f.args[0]))
         else:
             raise NotImplementedError(f"aggregate {f.name}")
     return slots
@@ -337,6 +347,8 @@ class GroupedAggregator:
         self._partials: List[pa.Table] = []
         self._distinct_partials: Dict[str, List[pa.Table]] = {
             s.name: [] for s in slots if s.kind == "count_distinct"}
+        self._median_partials: Dict[str, List[pa.Table]] = {
+            s.name: [] for s in slots if s.kind == "median"}
         self._key_types: Optional[List[pa.DataType]] = None
         self._input_types: Dict[str, pa.DataType] = {}
 
@@ -367,6 +379,14 @@ class GroupedAggregator:
             elif s.kind in ("min", "max"):
                 cols[s.name] = _dedict(inputs[s.name])
                 aggs.append((s.name, s.kind))
+            elif s.kind in ("stddev", "var"):
+                x = _f64(inputs[s.name])
+                cols[s.name + "__s"] = x
+                cols[s.name + "__q"] = pc.multiply(x, x)
+                cols[s.name + "__c"] = inputs[s.name]
+                aggs.append((s.name + "__s", "sum"))
+                aggs.append((s.name + "__q", "sum"))
+                aggs.append((s.name + "__c", "count"))
             if s.input is not None and s.name in inputs:
                 self._input_types.setdefault(s.name, _dedict(inputs[s.name]).type)
         if aggs:
@@ -383,6 +403,11 @@ class GroupedAggregator:
             self._partials.append(part)
         # distinct streams: per-batch dedup of (keys, value)
         for s in self.slots:
+            if s.kind == "median":
+                mcols = {nm: _dedict(a) for nm, a in zip(self.key_names, keys)}
+                mcols["__v"] = _f64(inputs[s.name])
+                self._median_partials[s.name].append(pa.table(mcols))
+                continue
             if s.kind != "count_distinct":
                 continue
             dcols = {nm: _dedict(a) for nm, a in zip(self.key_names, keys)}
@@ -393,7 +418,8 @@ class GroupedAggregator:
             self._distinct_partials[s.name].append(dpart)
 
     def _distinct_only_slots(self) -> bool:
-        return all(s.kind == "count_distinct" for s in self.slots) and self.slots
+        return bool(self.slots) and all(
+            s.kind in ("count_distinct", "median") for s in self.slots)
 
     def _empty_typed(self) -> pa.Table:
         """Zero-row result with the right schema (no block ever matched)."""
@@ -407,6 +433,12 @@ class GroupedAggregator:
             elif s.kind == "avg":
                 cols[s.name + "__s"] = pa.array([], pa.float64())
                 cols[s.name + "__c"] = pa.array([], pa.int64())
+            elif s.kind in ("stddev", "var"):
+                cols[s.name + "__s"] = pa.array([], pa.float64())
+                cols[s.name + "__q"] = pa.array([], pa.float64())
+                cols[s.name + "__c"] = pa.array([], pa.int64())
+            elif s.kind == "median":
+                cols[s.name] = pa.array([], pa.float64())
             else:
                 t = self._input_types.get(s.name, pa.null())
                 cols[s.name] = pa.array([], _sum_type(t) if s.kind == "sum" else t)
@@ -430,6 +462,10 @@ class GroupedAggregator:
             elif s.kind in ("min", "max"):
                 merge_aggs.append((s.name, s.kind))
                 rename[f"{s.name}_{s.kind}"] = s.name
+            elif s.kind in ("stddev", "var"):
+                for suf in ("__s", "__q", "__c"):
+                    merge_aggs.append((s.name + suf, "sum"))
+                    rename[s.name + suf + "_sum"] = s.name + suf
         if self._partials:
             merged = pa.concat_tables(
                 self._partials, promote_options="permissive")
@@ -471,6 +507,35 @@ class GroupedAggregator:
                 else:
                     for n in dfin.column_names:
                         out = out.append_column(n, dfin.column(n))
+        for s in self.slots:
+            if s.kind != "median":
+                continue
+            parts = self._median_partials[s.name]
+            if not parts and out is None:
+                out = self._empty_typed()
+            if parts:
+                import pandas as pd
+                mdf = pa.concat_tables(
+                    parts, promote_options="permissive").to_pandas()
+                if self.key_names:
+                    mg = (mdf.groupby(self.key_names, dropna=False)["__v"]
+                          .median().reset_index())
+                    mg = mg.rename(columns={"__v": s.name})
+                    mfin = pa.Table.from_pandas(mg, preserve_index=False)
+                else:
+                    mfin = pa.table({s.name: pa.array(
+                        [float(mdf["__v"].median())], pa.float64())})
+            else:
+                mfin = None
+            if out is None:
+                out = mfin
+            elif mfin is not None:
+                if self.key_names:
+                    out = out.join(mfin, keys=self.key_names,
+                                   join_type="full outer")
+                else:
+                    for nn in mfin.column_names:
+                        out = out.append_column(nn, mfin.column(nn))
         if out is None:
             out = pa.table({})
         # avg finalization: f64 sum/count
@@ -483,6 +548,18 @@ class GroupedAggregator:
                 scnt = cols.pop(s.name + "__c")
                 cols[s.name] = pc.divide(ssum.cast(pa.float64()),
                                          scnt.cast(pa.float64()))
+            elif s.kind in ("stddev", "var"):
+                ss = cols.pop(s.name + "__s").cast(pa.float64())
+                qq = cols.pop(s.name + "__q").cast(pa.float64())
+                cc = cols.pop(s.name + "__c").cast(pa.float64())
+                # sample variance: (sumsq - sum^2/n) / (n - 1)
+                num = pc.subtract(qq, pc.divide(pc.multiply(ss, ss), cc))
+                den = pc.subtract(cc, pa.scalar(1.0))
+                var = pc.if_else(pc.greater(cc, 1.0),
+                                 pc.divide(num, den),
+                                 pa.scalar(None, pa.float64()))
+                var = pc.max_element_wise(var, pa.scalar(0.0))  # fp jitter
+                cols[s.name] = (pc.sqrt(var) if s.kind == "stddev" else var)
             elif s.kind in ("count", "count_star", "count_distinct"):
                 if s.name in cols:
                     cols[s.name] = pc.fill_null(
@@ -505,6 +582,10 @@ class ScalarAggregator:
                 self.state[s.name] = None
             elif s.kind == "avg":
                 self.state[s.name] = [None, 0]
+            elif s.kind in ("stddev", "var"):
+                self.state[s.name] = [0.0, 0.0, 0]  # sum, sumsq, count
+            elif s.kind == "median":
+                self.state[s.name] = []
             else:
                 self.state[s.name] = None
 
@@ -541,6 +622,17 @@ class ScalarAggregator:
                 if v is not None:
                     cur = self.state[s.name]
                     self.state[s.name] = v if cur is None else max(cur, v)
+            elif s.kind in ("stddev", "var"):
+                x = _f64(arr)
+                st = self.state[s.name]
+                v = pc.sum(x).as_py()
+                q = pc.sum(pc.multiply(x, x)).as_py()
+                st[0] += v or 0.0
+                st[1] += q or 0.0
+                st[2] += len(arr) - arr.null_count
+            elif s.kind == "median":
+                self.state[s.name].extend(
+                    x for x in _f64(arr).to_pylist() if x is not None)
 
     def finalize(self, input_types: Dict[str, pa.DataType]) -> pa.Table:
         cols = {}
@@ -558,6 +650,18 @@ class ScalarAggregator:
                 t = input_types.get(s.name)
                 t = _sum_type(t) if t is not None else None
                 cols[s.name] = pa.array([st], t)
+            elif s.kind in ("stddev", "var"):
+                ssum, ssq, n = st
+                if n <= 1:
+                    v = None
+                else:
+                    var = max((ssq - ssum * ssum / n) / (n - 1), 0.0)
+                    v = var ** 0.5 if s.kind == "stddev" else var
+                cols[s.name] = pa.array([v], pa.float64())
+            elif s.kind == "median":
+                import numpy as _np
+                v = float(_np.median(st)) if st else None
+                cols[s.name] = pa.array([v], pa.float64())
             else:
                 t = input_types.get(s.name)
                 cols[s.name] = pa.array([st], t)

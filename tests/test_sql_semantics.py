@@ -135,3 +135,22 @@ def test_union_distinct_dedups_across_members(sess):
     out = q(sess, "select id from t where id <= 2 union select id from t "
                   "where id <= 3 order by id")
     assert out.column("id").to_pylist() == [1, 2, 3]
+
+
+def test_stddev_var_median_approx_distinct(sess):
+    import numpy as np
+    out = q(sess, "select stddev(id) as sd, var(id) as vr, "
+                  "median(id) as md, approx_distinct(id) as ad from t")
+    vals = np.array([1, 2, 3, 4, 5], dtype=float)
+    assert abs(out.column("vr")[0].as_py() - vals.var(ddof=1)) < 1e-12
+    assert abs(out.column("sd")[0].as_py() - vals.std(ddof=1)) < 1e-12
+    assert out.column("md")[0].as_py() == 3.0
+    assert out.column("ad")[0].as_py() == 5
+
+
+def test_grouped_stddev_median(sess):
+    out = q(sess, "select id % 2 as g, var(id) as vr, median(id) as md "
+                  "from t group by g order by g")
+    # g=0: ids 2,4 -> var 2.0, median 3.0 ; g=1: ids 1,3,5 -> var 4.0, med 3
+    assert out.column("vr").to_pylist() == [2.0, 4.0]
+    assert out.column("md").to_pylist() == [3.0, 3.0]
