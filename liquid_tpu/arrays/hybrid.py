@@ -142,6 +142,108 @@ def squeeze_primitive(arr) -> Optional[Tuple[object, bytes]]:
     return sq, arr.to_bytes()
 
 
+class SqueezedQuantizedArray(LiquidSqueezedArray):
+    """Quantized integers (ref `LiquidPrimitiveQuantizedArray`,
+    hybrid_primitive_array.rs:429-437, design/03-squeeze-integer.md):
+    values bucketized to `2^narrow_width` equal-width buckets; a
+    comparison is IO-free for every row whose bucket lies strictly on
+    one side of the literal's bucket -- only rows in the literal's OWN
+    bucket are ambiguous and touch the disk backing."""
+
+    def __init__(self, planes, narrow_width, reference_value, bucket_size,
+                 validity, length, arrow_type, disk_range):
+        self.planes = planes                # bucket ids, bit-planes
+        self.narrow_width = narrow_width
+        self.reference_value = reference_value
+        self.bucket_size = bucket_size      # values per bucket (>= 1)
+        self.validity = validity
+        self.length = length
+        self.arrow_type = arrow_type
+        self._disk_range = disk_range
+
+    def memory_bytes(self) -> int:
+        n = self.planes.size * 4
+        if self.validity is not None:
+            n += self.validity.size * 4
+        return n + 64
+
+    def disk_backing(self):
+        return ("liquid", self._disk_range)
+
+    def _read_full(self, io):
+        return ipc.deserialize(io.read(self._disk_range))
+
+    def to_arrow(self, io) -> pa.Array:
+        return self._read_full(io).to_arrow()
+
+    def try_eval_predicate(self, pred: Predicate, io):
+        if pred.op not in ("eq", "ne", "lt", "lt_eq", "gt", "gt_eq"):
+            return None
+        lit = pred.literal
+        if isinstance(lit, bool) or not isinstance(
+                lit, (int, np.integer, float, np.floating)):
+            return None
+        if isinstance(lit, (float, np.floating)) and float(lit) != int(lit):
+            return self._read_full(io).try_eval_predicate(pred)
+        lit = int(lit)
+        r, bs, op = self.reference_value, self.bucket_size, pred.op
+        nb = 1 << self.narrow_width
+        u = lit - r
+        b = u // bs
+        if b < 0 or b >= nb:
+            # literal outside the stored domain: verdict uniform
+            exact = self._read_full(io)
+            return exact.try_eval_predicate(pred)
+        lt_b = bp.cmp_const_op(self.planes, np.uint64(b), "lt")
+        eq_b = bp.cmp_const_op(self.planes, np.uint64(b), "eq")
+        # IO-free when no row occupies the literal's bucket
+        if int(np.asarray(mops.count(eq_b))) == 0:
+            if op in ("lt", "lt_eq"):
+                bits = lt_b
+            elif op in ("gt", "gt_eq"):
+                bits = ~(lt_b | eq_b)
+            elif op == "eq":
+                bits = mops.none_set(BLOCK_ROWS)
+            else:  # ne
+                bits = mops.all_set(BLOCK_ROWS)
+            return mops.BoolMask(
+                bits, validity_mask_or_full(self.validity, self.length))
+        # ambiguous rows exist: settle them with the exact backing
+        exact_mask = self._read_full(io).try_eval_predicate(pred)
+        if exact_mask is None:
+            return None
+        if op in ("lt", "lt_eq"):
+            decided = lt_b
+        elif op in ("gt", "gt_eq"):
+            decided = ~(lt_b | eq_b)
+        elif op == "eq":
+            decided = mops.none_set(BLOCK_ROWS)  # outside the bucket: never
+        else:  # ne: outside the literal's bucket is always !=
+            decided = mops.all_set(BLOCK_ROWS)
+        bits = (decided & ~eq_b) | (exact_mask.bits & eq_b)
+        return mops.BoolMask(
+            bits, validity_mask_or_full(self.validity, self.length))
+
+
+def squeeze_primitive_quantized(arr) -> Optional[Tuple[object, bytes]]:
+    """LiquidPrimitiveArray -> (SqueezedQuantizedArray-without-range, bytes)
+    (ref IntegerSqueezePolicy::Quantize, primitive_array.rs:36-42)."""
+    if arr.width <= 2:
+        return None
+    narrow = max(1, (arr.width + 1) // 2)
+    span = 1 << arr.width
+    bucket_size = max(1, (span + (1 << narrow) - 1) >> narrow)
+    off = bp.unpack_bitplanes(
+        arr.planes, jnp.uint64 if arr.planes.shape[0] > 32 else jnp.uint32)
+    buckets = (off.astype(jnp.uint64) // jnp.uint64(bucket_size))
+    buckets = jnp.minimum(buckets, jnp.uint64((1 << narrow) - 1))
+    planes = bp.pack_bitplanes(buckets, narrow)
+    sq = SqueezedQuantizedArray(planes, narrow, arr.reference_value,
+                                bucket_size, arr.validity, arr.length,
+                                arr.arrow_type, disk_range=None)
+    return sq, arr.to_bytes()
+
+
 class SqueezedByteViewArray(LiquidSqueezedArray):
     """Codes + prefix keys + fingerprints resident; dictionary on disk."""
 

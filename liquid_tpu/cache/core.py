@@ -30,7 +30,9 @@ from liquid_tpu.arrays.base import (
     BLOCK_ROWS, LiquidArray, LiquidSqueezedArray, Predicate,
 )
 from liquid_tpu.arrays import variant
-from liquid_tpu.arrays.hybrid import SqueezedDate32Array, squeeze_date32
+from liquid_tpu.arrays.hybrid import (
+    SqueezedDate32Array, squeeze_date32, squeeze_primitive_quantized,
+)
 from liquid_tpu.arrays.variant import VariantStructSqueezedArray
 from liquid_tpu.cache import policies as pol
 from liquid_tpu.cache import transcode as tc
@@ -126,6 +128,18 @@ class _SqueezeCtx:
             return variant.shred_variant(liquid.to_arrow(), hint.requests)
         return None
 
+    def squeeze_default(self, payload):
+        """Default squeeze of a liquid array honoring the cache's integer
+        squeeze policy (ref IntegerSqueezePolicy::{Clamp,Quantize},
+        primitive_array.rs:36-42)."""
+        from liquid_tpu.arrays.primitive import LiquidPrimitiveArray
+        if (self._cache.int_squeeze_mode == "quantize"
+                and isinstance(payload, LiquidPrimitiveArray)):
+            out = squeeze_primitive_quantized(payload)
+            if out is not None:
+                return out
+        return payload.squeeze()
+
     def variant_squeeze(self, payload):
         """Arrow JSON column + VariantGet hint -> shredded squeezed form
         (ref try_variant_squeeze, squeeze.rs:222-290); None otherwise."""
@@ -166,7 +180,8 @@ class LiquidCache:
                  hydration_policy: Optional[pol.HydrationPolicy] = None,
                  transcode_on_insert: bool = True,
                  batch_size: int = BLOCK_ROWS,
-                 trace_events: bool = False):
+                 trace_events: bool = False,
+                 int_squeeze_mode: str = "clamp"):
         assert batch_size & (batch_size - 1) == 0, "batch_size must be pow2"
         self.batch_size = batch_size
         self.budget = BudgetAccounting(max_memory_bytes, max_disk_bytes)
@@ -175,6 +190,8 @@ class LiquidCache:
         self.squeeze_policy = squeeze_policy or pol.TranscodeSqueezeEvict()
         self.hydration_policy = hydration_policy or pol.AlwaysHydrate()
         self.transcode_on_insert = transcode_on_insert
+        assert int_squeeze_mode in ("clamp", "quantize"), int_squeeze_mode
+        self.int_squeeze_mode = int_squeeze_mode
         self.observer = Observer(trace_events=trace_events)
         self.metadata = DefaultCacheMetadata()
         self._entries: Dict[int, CacheEntry] = {}
@@ -728,6 +745,12 @@ class LiquidCacheBuilder:
 
     def with_trace_events(self, b: bool = True):
         self._kw["trace_events"] = b
+        return self
+
+    def with_integer_squeeze_policy(self, mode: str):
+        """"clamp" (default) or "quantize"
+        (ref IntegerSqueezePolicy, primitive_array.rs:36-42)."""
+        self._kw["int_squeeze_mode"] = mode
         return self
 
     def build(self) -> LiquidCache:

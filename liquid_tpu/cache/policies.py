@@ -217,7 +217,7 @@ class TranscodeSqueezeEvict(SqueezePolicy):
                 if out is not None:
                     sq, backing = out
                     return (REPLACE, c.MEMORY_SQUEEZED, sq, backing)
-            out = payload.squeeze()
+            out = ctx.squeeze_default(payload)
             if out is None:  # unsqueezable: evict to disk in liquid form
                 return (REPLACE, c.DISK_LIQUID, None, payload.to_bytes())
             sq, backing = out

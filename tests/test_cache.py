@@ -292,3 +292,40 @@ def test_zone_map_pruning(tmp_path):
     # pruned batches cost no predicate evaluations on the warm scan
     evals = cache.observer.stats.get("predicate_evals") - evals_before
     assert evals <= 2
+
+
+def test_quantized_integer_squeeze(tmp_path):
+    """IntegerSqueezePolicy::Quantize: bucketized resident form decides
+    predicates IO-free unless the literal's own bucket is occupied
+    (ref hybrid_primitive_array.rs:429-437, design/03-squeeze-integer.md)."""
+    import numpy as np
+    import pyarrow as pa
+    from liquid_tpu.arrays.base import Predicate
+    from liquid_tpu.cache import LiquidCacheBuilder
+
+    cache = (LiquidCacheBuilder()
+             .with_max_memory_bytes(1 << 24)
+             .with_disk_path(str(tmp_path / "s.bin"))
+             .with_integer_squeeze_policy("quantize")
+             .build())
+    rng = np.random.default_rng(0)
+    vals = rng.integers(0, 100_000, 8192)
+    cache.insert(1, pa.array(vals))
+    cache._squeeze_victim(1)
+    assert cache.entry_state(1) == "memory_squeezed"
+    from liquid_tpu.arrays.hybrid import SqueezedQuantizedArray
+    assert isinstance(cache._entries[1].payload, SqueezedQuantizedArray)
+
+    from liquid_tpu.ops import mask as mops
+    for op, lit, np_op in [("gt", 50_000, np.greater),
+                           ("lt", 30_000, np.less),
+                           ("lt_eq", 99_999, np.less_equal),
+                           ("eq", int(vals[5]), np.equal),
+                           ("ne", 12_345, np.not_equal)]:
+        out = cache.eval_predicate(1, Predicate(op, lit))
+        assert out is not None, (op, lit)
+        got = np.asarray(mops.unpack_bits(out.to_selection()))[:8192]
+        np.testing.assert_array_equal(got, np_op(vals, lit), err_msg=op)
+
+    # exact round trip through the backing
+    assert cache.get(1).to_pylist() == vals.tolist()
