@@ -166,6 +166,22 @@ def in_range(planes: jax.Array, lo_hi) -> jax.Array:
     return ~lt_lo & (lt_hi | eq_hi)
 
 
+def _combine_op(lt: jax.Array, eq: jax.Array, op: str) -> jax.Array:
+    if op == "eq":
+        return eq
+    if op == "ne":
+        return ~eq
+    if op == "lt":
+        return lt
+    if op == "lt_eq":
+        return lt | eq
+    if op == "gt":
+        return ~(lt | eq)
+    if op == "gt_eq":
+        return ~lt
+    raise ValueError(f"unknown op {op}")
+
+
 @partial(jax.jit, static_argnums=(2,))
 def cmp_const_op_many(planes_stack: jax.Array, cs: jax.Array,
                       op: str) -> jax.Array:
@@ -175,8 +191,17 @@ def cmp_const_op_many(planes_stack: jax.Array, cs: jax.Array,
 
     ONE dispatch for a whole row group's blocks -- the per-block
     dispatch overhead (and per-block host syncs) dominated the scan loop
-    before this (PERF_NOTES.md).
+    before this (PERF_NOTES.md).  On real TPUs the per-block-constant
+    Pallas kernel runs the compare at memory speed (424 GB/s measured);
+    elsewhere it lowers to the vmapped XLA chain.
     """
+    bsz, bucket, w_words = planes_stack.shape
+    if (jax.default_backend() == "tpu" and bucket > 0 and bsz > 1
+            and w_words == 256):
+        from liquid_tpu.ops import bitpack_pallas as bpp
+        lt, eq = bpp.cmp_const_many_pallas(planes_stack, cs,
+                                           interpret=False)
+        return _combine_op(lt, eq, op)
     return jax.vmap(lambda p, c: cmp_const_op(p, c, op))(planes_stack, cs)
 
 

@@ -185,3 +185,72 @@ def count_gt(planes: jax.Array, c, interpret: bool | None = None) -> jax.Array:
     return total.astype(jnp.int32)
 
 
+
+# -- batched per-block compare (the SQL engine's row-group hot path) ---------
+
+#: words per block in the batched kernel (one 8192-row block = 256 words)
+BLOCK_WORDS = 256
+
+
+def _cmp_many_kernel(cb_ref, planes_ref, lt_ref, eq_ref):
+    """One grid step = one 8192-row block: planes_ref [1, w, 2, 128];
+    cb_ref holds the FULL [B, w] constant table in SMEM (block-indexed
+    SMEM specs are over-constrained), indexed by program_id."""
+    width = planes_ref.shape[1]
+    i = pl.program_id(0)
+    lt = jnp.zeros_like(planes_ref[0, 0])
+    eq = jnp.full_like(planes_ref[0, 0], jnp.uint32(0xFFFFFFFF))
+    for b in range(width - 1, -1, -1):
+        pb = planes_ref[0, b]
+        cb = cb_ref[i, b]
+        lt = lt | (eq & ~pb & cb)
+        eq = eq & ~(pb ^ cb)
+    lt_ref[0] = lt
+    eq_ref[0] = eq
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def cmp_const_many_pallas(planes_stack: jax.Array, cs: jax.Array,
+                          interpret: bool | None = None):
+    """Batched packed compare with PER-BLOCK constants: planes_stack
+    uint32[B, width, BLOCK_WORDS], cs uint64[B] -> (lt, eq)
+    uint32[B, BLOCK_WORDS].  One pallas dispatch for a whole row group
+    of blocks (each grid step owns one block and its own constant,
+    mirroring per-block reference_value offsets)."""
+    bsz, width, w_words = planes_stack.shape
+    assert w_words == BLOCK_WORDS, w_words
+    interp = _interpret() if interpret is None else interpret
+    cbs = jax.vmap(lambda c: _cb_vector(c, width))(cs)      # [B, width] u32
+    p4 = planes_stack.reshape(bsz, width, w_words // LANES, LANES)
+    tw = w_words // LANES
+    with jax.enable_x64(False):
+        lt, eq = pl.pallas_call(
+            _cmp_many_kernel,
+            grid=(bsz,),
+            in_specs=[
+                pl.BlockSpec((bsz, width), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, width, tw, LANES), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, tw, LANES), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tw, LANES), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bsz, tw, LANES), jnp.uint32),
+                jax.ShapeDtypeStruct((bsz, tw, LANES), jnp.uint32),
+            ],
+            interpret=interp,
+        )(cbs, p4)
+    lt = lt.reshape(bsz, w_words)
+    eq = eq.reshape(bsz, w_words)
+    # constant bits above the stored width: every value is smaller
+    if width < 64:
+        over = jnp.where((cs.astype(jnp.uint64) >> jnp.uint64(width)) != 0,
+                         jnp.uint32(0xFFFFFFFF), jnp.uint32(0))[:, None]
+        lt = lt | over
+        eq = eq & ~over
+    return lt, eq
