@@ -19,6 +19,35 @@ from liquid_tpu.arrays.base import LiquidArray
 from liquid_tpu.cache.expressions import ExtractDate32, SubstringSearch
 
 
+def _try_linear(arr: pa.Array):
+    """Adaptive encoding choice: near-monotonic integer columns (row ids,
+    timestamps, offsets) fit a line whose residuals pack several bits
+    narrower than the plain offsets (ref design/02-linear-integer.md);
+    pick LiquidLinearArray when the estimated saving is >= 3 bits."""
+    import numpy as np
+    from liquid_tpu.arrays import linear
+    from liquid_tpu.ops import bitpack as bp
+    n = len(arr)
+    if n < 1024 or arr.null_count * 4 > n:
+        return None
+    vals = np.asarray(arr.fill_null(0)if arr.null_count else arr)
+    vals = vals.astype(np.int64, copy=False)
+    plain_width = bp.bit_width_for(int(vals.max() - vals.min()))
+    if plain_width < 10:
+        return None
+    idx = np.arange(n, dtype=np.float64)
+    vf = vals.astype(np.float64)
+    denom = ((idx - idx.mean()) ** 2).sum()
+    if denom <= 0:
+        return None
+    slope = ((idx - idx.mean()) * (vf - vf.mean())).sum() / denom
+    resid = vals - np.round(slope * idx).astype(np.int64)
+    resid_width = bp.bit_width_for(int(resid.max() - resid.min()))
+    if resid_width + 3 > plain_width:
+        return None
+    return linear.LiquidLinearArray.from_arrow(arr)
+
+
 def transcode(arr: pa.Array, hint=None, compressor=None) -> Optional[LiquidArray]:
     """-> LiquidArray, or None if the type has no liquid encoding yet
     (caller keeps the arrow form; ref transcode.rs fallthrough).
@@ -32,6 +61,9 @@ def transcode(arr: pa.Array, hint=None, compressor=None) -> Optional[LiquidArray
         # store as 1-bit primitive; logical type preserved through cast
         return primitive.LiquidPrimitiveArray.from_arrow(arr.cast(pa.uint8()))._with_logical(t)
     if primitive.is_supported_type(t):
+        lin = _try_linear(arr)
+        if lin is not None:
+            return lin
         return primitive.LiquidPrimitiveArray.from_arrow(arr)
     if float_alp.is_supported_type(t):
         return float_alp.LiquidFloatArray.from_arrow(arr)

@@ -190,3 +190,28 @@ class TestDelta:
         back = ipc.deserialize(la.to_bytes())
         assert back.to_arrow().equals(arr)
         assert back.first_value == la.first_value
+
+
+def test_transcode_picks_linear_for_monotonic():
+    """Adaptive encoding: near-monotonic int columns transcode to
+    LiquidLinearArray when residuals pack >=3 bits narrower
+    (ref design/02-linear-integer.md)."""
+    import numpy as np
+    import pyarrow as pa
+    from liquid_tpu.arrays.linear import LiquidLinearArray
+    from liquid_tpu.arrays.primitive import LiquidPrimitiveArray
+    from liquid_tpu.cache import transcode as tc
+
+    rng = np.random.default_rng(0)
+    # sequential ids + small jitter: linear wins by a mile
+    seq = np.arange(8192, dtype=np.int64) * 1000 + rng.integers(0, 8, 8192)
+    out = tc.transcode(pa.array(seq))
+    assert isinstance(out, LiquidLinearArray), type(out)
+    assert out.to_arrow().to_pylist() == seq.tolist()
+    # random data: plain bit-planes stay
+    rnd = rng.integers(0, 1 << 20, 8192)
+    out2 = tc.transcode(pa.array(rnd))
+    assert isinstance(out2, LiquidPrimitiveArray), type(out2)
+    # linear memory is genuinely smaller
+    plain = LiquidPrimitiveArray.from_arrow(pa.array(seq))
+    assert out.memory_bytes() < plain.memory_bytes() / 2
