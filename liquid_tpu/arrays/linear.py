@@ -68,6 +68,13 @@ def _int_literal(pred: Predicate):
         f = float(lit)
         if math.isnan(f):
             return ("const", op == "ne")
+        if math.isinf(f):
+            pos = f > 0
+            return ("const", {
+                "eq": False, "ne": True,
+                "lt": pos, "lt_eq": pos,
+                "gt": not pos, "gt_eq": not pos,
+            }[op])
         if f != int(f):
             if op == "eq":
                 return ("const", False)

@@ -97,9 +97,8 @@ def prefix_verdict(meta: PrefixMeta, op: str, lit_b: bytes,
             return None, None
         need = np.uint32(needle_fp)
         candidates = (fingerprints & need) == need
-        verdict = candidates.copy() if op == "not_contains" else np.zeros(n, bool)
-        if op == "not_contains":
-            verdict = ~candidates
+        # fingerprint miss is definitive: cannot contain the needle
+        verdict = ~candidates if op == "not_contains" else np.zeros(n, bool)
         return verdict, candidates
 
     if op == "starts_with":

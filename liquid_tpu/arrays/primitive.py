@@ -162,6 +162,13 @@ class LiquidPrimitiveArray(LiquidArray):
         if isinstance(lit, (float, np.floating)):
             if math.isnan(lit):
                 return ("const", op == "ne")
+            if math.isinf(lit):
+                pos = lit > 0
+                return ("const", {
+                    "eq": False, "ne": True,
+                    "lt": pos, "lt_eq": pos,          # v < +inf always
+                    "gt": not pos, "gt_eq": not pos,  # v > -inf always
+                }[op])
             if float(lit) != int(lit):
                 f = float(lit)
                 if op == "eq":

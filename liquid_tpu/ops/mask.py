@@ -211,6 +211,8 @@ def compact_indices(selection: jax.Array, n_rows: int):
     out = jnp.zeros(n_rows, dtype=jnp.int32).at[jnp.where(sel, pos, n_rows)].set(
         idx, mode="drop"
     )
-    # pad tail with last selected index (or 0) so downstream gathers stay in-bounds
-    out = jnp.where(jnp.arange(n_rows) < k, out, jnp.maximum(k - 1, 0))
+    # pad tail with the last selected index (or 0) so downstream gathers
+    # stay in-bounds AND tail reads repeat a real selected row
+    last = out[jnp.maximum(k - 1, 0)]
+    out = jnp.where(jnp.arange(n_rows) < k, out, last)
     return out, k

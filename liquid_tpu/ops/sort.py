@@ -58,13 +58,22 @@ def radix_sort_pairs(keys: jax.Array, values: jax.Array,
     return k, v
 
 
+def _reversed_key(keys: jax.Array) -> jax.Array:
+    """Order-reversing bijection: bitwise complement for integers (no
+    overflow/modular-wrap pitfalls of negation: ~x = -x-1 is monotone
+    decreasing for signed AND unsigned); negation for floats."""
+    if jnp.issubdtype(keys.dtype, jnp.integer):
+        return ~keys
+    return -keys
+
+
 @partial(jax.jit, static_argnums=(1, 2))
 def top_k_rows(keys: jax.Array, k: int, descending: bool = True):
     """(top-k keys, their row indices) -- ORDER BY key LIMIT k."""
     if descending:
         return jax.lax.top_k(keys, k)
-    neg, idx = jax.lax.top_k(-keys, k)
-    return -neg, idx
+    rev, idx = jax.lax.top_k(_reversed_key(keys), k)
+    return keys[idx], idx
 
 
 @partial(jax.jit, static_argnums=(1,))
@@ -74,7 +83,7 @@ def argsort_selected(keys: jax.Array, descending: bool = False):
     n = keys.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     if descending:
-        order = jnp.lexsort((idx, -keys))
+        order = jnp.lexsort((idx, _reversed_key(keys)))
     else:
         order = jnp.lexsort((idx, keys))
     return order.astype(jnp.int32)

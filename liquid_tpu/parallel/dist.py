@@ -50,14 +50,19 @@ def dist_filter_count(mesh: Mesh):
     """Distributed ClickBench-q1 shape: packed compare + global popcount.
 
     planes are sharded on the WORDS axis (axis 1: each device holds the
-    bit-planes of its own rows); returns the global count.
+    bit-planes of its own rows); `valid` is the packed validity mask in
+    the same sharding (padding rows added for divisibility MUST be
+    masked out -- a zero-decoded padding row satisfies `<> c` for any
+    c != 0).  Returns the global count of valid rows with value != c.
     """
 
-    @partial(shard_map, mesh=mesh, in_specs=(P(None, DATA_AXIS), P()),
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(None, DATA_AXIS), P(DATA_AXIS), P()),
              out_specs=P())
-    def step(planes, c):
+    def step(planes, valid, c):
         lt, eq = bp.cmp_const(planes, c)
-        local = jax.lax.population_count(~eq).astype(jnp.int32).sum()
+        local = jax.lax.population_count(
+            ~eq & valid).astype(jnp.int32).sum(dtype=jnp.int32)
         return jax.lax.psum(local[None], DATA_AXIS)
 
     return step
@@ -99,6 +104,40 @@ def _hash64(x: jax.Array) -> jax.Array:
     return x ^ (x >> jnp.uint64(31))
 
 
+
+def _exchange_by_dest(n: int, cap: int, keys, payloads, valid=None):
+    """Shared shuffle core: hash keys to destinations, rank-pack each
+    destination bucket to `cap` slots, all_to_all-exchange.  `payloads`
+    is a tuple of row-aligned arrays shipped with the keys; invalid rows
+    (valid=False) are not sent.  -> (keys, payloads..., mask, overflow).
+    Used by dist_shuffle_by_key / dist_lookup_join / dist_agg_by_key so
+    capacity/ranking fixes land in one place."""
+    dest = (_hash64(keys) % jnp.uint64(n)).astype(jnp.int32)
+    if valid is not None:
+        dest = jnp.where(valid, dest, n)
+    onehot = jax.nn.one_hot(dest, n, dtype=jnp.int32)
+    rank = jnp.cumsum(onehot, axis=0) - onehot
+    my_rank = (rank * onehot).sum(axis=1)
+    slot = dest * cap + my_rank
+    ok = my_rank < cap
+    if valid is not None:
+        ok = ok & valid
+    tgt = jnp.where(ok, slot, n * cap)
+    sent = (valid if valid is not None
+            else jnp.ones(keys.shape, jnp.bool_))
+    ovf = (sent & ~ok).sum()[None]
+
+    def ship(x):
+        buf = jnp.zeros((n * cap,), x.dtype).at[tgt].set(x, mode="drop")
+        return jax.lax.all_to_all(buf.reshape(n, cap), DATA_AXIS, 0, 0,
+                                  tiled=False).reshape(-1)
+
+    mask = jnp.zeros((n * cap,), jnp.bool_).at[tgt].set(True, mode="drop")
+    rmask = jax.lax.all_to_all(mask.reshape(n, cap), DATA_AXIS, 0, 0,
+                               tiled=False).reshape(-1)
+    return (ship(keys),) + tuple(ship(p) for p in payloads) + (rmask, ovf)
+
+
 def dist_shuffle_by_key(mesh: Mesh, rows_per_device: int):
     """All-to-all repartition of (key, value) rows by key hash.
 
@@ -116,28 +155,8 @@ def dist_shuffle_by_key(mesh: Mesh, rows_per_device: int):
              in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
              out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)))
     def step(keys, values):
-        dest = (_hash64(keys) % jnp.uint64(n)).astype(jnp.int32)
-        # rank of each row within its destination bucket
-        onehot = jax.nn.one_hot(dest, n, dtype=jnp.int32)      # [R, n]
-        rank = jnp.cumsum(onehot, axis=0) - onehot              # before me
-        my_rank = (rank * onehot).sum(axis=1)
-        slot = dest * cap + my_rank
-        ok = my_rank < cap
-        send_k = jnp.zeros((n * cap,), keys.dtype).at[
-            jnp.where(ok, slot, n * cap)].set(keys, mode="drop")
-        send_v = jnp.zeros((n * cap,), values.dtype).at[
-            jnp.where(ok, slot, n * cap)].set(values, mode="drop")
-        send_m = jnp.zeros((n * cap,), jnp.bool_).at[
-            jnp.where(ok, slot, n * cap)].set(True, mode="drop")
-        overflow = (~ok).sum()[None]
-        # [n, cap] -> exchange over the data axis
-        rk = jax.lax.all_to_all(send_k.reshape(n, cap), DATA_AXIS, 0, 0,
-                                tiled=False)
-        rv = jax.lax.all_to_all(send_v.reshape(n, cap), DATA_AXIS, 0, 0,
-                                tiled=False)
-        rm = jax.lax.all_to_all(send_m.reshape(n, cap), DATA_AXIS, 0, 0,
-                                tiled=False)
-        return (rk.reshape(-1), rv.reshape(-1), rm.reshape(-1), overflow)
+        rk, rv, rm, overflow = _exchange_by_dest(n, cap, keys, (values,))
+        return rk, rv, rm, overflow
 
     return step
 
@@ -156,26 +175,16 @@ def dist_lookup_join(mesh: Mesh, probe_rows_per_device: int,
     probe is a sort + searchsorted (static shapes, no dynamic hash table
     growth under jit).  Returns per device:
     (probe_keys, probe_vals, joined_build_vals, valid_mask, overflow).
+
+    Precondition: build keys must be < iinfo(dtype).max (in-band
+    invalid-slot sentinel).
     """
     n = mesh.shape[DATA_AXIS]
     pcap = max(1, (2 * probe_rows_per_device) // n)
     bcap = max(1, (2 * build_rows_per_device) // n)
 
     def _bucketize(keys, values, cap):
-        dest = (_hash64(keys) % jnp.uint64(n)).astype(jnp.int32)
-        onehot = jax.nn.one_hot(dest, n, dtype=jnp.int32)
-        rank = jnp.cumsum(onehot, axis=0) - onehot
-        my_rank = (rank * onehot).sum(axis=1)
-        slot = dest * cap + my_rank
-        ok = my_rank < cap
-        tgt = jnp.where(ok, slot, n * cap)
-        k = jnp.zeros((n * cap,), keys.dtype).at[tgt].set(keys, mode="drop")
-        v = jnp.zeros((n * cap,), values.dtype).at[tgt].set(values, mode="drop")
-        m = jnp.zeros((n * cap,), jnp.bool_).at[tgt].set(True, mode="drop")
-        ovf = (~ok).sum()[None]
-        ex = lambda x: jax.lax.all_to_all(  # noqa: E731
-            x.reshape(n, cap), DATA_AXIS, 0, 0, tiled=False).reshape(-1)
-        return ex(k), ex(v), ex(m), ovf
+        return _exchange_by_dest(n, cap, keys, (values,))
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
@@ -209,6 +218,9 @@ def dist_agg_by_key(mesh: Mesh, rows_per_device: int):
     owners which reduce them the same way.
 
     Returns per device (keys, sums, valid_mask, overflow).
+
+    Precondition: keys must be < iinfo(dtype).max (the max value is the
+    in-band invalid sentinel of the exchange).
     """
     n = mesh.shape[DATA_AXIS]
     cap = max(1, (2 * rows_per_device) // n)
@@ -235,21 +247,7 @@ def dist_agg_by_key(mesh: Mesh, rows_per_device: int):
     def step(keys, values):
         uk, us, uvalid = _local_combine(
             keys, values, jnp.ones(keys.shape, jnp.bool_))
-        dest = (_hash64(uk) % jnp.uint64(n)).astype(jnp.int32)
-        dest = jnp.where(uvalid, dest, n)  # invalid rows go nowhere
-        onehot = jax.nn.one_hot(dest, n, dtype=jnp.int32)
-        rank = jnp.cumsum(onehot, axis=0) - onehot
-        my_rank = (rank * onehot).sum(axis=1)
-        slot = dest * cap + my_rank
-        ok = (my_rank < cap) & uvalid
-        tgt = jnp.where(ok, slot, n * cap)
-        k = jnp.zeros((n * cap,), uk.dtype).at[tgt].set(uk, mode="drop")
-        v = jnp.zeros((n * cap,), us.dtype).at[tgt].set(us, mode="drop")
-        m = jnp.zeros((n * cap,), jnp.bool_).at[tgt].set(True, mode="drop")
-        ovf = (uvalid & ~ok).sum()[None]
-        ex = lambda x: jax.lax.all_to_all(  # noqa: E731
-            x.reshape(n, cap), DATA_AXIS, 0, 0, tiled=False).reshape(-1)
-        rk, rv, rm = ex(k), ex(v), ex(m)
+        rk, rv, rm, ovf = _exchange_by_dest(n, cap, uk, (us,), valid=uvalid)
         fk, fs, fvalid = _local_combine(rk, rv, rm)
         return fk, fs, fvalid, ovf
 

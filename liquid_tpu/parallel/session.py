@@ -71,6 +71,11 @@ class DistributedTable:
 
     def _shard_column(self, mesh, col: pa.Array, pad: int) -> ShardedColumn:
         t = col.type
+        if col.null_count:
+            raise NotImplementedError(
+                "distributed mode requires NULL-free columns (validity "
+                "masks are a follow-up); register through the local "
+                "engine instead")
         if pa.types.is_string(t) or pa.types.is_large_string(t) \
                 or pa.types.is_string_view(t):
             enc = pc.dictionary_encode(col)
@@ -120,14 +125,23 @@ class DistributedSession:
         assert isinstance(q.from_, ast.TableRef) and q.from_.name in self.tables, \
             "distributed mode: single registered table FROM"
         dt = self.tables[q.from_.name]
-        preds = self._plan_where(q.where, dt)
+        preds, never = self._plan_where(q.where, dt)
         group_col, aggs, names = self._plan_items(q, dt)
-        out = self._execute(dt, preds, group_col, aggs)
+        if never:
+            out = self._zero_outputs(dt, group_col, aggs)
+        else:
+            out = self._execute(dt, preds, group_col, aggs)
         table = self._finalize(q, dt, group_col, aggs, names, out)
         return table
 
-    def _plan_where(self, where, dt) -> List[Tuple[str, str, object]]:
+    def _plan_where(self, where, dt):
+        """-> (preds, never): preds are (col, op, value) with values kept
+        EXACT (int literals never round-trip through float64 -- a UserID
+        above 2^53 would compare wrong); fractional literals against int
+        columns normalize to floor/ceil ops or prove the query empty."""
+        import math
         preds = []
+        never = False
         for conj in split_conjuncts(where):
             assert isinstance(conj, ast.Binary) and conj.op in _CMP, \
                 f"distributed mode supports AND of comparisons, got {conj}"
@@ -145,8 +159,20 @@ class DistributedSession:
             if sc.kind == "dict":
                 assert op in ("eq", "ne"), "dict compare: eq/ne only"
                 v = sc.dictionary.index(v) if v in sc.dictionary else -2
+            elif sc.kind == "int" and isinstance(v, float):
+                if v != int(v):
+                    if op == "eq":
+                        never = True
+                        continue
+                    if op == "ne":
+                        continue  # always true for a NULL-free int column
+                    if op in ("lt", "le"):
+                        v, op = math.floor(v), "le"
+                    else:
+                        v, op = math.ceil(v), "ge"
+                v = int(v)
             preds.append((col.name, op, v))
-        return preds
+        return preds, never
 
     def _plan_items(self, q, dt):
         group_col: Optional[str] = None
@@ -170,6 +196,36 @@ class DistributedSession:
                 aggs.append((e.name, e.args[0].name))
         return group_col, aggs, names
 
+    def _group_k(self, dt, group_col):
+        if group_col is None:
+            return 1, 0
+        gc = dt.columns[group_col]
+        if gc.kind == "dict":
+            return len(gc.dictionary), 0
+        return gc.hi - gc.lo + 1, gc.lo
+
+    def _zero_outputs(self, dt, group_col, aggs):
+        """Outputs of a provably-empty query (a fractional equality on an
+        int column) without touching the device."""
+        k, _ = self._group_k(dt, group_col)
+        outs = []
+        for kind, cname in aggs:
+            if kind == "key":
+                continue
+            dtype = (np.float64 if cname and
+                     dt.columns[cname].kind == "float" else np.int64)
+            if kind in ("count_star", "count"):
+                outs.append(np.zeros(k, np.int64))
+            elif kind == "sum":
+                outs.append(np.zeros(k, dtype))
+            elif kind == "avg":
+                outs.append(np.zeros(k, np.float64))
+                outs.append(np.zeros(k, np.int64))
+            elif kind in ("min", "max"):
+                outs.append(np.zeros(k, dtype))
+        outs.append(np.zeros(k, np.int64))  # group_count
+        return outs
+
     # -- execution -----------------------------------------------------------
 
     def _execute(self, dt, preds, group_col, aggs):
@@ -179,35 +235,41 @@ class DistributedSession:
                              | ({group_col} if group_col else set()))
         arrays = [dt.columns[c].data for c in cols_needed]
         idx = {c: i for i, c in enumerate(cols_needed)}
-        lits = jnp.asarray(np.array(
-            [float(v) if dt.columns[c].kind == "float" else v
-             for c, _, v in preds], dtype=np.float64))
+        nlit = max(len(preds), 1)
+        lits_i = np.zeros(nlit, np.int64)
+        lits_f = np.zeros(nlit, np.float64)
+        use_float = []
+        for j, (c, _, v) in enumerate(preds):
+            if dt.columns[c].kind == "float":
+                lits_f[j] = float(v)
+                use_float.append(True)
+            else:
+                lits_i[j] = int(v)
+                use_float.append(False)
+        lits_i = jnp.asarray(lits_i)
+        lits_f = jnp.asarray(lits_f)
+        use_float = tuple(use_float)  # static
         ops = tuple(op for _, op, _ in preds)  # static
         pred_cols = tuple(idx[c] for c, _, _ in preds)
         agg_specs = tuple((k, idx[c] if c else -1) for k, c in aggs)
         if group_col is not None:
-            gc = dt.columns[group_col]
-            if gc.kind == "dict":
-                k = len(gc.dictionary)
-                key_off = 0
-            else:
-                k = gc.hi - gc.lo + 1
-                key_off = gc.lo
+            k, key_off = self._group_k(dt, group_col)
             assert k <= self.MAX_DENSE_GROUPS, \
                 "distributed group-by: key cardinality too large"
             gidx = idx[group_col]
         else:
-            k, key_off, gidx = 1, 0, -1
+            (k, key_off), gidx = (1, 0), -1
 
         @partial(shard_map, mesh=mesh,
-                 in_specs=(P(dist.DATA_AXIS),) * (len(arrays) + 1) + (P(),),
+                 in_specs=(P(dist.DATA_AXIS),) * (len(arrays) + 1)
+                 + (P(), P()),
                  out_specs=P())
         def step(*args):
-            *cols, valid, lits_ = args
+            *cols, valid, li_, lf_ = args
             m = valid
             for j, (ci, op) in enumerate(zip(pred_cols, ops)):
                 c = cols[ci]
-                v = lits_[j].astype(c.dtype)
+                v = (lf_[j] if use_float[j] else li_[j]).astype(c.dtype)
                 cmp = {"eq": c == v, "ne": c != v, "lt": c < v,
                        "le": c <= v, "gt": c > v, "ge": c >= v}[op]
                 m = m & cmp
@@ -253,7 +315,7 @@ class DistributedSession:
             outs.append(jax.lax.psum(group_count, dist.DATA_AXIS))
             return tuple(outs)
 
-        return step(*arrays, dt.valid, lits)
+        return step(*arrays, dt.valid, lits_i, lits_f)
 
     def _finalize(self, q, dt, group_col, aggs, names, outs) -> pa.Table:
         outs = [np.asarray(o) for o in outs]

@@ -100,3 +100,36 @@ def test_empty_group_dropped(dsess):
                 "where qty > 98 group by region").to_pandas()
     ref = df[df.qty > 98].groupby("region").size()
     assert set(out.region) == set(ref.index)
+
+
+def test_big_int64_literal_exact(dsess):
+    """Literals above 2^53 must not round-trip through float64."""
+    import pyarrow as pa
+    big = 4350909328992872310
+    t = pa.table({"uid": pa.array([big, big + 1, big + 2], pa.int64()),
+                  "v": pa.array([1, 2, 3], pa.int64())})
+    s, _ = dsess
+    s.register_table("bigids", t)
+    out = s.sql(f"select count(*) as c from bigids where uid = {big + 1}"
+                ).to_pandas()
+    assert out.c[0] == 1
+
+
+def test_fractional_literal_on_int_column(dsess):
+    s, df = dsess
+    # qty < 50.5  <=>  qty <= 50 (not qty < 50)
+    a = s.sql("select count(*) as c from events where qty < 50.5").to_pandas()
+    assert a.c[0] == (df.qty <= 50).sum()
+    # fractional equality on ints can never match
+    b = s.sql("select count(*) as c from events where qty = 50.5").to_pandas()
+    assert b.c[0] == 0
+
+
+def test_null_columns_rejected():
+    import pyarrow as pa
+    import pytest as _pytest
+    from liquid_tpu.parallel.session import DistributedSession
+    s = DistributedSession()
+    t = pa.table({"x": pa.array([1, None], pa.int64())})
+    with _pytest.raises(NotImplementedError):
+        s.register_table("nully", t)

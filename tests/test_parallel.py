@@ -5,6 +5,7 @@ import numpy as np
 import pytest
 
 from liquid_tpu.ops import bitpack as bp
+from liquid_tpu.ops import mask as mops
 from liquid_tpu.parallel import dist
 
 
@@ -17,12 +18,17 @@ def mesh():
 def test_dist_filter_count(mesh):
     rng = np.random.default_rng(0)
     n = 8 * 4096
+    real = n - 100  # trailing rows are padding and must not count
     vals = rng.integers(0, 1000, n).astype(np.uint64)
+    vals[real:] = 0
     planes = bp.pack_bitplanes(jnp.asarray(vals), 10)
     planes = dist.shard_rows(mesh, planes.T).T  # shard words axis
+    valid = np.zeros(n, bool)
+    valid[:real] = True
+    vmask = dist.shard_rows(mesh, mops.pack_bools(jnp.asarray(valid)))
     step = dist.dist_filter_count(mesh)
-    out = jax.jit(step)(planes, jnp.uint64(500))
-    assert int(out[0]) == (vals != 500).sum()
+    out = jax.jit(step)(planes, vmask, jnp.uint64(500))
+    assert int(out[0]) == (vals[:real] != 500).sum()
 
 
 def test_dist_filter_agg(mesh):

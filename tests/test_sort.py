@@ -56,3 +56,16 @@ def test_argsort_selected_stable():
     assert asc.tolist() == [1, 3, 0, 2]
     desc = np.asarray(dsort.argsort_selected(jnp.asarray(k), descending=True))
     assert desc.tolist() == [0, 2, 1, 3]
+
+
+def test_descending_unsigned_and_int_min():
+    """Negation-based descending order breaks on unsigned wrap and
+    int64 min; the bitwise-complement reversal must not."""
+    k = np.array([5, 0, 3], dtype=np.uint64)
+    d = np.asarray(dsort.argsort_selected(jnp.asarray(k), descending=True))
+    assert k[d].tolist() == [5, 3, 0]
+    k2 = np.array([0, -2**63, 7], dtype=np.int64)
+    d2 = np.asarray(dsort.argsort_selected(jnp.asarray(k2), descending=True))
+    assert k2[d2].tolist() == [7, 0, -2**63]
+    vals, idx = dsort.top_k_rows(jnp.asarray(k), 2, descending=False)
+    assert np.asarray(vals).tolist() == [0, 3]
