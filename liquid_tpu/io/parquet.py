@@ -80,6 +80,9 @@ class ParquetTable:
         self._col_index = {n: i for i, n in enumerate(self.column_names)}
         self._zones: Dict[tuple, tuple] = {}  # batch-level min/max zone maps
         self.zone_prunes = 0  # batches skipped by zone maps (scan metric)
+        self.bloom_prunes = 0  # row groups skipped by bloom filters
+        from liquid_tpu.io.bloom import BloomReader
+        self._bloom = BloomReader(path, self.metadata, open_file)
         self._lock = threading.Lock()
 
     @property
@@ -143,6 +146,19 @@ class ParquetTable:
                     return False
             except TypeError:
                 continue  # incomparable stats (e.g. bytes vs str)
+        # min/max passed: for equality predicates, probe the column chunk's
+        # bloom filter (ref row_group_filter.rs:103 prune_by_bloom_filters)
+        for col, pred in pushed:
+            if pred.op != "eq":
+                continue
+            ci = self._col_index.get(col)
+            if ci is None:
+                continue
+            phys = meta.column(ci).physical_type
+            verdict = self._bloom.might_contain(rg, ci, pred.literal, phys)
+            if verdict is False:
+                self.bloom_prunes += 1
+                return False
         return True
 
     # -- batch-level zone maps (ref page-index pruning, opener.rs:314-327:
