@@ -50,6 +50,33 @@ class Func(Expr):
 
 
 @dataclass(frozen=True)
+class WindowFunc(Expr):
+    """`func(...) OVER (PARTITION BY ... ORDER BY ... [frame])`.
+
+    Ref: the reference delegates window functions to DataFusion's
+    WindowAggExec; we implement the standard set (row_number, rank,
+    dense_rank, ntile, lag, lead, first_value, last_value, and the
+    framed aggregates sum/count/avg/min/max) in liquid_tpu.sql.window.
+
+    Field layout is deliberately FLAT (parallel tuples, not OrderItem
+    objects) so the generic dataclass walkers (map_expr, collect_columns,
+    find_aggs) traverse every embedded Expr without special cases.
+    `frame` is `(unit, start, end)` with unit in {"rows", "range"} and
+    bounds like "unbounded_preceding" / "current_row" / "3_preceding" /
+    "2_following" / "unbounded_following"; None means the SQL default
+    (RANGE UNBOUNDED PRECEDING..CURRENT ROW when ORDER BY is present,
+    else the whole partition).
+    """
+
+    func: Func
+    partition_by: Tuple[Expr, ...] = ()
+    order_exprs: Tuple[Expr, ...] = ()
+    order_desc: Tuple[bool, ...] = ()
+    order_nulls_first: Tuple[Optional[bool], ...] = ()
+    frame: Optional[Tuple[str, str, str]] = None
+
+
+@dataclass(frozen=True)
 class Extract(Expr):
     field: str  # year month day dow minute hour ...
     operand: Expr

@@ -140,6 +140,15 @@ class QueryExecutor:
                 cols[name] = pa.array([v.as_py()]) if isinstance(v, pa.Scalar) else v
             return pa.table(cols)
 
+        from liquid_tpu.sql.window import find_windows
+        wfs: List[ast.WindowFunc] = []
+        for it in q.items:
+            find_windows(it.expr, wfs)
+        for o in q.order_by:
+            find_windows(o.expr, wfs)
+        if wfs:
+            return self._exec_window(q, wfs)
+
         aggs: List[ast.Func] = []
         for it in q.items:
             find_aggs(it.expr, aggs)
@@ -154,6 +163,122 @@ class QueryExecutor:
         else:
             result = self._exec_plain(q)
         return result
+
+    # -- window pipeline -----------------------------------------------------
+    # Ref: DataFusion's WindowAggExec, which the reference gets for free;
+    # windows evaluate AFTER grouping/HAVING, before DISTINCT/ORDER BY.
+
+    def _exec_window(self, q: ast.Select,
+                     wfs: List[ast.WindowFunc]) -> pa.Table:
+        from liquid_tpu.sql.window import compute_window
+
+        # 1. register every base-level expression the window stage needs:
+        #    window args/partition/order keys, plus the residual's bare
+        #    columns and aggregate calls -- these become the items of an
+        #    inner (window-free) Select that the normal pipelines execute
+        base: Dict[ast.Expr, str] = {}
+
+        def reg(e: ast.Expr) -> str:
+            if isinstance(e, ast.Column):
+                base.setdefault(e, e.name)
+                return e.name
+            if e not in base:
+                base[e] = f"__b{len(base)}"
+            return base[e]
+
+        from liquid_tpu.sql.window import _const
+        comp = []
+        for wf in wfs:
+            argn = [reg(a) for a in wf.func.args if _const(a) is None]
+            # constant args (ntile(4), lag(x, 2, -1)) are consumed by
+            # compute_window from the AST, not projected
+            partn = [reg(p) for p in wf.partition_by]
+            ordn = [reg(o) for o in wf.order_exprs]
+            comp.append((argn, partn, ordn))
+
+        wmap: Dict[ast.Expr, str] = {wf: f"__w{j}" for j, wf in enumerate(wfs)}
+
+        # group keys register first so residuals substitute whole group
+        # expressions (a residual may only reference group keys,
+        # aggregates, and window results in an aggregate query)
+        alias_map = {it.alias: it.expr for it in q.items if it.alias}
+        resolved_group: List[ast.Expr] = []
+        for g in q.group_by:
+            if isinstance(g, ast.Literal) and isinstance(g.value, int):
+                resolved_group.append(q.items[g.value - 1].expr)
+            elif isinstance(g, ast.Column) and g.name in alias_map:
+                resolved_group.append(alias_map[g.name])
+            else:
+                resolved_group.append(g)
+        gmap = {g: reg(g) for g in resolved_group}
+
+        def reg_residual(e: ast.Expr, skip_aliases: bool) -> ast.Expr:
+            def walk(x):
+                if isinstance(x, ast.Column):
+                    if skip_aliases and x.name in alias_map:
+                        return x  # ORDER BY alias: resolves in the outer
+                    if not x.name.startswith("__w"):
+                        reg(x)
+                    return x
+                if isinstance(x, ast.Func) and x.name in AGG_FUNCS:
+                    return ast.Column(reg(x))
+                return None
+            return map_expr(e, walk)
+
+        def lower(e: ast.Expr, skip_aliases: bool = False) -> ast.Expr:
+            return reg_residual(substitute(substitute(e, wmap), gmap),
+                                skip_aliases)
+
+        residuals = [lower(it.expr) for it in q.items]
+        order_resid = [lower(o.expr, skip_aliases=True) for o in q.order_by]
+
+        # 2. inner query: same FROM/WHERE/GROUP BY/HAVING, no windows
+        inner = ast.Select()
+        inner.items = [ast.SelectItem(e, nm) for e, nm in base.items()]
+        inner.from_ = q.from_
+        inner.where = q.where
+        inner.group_by = resolved_group
+        inner.having = q.having
+        t = self.execute(inner)
+
+        # 3. window columns over the inner result
+        cols = {n: t.column(n) for n in t.column_names}
+        for j, (wf, (argn, partn, ordn)) in enumerate(zip(wfs, comp)):
+            cols[f"__w{j}"] = compute_window(t, wf, argn, partn, ordn)
+        ns = pa.table(cols)
+
+        # 4. outer projection + DISTINCT / ORDER BY / LIMIT
+        batch = Batch.from_table(ns)
+        ev = Evaluator(batch, self._scalar_subquery)
+        out_cols: Dict[str, pa.Array] = {}
+        for it, res in zip(q.items, residuals):
+            name = it.alias or render(it.expr)
+            v = ev.eval(self._rewrite_subqueries(res))
+            if isinstance(v, pa.Scalar):
+                v = pa.repeat(v, batch.length)
+            out_cols[name] = v
+        result = pa.table(out_cols)
+        internal = None
+        mapping: Dict[ast.Expr, str] = {}
+        if q.order_by:
+            icols = {}
+            for i, (o, res) in enumerate(zip(q.order_by, order_resid)):
+                if isinstance(o.expr, ast.Literal) or (
+                        isinstance(o.expr, ast.Column)
+                        and o.expr.name in alias_map):
+                    continue
+                nm = f"__ob{i}"
+                v = ev.eval(self._rewrite_subqueries(res))
+                if isinstance(v, pa.Scalar):
+                    v = pa.repeat(v, batch.length)
+                icols[nm] = v
+                mapping[o.expr] = nm
+            internal = pa.table(icols) if icols else None
+        if q.distinct:
+            result = result.group_by(
+                result.column_names, use_threads=False).aggregate([])
+            internal = None
+        return self._order_limit(q, result, internal, mapping)
 
     # -- relation handling -------------------------------------------------
 

@@ -535,6 +535,13 @@ class Parser:
             return ast.Column(t2.value, table=name)
         return ast.Column(name)
 
+    def _accept_id(self, *names) -> Optional[str]:
+        t = self.peek()
+        if t and t.kind == "id" and t.value.lower() in names:
+            self.i += 1
+            return t.value.lower()
+        return None
+
     def parse_call(self, name: str) -> ast.Expr:
         self.expect_op("(")
         distinct = bool(self.accept_kw("distinct"))
@@ -542,10 +549,10 @@ class Parser:
         if t and t.kind == "op" and t.value == "*":
             self.i += 1
             self.expect_op(")")
-            return ast.Func(name.lower(), (), star=True)
+            return self._maybe_over(ast.Func(name.lower(), (), star=True))
         if t and t.kind == "op" and t.value == ")":
             self.i += 1
-            return ast.Func(name.lower(), ())
+            return self._maybe_over(ast.Func(name.lower(), ()))
         args = [self.parse_expr()]
         # SQL-standard SUBSTRING(x FROM start [FOR length])
         if self.accept_kw("from"):
@@ -560,7 +567,64 @@ class Parser:
         while self.accept_op(","):
             args.append(self.parse_expr())
         self.expect_op(")")
-        return ast.Func(name.lower(), tuple(args), distinct=distinct)
+        return self._maybe_over(
+            ast.Func(name.lower(), tuple(args), distinct=distinct))
+
+    def _maybe_over(self, func: ast.Func) -> ast.Expr:
+        """`OVER (PARTITION BY ... ORDER BY ... [ROWS|RANGE frame])`."""
+        if not self._accept_id("over"):
+            return func
+        self.expect_op("(")
+        partition: List[ast.Expr] = []
+        if self._accept_id("partition"):
+            self.expect_kw("by")
+            partition.append(self.parse_expr())
+            while self.accept_op(","):
+                partition.append(self.parse_expr())
+        oexprs: List[ast.Expr] = []
+        odesc: List[bool] = []
+        onf: List[Optional[bool]] = []
+        if self.accept_kw("order"):
+            self.expect_kw("by")
+            while True:
+                o = self.parse_order_item()
+                oexprs.append(o.expr)
+                odesc.append(o.desc)
+                onf.append(o.nulls_first)
+                if not self.accept_op(","):
+                    break
+        frame = None
+        unit = self._accept_id("rows", "range")
+        if unit:
+            if self.accept_kw("between"):
+                start = self._parse_frame_bound()
+                self.expect_kw("and")
+                end = self._parse_frame_bound()
+            else:
+                start = self._parse_frame_bound()
+                end = "current_row"
+            frame = (unit, start, end)
+        self.expect_op(")")
+        return ast.WindowFunc(func, tuple(partition), tuple(oexprs),
+                              tuple(odesc), tuple(onf), frame)
+
+    def _parse_frame_bound(self) -> str:
+        if self._accept_id("unbounded"):
+            which = self._accept_id("preceding", "following")
+            if not which:
+                raise SyntaxError("expected PRECEDING/FOLLOWING")
+            return f"unbounded_{which}"
+        if self._accept_id("current"):
+            if not self._accept_id("row"):
+                raise SyntaxError("expected ROW")
+            return "current_row"
+        t = self.next()
+        if t.kind != "num" or not isinstance(t.value, int):
+            raise SyntaxError(f"expected frame offset, got {t}")
+        which = self._accept_id("preceding", "following")
+        if not which:
+            raise SyntaxError("expected PRECEDING/FOLLOWING")
+        return f"{t.value}_{which}"
 
     def parse_case(self) -> ast.Expr:
         self.expect_kw("case")

@@ -61,10 +61,14 @@ def render(e: ast.Expr) -> str:
         return f"extract({e.field} from {render(e.operand)})"
     if isinstance(e, ast.Cast):
         return f"cast({render(e.operand)} as {e.type_name})"
+    if isinstance(e, ast.WindowFunc):
+        return f"{render(e.func)} over (...)"
     return type(e).__name__.lower()
 
 
 def find_aggs(e: ast.Expr, out: List[ast.Func]) -> None:
+    if isinstance(e, ast.WindowFunc):
+        return  # window args are evaluated by the window stage, not here
     if isinstance(e, ast.Func) and e.name in AGG_FUNCS:
         if e not in out:
             out.append(e)

@@ -1,0 +1,268 @@
+"""Window functions, differential-tested against pandas.
+
+Reference behavior: the reference runs window queries through
+DataFusion's WindowAggExec (TPC-DS q12/q20/q47/q51/q98 shapes); our
+implementation is liquid_tpu/sql/window.py.
+"""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from liquid_tpu.sql.session import LiquidCacheLocalBuilder
+
+
+@pytest.fixture(scope="module")
+def sess(tmp_path_factory):
+    d = tmp_path_factory.mktemp("win")
+    rng = np.random.RandomState(7)
+    n = 5000
+    df = pd.DataFrame({
+        "g": rng.randint(0, 23, n),
+        "h": rng.choice(["a", "b", "c", "d"], n),
+        "v": rng.randint(-1000, 1000, n).astype("int64"),
+        "f": np.round(rng.randn(n) * 100, 3),
+        "s": [f"s{z:04d}" for z in rng.randint(0, 400, n)],
+        "u": np.arange(n),  # unique tiebreak so oracle order is total
+    })
+    # some nulls in v and f
+    df.loc[df.index % 17 == 0, "v"] = None
+    df.loc[df.index % 23 == 0, "f"] = None
+    p = str(d / "t.parquet")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), p)
+    s, _ = LiquidCacheLocalBuilder().with_cache_dir(str(d)).build()
+    s.register_parquet("t", p)
+    return s, df
+
+
+def run(sess, sql):
+    return sess.sql(sql).to_arrow().to_pandas()
+
+
+def test_row_number_rank_dense_rank(sess):
+    s, df = sess
+    out = run(s, """
+        SELECT g, v,
+               row_number() OVER (PARTITION BY g ORDER BY v, s) AS rn,
+               rank() OVER (PARTITION BY g ORDER BY v) AS rk,
+               dense_rank() OVER (PARTITION BY g ORDER BY v) AS dr
+        FROM t ORDER BY g, rn""")
+    ref = df.copy()
+    # SQL: NULLS LAST for ASC
+    key = ref.v.fillna(np.inf)
+    ref["rn"] = (ref.assign(_k=key, _s=ref.s)
+                 .sort_values(["_k", "_s"])
+                 .groupby("g").cumcount() + 1)
+    ref["rk"] = key.groupby(ref.g).rank(method="min").astype(int)
+    ref["dr"] = key.groupby(ref.g).rank(method="dense").astype(int)
+    ref = ref.sort_values(["g", "rn"]).reset_index(drop=True)
+    assert list(out.rn) == list(ref.rn)
+    assert list(out.rk) == list(ref.rk)
+    assert list(out.dr) == list(ref.dr)
+
+
+def test_partition_sum_no_order(sess):
+    s, df = sess
+    out = run(s, """
+        SELECT g, v, sum(v) OVER (PARTITION BY g) AS tot,
+               count(v) OVER (PARTITION BY g) AS c,
+               count(*) OVER (PARTITION BY g) AS cs,
+               avg(f) OVER (PARTITION BY g) AS m
+        FROM t ORDER BY g, s, v""")
+    ref = df.groupby("g").v.sum()
+    refc = df.groupby("g").v.count()
+    refcs = df.groupby("g").size()
+    refm = df.groupby("g").f.mean()
+    for _, r in out.head(500).iterrows():
+        assert r.tot == ref[r.g], r
+        assert r.c == refc[r.g]
+        assert r.cs == refcs[r.g]
+        assert abs(r.m - refm[r.g]) < 1e-9
+
+
+def test_running_sum_rows_frame(sess):
+    s, df = sess
+    out = run(s, """
+        SELECT h, s, v,
+               sum(v) OVER (PARTITION BY h ORDER BY s, v, u
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS rs
+        FROM t ORDER BY h, s, v, u""")
+    ref = df.copy()
+    ref["_k"] = ref.v.fillna(np.inf)
+    ref = ref.sort_values(["h", "s", "_k", "u"], kind="mergesort")
+    ref["rs"] = ref.groupby("h").v.apply(
+        lambda x: x.fillna(0).cumsum()).reset_index(drop=True).values
+    # all-null prefix -> NULL in SQL; none here since every h has values early
+    got = out.rs.to_numpy(dtype=float)
+    want = ref.rs.to_numpy(dtype=float)
+    nz = ~np.isnan(got)
+    assert np.allclose(got[nz], want[nz])
+
+
+def test_range_default_frame_ties(sess):
+    """Default frame is RANGE: tied order keys share the cumulative."""
+    s, _ = sess
+    out = run(s, """
+        SELECT g, v, sum(v) OVER (PARTITION BY g ORDER BY v) AS rs
+        FROM t WHERE v IS NOT NULL ORDER BY g, v""")
+    # within a partition, equal v must have equal rs
+    dup = out.groupby(["g", "v"]).rs.nunique()
+    assert (dup == 1).all()
+    # and the last row's rs equals the partition sum
+    last = out.groupby("g").tail(1).set_index("g").rs
+    tot = out.groupby("g").v.sum()
+    assert np.allclose(last.sort_index(), tot.sort_index())
+
+
+def test_moving_average(sess):
+    s, df = sess
+    out = run(s, """
+        SELECT h, s, v,
+               avg(v) OVER (PARTITION BY h ORDER BY s, v, u
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma
+        FROM t WHERE v IS NOT NULL ORDER BY h, s, v, u""")
+    ref = df[df.v.notna()].sort_values(
+        ["h", "s", "v", "u"], kind="mergesort")
+    want = ref.groupby("h").v.rolling(3, min_periods=1).mean() \
+        .reset_index(drop=True)
+    assert np.allclose(out.ma.to_numpy(float), want.to_numpy(float))
+
+
+def test_rows_following_frame(sess):
+    s, df = sess
+    out = run(s, """
+        SELECT h, s, v,
+               sum(v) OVER (PARTITION BY h ORDER BY s, v, u
+                            ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS w3
+        FROM t WHERE v IS NOT NULL ORDER BY h, s, v, u""")
+    ref = df[df.v.notna()].sort_values(["h", "s", "v", "u"], kind="mergesort")
+    want = (ref.groupby("h").v
+            .rolling(3, min_periods=1, center=True).sum()
+            .reset_index(drop=True))
+    assert np.allclose(out.w3.to_numpy(float), want.to_numpy(float))
+
+
+def test_lag_lead_first_last(sess):
+    s, df = sess
+    out = run(s, """
+        SELECT h, s, v,
+               lag(v) OVER (PARTITION BY h ORDER BY s, v, u) AS pv,
+               lead(v, 2) OVER (PARTITION BY h ORDER BY s, v, u) AS nv,
+               lag(v, 1, -1) OVER (PARTITION BY h ORDER BY s, v, u) AS pvd,
+               first_value(v) OVER (PARTITION BY h ORDER BY s, v, u) AS fv,
+               last_value(v) OVER (PARTITION BY h ORDER BY s, v, u
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND UNBOUNDED FOLLOWING) AS lv
+        FROM t WHERE v IS NOT NULL ORDER BY h, s, v, u""")
+    ref = df[df.v.notna()].sort_values(["h", "s", "v", "u"], kind="mergesort")
+    g = ref.groupby("h").v
+    assert np.array_equal(out.pv.to_numpy(float),
+                          g.shift(1).to_numpy(float), equal_nan=True)
+    assert np.array_equal(out.nv.to_numpy(float),
+                          g.shift(-2).to_numpy(float), equal_nan=True)
+    assert np.array_equal(out.pvd.to_numpy(float),
+                          g.shift(1).fillna(-1).to_numpy(float))
+    assert np.array_equal(out.fv.to_numpy(float),
+                          g.transform("first").to_numpy(float))
+    assert np.array_equal(out.lv.to_numpy(float),
+                          g.transform("last").to_numpy(float))
+
+
+def test_ntile(sess):
+    s, _ = sess
+    out = run(s, """
+        SELECT h, ntile(4) OVER (PARTITION BY h ORDER BY v, s) AS q
+        FROM t ORDER BY h, q""")
+    for h, grp in out.groupby("h"):
+        counts = grp.q.value_counts().sort_index()
+        assert set(counts.index) == {1, 2, 3, 4}
+        assert counts.max() - counts.min() <= 1
+
+
+def test_window_over_group_by(sess):
+    """TPC-DS q12 shape: sum(sum(x)) over (partition by ...)."""
+    s, df = sess
+    out = run(s, """
+        SELECT g, h, sum(v) AS sv,
+               sum(sum(v)) OVER (PARTITION BY h) AS hv,
+               sum(v) * 100.0 / sum(sum(v)) OVER (PARTITION BY h) AS ratio
+        FROM t GROUP BY g, h ORDER BY g, h""")
+    ref = df.groupby(["g", "h"], as_index=False).v.sum()
+    hsum = df.groupby("h").v.sum()
+    ref = ref.sort_values(["g", "h"]).reset_index(drop=True)
+    assert np.allclose(out.sv.to_numpy(float), ref.v.to_numpy(float))
+    want_hv = ref.h.map(hsum)
+    assert np.allclose(out.hv.to_numpy(float), want_hv.to_numpy(float))
+    assert np.allclose(out.ratio.to_numpy(float),
+                       (ref.v * 100.0 / want_hv).to_numpy(float))
+
+
+def test_rank_over_aggregate_order(sess):
+    """TPC-DS q47 shape: rank() over (partition by k order by sum(x))."""
+    s, df = sess
+    out = run(s, """
+        SELECT g, h, rank() OVER (PARTITION BY g ORDER BY sum(v) DESC) AS rk
+        FROM t GROUP BY g, h ORDER BY g, rk""")
+    ref = df.groupby(["g", "h"]).v.sum().reset_index()
+    ref["rk"] = ref.groupby("g").v.rank(
+        method="min", ascending=False).astype(int)
+    ref = ref.sort_values(["g", "rk"]).reset_index(drop=True)
+    assert list(out.rk) == list(ref.rk)
+
+
+def test_window_in_derived_table_topn(sess):
+    """Top-2 per group via subquery filter on rank."""
+    s, df = sess
+    out = run(s, """
+        SELECT g, v FROM (
+          SELECT g, v, row_number() OVER (PARTITION BY g
+                                          ORDER BY v DESC) AS rn
+          FROM t WHERE v IS NOT NULL) ranked
+        WHERE rn <= 2 ORDER BY g, v DESC""")
+    ref = (df[df.v.notna()].sort_values("v", ascending=False)
+           .groupby("g").head(2).sort_values(["g", "v"],
+                                             ascending=[True, False]))
+    assert np.array_equal(out.v.to_numpy(float), ref.v.to_numpy(float))
+
+
+def test_window_desc_nulls(sess):
+    """DESC default is NULLS FIRST (DataFusion/Postgres semantics)."""
+    s, df = sess
+    out = run(s, """
+        SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v DESC) AS rn
+        FROM t ORDER BY g, rn""")
+    nnull = int(df[df.g == 0].v.isna().sum())
+    head = out[out.g == 0].head(nnull)
+    assert head.v.isna().all()  # null rows get the smallest row numbers
+
+
+def test_window_no_partition(sess):
+    s, df = sess
+    out = run(s, """
+        SELECT v, row_number() OVER (ORDER BY v, s) AS rn,
+               sum(v) OVER () AS tot
+        FROM t WHERE v IS NOT NULL ORDER BY rn LIMIT 10""")
+    assert list(out.rn) == list(range(1, 11))
+    assert (out.tot == df.v.sum()).all()
+
+
+def test_window_empty_input(sess):
+    s, _ = sess
+    out = run(s, """
+        SELECT g, row_number() OVER (PARTITION BY g ORDER BY v) AS rn
+        FROM t WHERE v > 100000""")
+    assert out.shape[0] == 0
+
+
+def test_window_min_max_string(sess):
+    s, df = sess
+    out = run(s, """
+        SELECT h, min(s) OVER (PARTITION BY h) AS lo,
+               max(s) OVER (PARTITION BY h) AS hi
+        FROM t ORDER BY h LIMIT 50""")
+    lo = df.groupby("h").s.min()
+    hi = df.groupby("h").s.max()
+    for _, r in out.iterrows():
+        assert r.lo == lo[r.h] and r.hi == hi[r.h]
