@@ -24,7 +24,7 @@ def main():
     tables = tpcds_data.generate(args.sf)
     paths = tpcds_data.write_parquet(tables, out)
     manifest = {
-        "name": f"TPC-DS sf{args.sf} (non-window subset)",
+        "name": f"TPC-DS sf{args.sf} (incl. window queries)",
         "tables": {k: os.path.relpath(v, base) for k, v in paths.items()},
         "queries": list(tpcds_queries.QUERIES.values()),
     }

@@ -149,6 +149,7 @@ def generate(sf: float = 0.01, seed: int = 20030101) -> Dict[str, pa.Table]:
         "s_store_id": pa.array([f"ST{i:06d}" for i in range(1, n_store + 1)]),
         "s_store_name": pa.array([f"store {chr(96 + i)}"
                                   for i in range(1, n_store + 1)]),
+        "s_company_name": pa.array(np.full(n_store, "Unknown")),
         "s_state": pa.array(rng.choice(STATES[:6], n_store)),
         "s_county": pa.array([COUNTIES[i % len(COUNTIES)]
                               for i in range(n_store)]),

@@ -1,15 +1,147 @@
-"""TPC-DS query subset (non-window queries over the generated tables).
+"""TPC-DS query subset over the generated tables.
 
 Equivalent role to the reference's TPC-DS suite (liquid-cache
 `benchmark/tpcds/manifest.json`, `tpcds_client.rs`; the reference mutes
 several queries for upstream DataFusion bugs, `tpcds_notes.md`).  This
 subset covers the star-join/filter/aggregate shapes of the official
-queries q3 q7 q13 q19 q26 q42 q43 q52 q55 q73 q90 q93 q96 with the
-official parameter style; window-function queries are out of dialect
-scope (documented gap).
+queries q3 q7 q13 q19 q26 q42 q43 q52 q55 q73 q90 q93 q96 plus the
+window-function queries q12 q20 q47 q51 q98 (ratio-over-class,
+rank-over-monthly-sales with lag/lead self-joins, cumulative full-outer
+comparison), all in the official parameter style.
 """
 
 QUERIES = {
+    12: """
+select i_item_id, i_item_desc, i_category, i_class, i_current_price,
+    sum(ws_ext_sales_price) as itemrevenue,
+    sum(ws_ext_sales_price) * 100 /
+        sum(sum(ws_ext_sales_price)) over (partition by i_class)
+        as revenueratio
+from web_sales, item, date_dim
+where ws_item_sk = i_item_sk
+    and i_category in ('Sports', 'Books', 'Home')
+    and ws_sold_date_sk = d_date_sk
+    and d_date between cast('1999-02-22' as date)
+        and (cast('1999-02-22' as date) + interval '30' day)
+group by i_item_id, i_item_desc, i_category, i_class, i_current_price
+order by i_category, i_class, i_item_id, i_item_desc, revenueratio
+limit 100
+""",
+    20: """
+select i_item_id, i_item_desc, i_category, i_class, i_current_price,
+    sum(cs_ext_sales_price) as itemrevenue,
+    sum(cs_ext_sales_price) * 100 /
+        sum(sum(cs_ext_sales_price)) over (partition by i_class)
+        as revenueratio
+from catalog_sales, item, date_dim
+where cs_item_sk = i_item_sk
+    and i_category in ('Sports', 'Books', 'Home')
+    and cs_sold_date_sk = d_date_sk
+    and d_date between cast('1999-02-22' as date)
+        and (cast('1999-02-22' as date) + interval '30' day)
+group by i_item_id, i_item_desc, i_category, i_class, i_current_price
+order by i_category, i_class, i_item_id, i_item_desc, revenueratio
+limit 100
+""",
+    47: """
+with v1 as (
+    select i_category, i_brand, s_store_name, s_company_name,
+        d_year, d_moy, sum(ss_sales_price) as sum_sales,
+        avg(sum(ss_sales_price)) over (partition by i_category, i_brand,
+            s_store_name, s_company_name, d_year) as avg_monthly_sales,
+        rank() over (partition by i_category, i_brand, s_store_name,
+            s_company_name order by d_year, d_moy) as rn
+    from item, store_sales, date_dim, store
+    where ss_item_sk = i_item_sk
+        and ss_sold_date_sk = d_date_sk
+        and ss_store_sk = s_store_sk
+        and (d_year = 1999
+             or (d_year = 1998 and d_moy = 12)
+             or (d_year = 2000 and d_moy = 1))
+    group by i_category, i_brand, s_store_name, s_company_name,
+        d_year, d_moy),
+v2 as (
+    select v1.i_category as i_category, v1.s_store_name as s_store_name,
+        v1.s_company_name as s_company_name, v1.d_year as d_year,
+        v1.d_moy as d_moy, v1.avg_monthly_sales as avg_monthly_sales,
+        v1.sum_sales as sum_sales,
+        v1_lag.sum_sales as psum, v1_lead.sum_sales as nsum
+    from v1, v1 v1_lag, v1 v1_lead
+    where v1.i_category = v1_lag.i_category
+        and v1.i_brand = v1_lag.i_brand
+        and v1.s_store_name = v1_lag.s_store_name
+        and v1.s_company_name = v1_lag.s_company_name
+        and v1.rn = v1_lag.rn + 1
+        and v1.i_category = v1_lead.i_category
+        and v1.i_brand = v1_lead.i_brand
+        and v1.s_store_name = v1_lead.s_store_name
+        and v1.s_company_name = v1_lead.s_company_name
+        and v1.rn = v1_lead.rn - 1)
+select * from v2
+where d_year = 1999
+    and avg_monthly_sales > 0
+    and abs(sum_sales - avg_monthly_sales) / avg_monthly_sales > 0.1
+order by sum_sales - avg_monthly_sales, s_store_name, d_moy
+limit 100
+""",
+    51: """
+with web_v1 as (
+    select ws_item_sk as item_sk, d_date,
+        sum(sum(ws_sales_price)) over (partition by ws_item_sk
+            order by d_date rows between unbounded preceding
+            and current row) as cume_sales
+    from web_sales, date_dim
+    where ws_sold_date_sk = d_date_sk
+        and d_month_seq between 24 and 27
+        and ws_item_sk is not null
+    group by ws_item_sk, d_date),
+store_v1 as (
+    select ss_item_sk as item_sk, d_date,
+        sum(sum(ss_sales_price)) over (partition by ss_item_sk
+            order by d_date rows between unbounded preceding
+            and current row) as cume_sales
+    from store_sales, date_dim
+    where ss_sold_date_sk = d_date_sk
+        and d_month_seq between 24 and 27
+        and ss_item_sk is not null
+    group by ss_item_sk, d_date)
+select * from (
+    select item_sk, d_date, web_sales, store_sales,
+        max(web_sales) over (partition by item_sk order by d_date
+            rows between unbounded preceding and current row)
+            as web_cumulative,
+        max(store_sales) over (partition by item_sk order by d_date
+            rows between unbounded preceding and current row)
+            as store_cumulative
+    from (
+        select case when web.item_sk is not null then web.item_sk
+                    else store.item_sk end as item_sk,
+            case when web.d_date is not null then web.d_date
+                 else store.d_date end as d_date,
+            web.cume_sales as web_sales,
+            store.cume_sales as store_sales
+        from web_v1 web full outer join store_v1 store
+            on (web.item_sk = store.item_sk and web.d_date = store.d_date)
+        ) x ) y
+where web_cumulative > store_cumulative
+order by item_sk, d_date
+limit 100
+""",
+    98: """
+select i_item_id, i_item_desc, i_category, i_class, i_current_price,
+    sum(ss_ext_sales_price) as itemrevenue,
+    sum(ss_ext_sales_price) * 100 /
+        sum(sum(ss_ext_sales_price)) over (partition by i_class)
+        as revenueratio
+from store_sales, item, date_dim
+where ss_item_sk = i_item_sk
+    and i_category in ('Sports', 'Books', 'Home')
+    and ss_sold_date_sk = d_date_sk
+    and d_date between cast('1999-02-22' as date)
+        and (cast('1999-02-22' as date) + interval '30' day)
+group by i_item_id, i_item_desc, i_category, i_class, i_current_price
+order by i_category, i_class, i_item_id, i_item_desc, revenueratio
+""",
     3: """
 select d_year, i_brand_id as brand_id, i_brand as brand,
     sum(ss_ext_sales_price) as sum_agg

@@ -244,8 +244,102 @@ def q97(t):
         "store_and_catalog": [int((m._merge == "both").sum())]})
 
 
+def _q12_like(t, fact, pfx, limit):
+    j = t[fact].merge(t["item"], left_on=f"{pfx}_item_sk",
+                      right_on="i_item_sk")
+    j = j.merge(t["date_dim"], left_on=f"{pfx}_sold_date_sk",
+                right_on="d_date_sk")
+    lo = pd.Timestamp("1999-02-22")
+    hi = lo + pd.Timedelta(days=30)
+    j = j[j.i_category.isin(["Sports", "Books", "Home"])
+          & j.d_date.between(lo, hi)]
+    keys = ["i_item_id", "i_item_desc", "i_category", "i_class",
+            "i_current_price"]
+    g = (j.groupby(keys, as_index=False)[f"{pfx}_ext_sales_price"].sum()
+         .rename(columns={f"{pfx}_ext_sales_price": "itemrevenue"}))
+    cls = g.groupby("i_class").itemrevenue.transform("sum")
+    g["revenueratio"] = g.itemrevenue * 100 / cls
+    g = g.sort_values(["i_category", "i_class", "i_item_id", "i_item_desc",
+                       "revenueratio"]).reset_index(drop=True)
+    return g.head(limit) if limit else g
+
+
+def q12(t):
+    return _q12_like(t, "web_sales", "ws", 100)
+
+
+def q20(t):
+    return _q12_like(t, "catalog_sales", "cs", 100)
+
+
+def q98(t):
+    return _q12_like(t, "store_sales", "ss", None)
+
+
+def q47(t):
+    j = (t["store_sales"]
+         .merge(t["item"], left_on="ss_item_sk", right_on="i_item_sk")
+         .merge(t["date_dim"], left_on="ss_sold_date_sk",
+                right_on="d_date_sk")
+         .merge(t["store"], left_on="ss_store_sk", right_on="s_store_sk"))
+    j = j[(j.d_year == 1999)
+          | ((j.d_year == 1998) & (j.d_moy == 12))
+          | ((j.d_year == 2000) & (j.d_moy == 1))]
+    keys = ["i_category", "i_brand", "s_store_name", "s_company_name"]
+    g = (j.groupby(keys + ["d_year", "d_moy"], as_index=False)
+         .ss_sales_price.sum()
+         .rename(columns={"ss_sales_price": "sum_sales"}))
+    g["avg_monthly_sales"] = g.groupby(
+        keys + ["d_year"]).sum_sales.transform("mean")
+    g = g.sort_values(keys + ["d_year", "d_moy"]).reset_index(drop=True)
+    g["rn"] = g.groupby(keys).cumcount() + 1
+    lag = g[keys + ["rn", "sum_sales"]].copy()
+    lag["rn"] = lag.rn + 1
+    lead = g[keys + ["rn", "sum_sales"]].copy()
+    lead["rn"] = lead.rn - 1
+    v2 = (g.merge(lag.rename(columns={"sum_sales": "psum"}),
+                  on=keys + ["rn"])
+          .merge(lead.rename(columns={"sum_sales": "nsum"}),
+                 on=keys + ["rn"]))
+    v2 = v2[(v2.d_year == 1999) & (v2.avg_monthly_sales > 0)
+            & ((v2.sum_sales - v2.avg_monthly_sales).abs()
+               / v2.avg_monthly_sales > 0.1)]
+    v2 = v2.assign(_d=v2.sum_sales - v2.avg_monthly_sales) \
+        .sort_values(["_d", "s_store_name", "d_moy"]).head(100)
+    return v2[["i_category", "s_store_name", "s_company_name", "d_year",
+               "d_moy", "avg_monthly_sales", "sum_sales", "psum", "nsum"]]
+
+
+def q51(t):
+    def v1(fact, pfx):
+        j = t[fact].merge(t["date_dim"], left_on=f"{pfx}_sold_date_sk",
+                          right_on="d_date_sk")
+        j = j[j.d_month_seq.between(24, 27)]
+        g = j.groupby([f"{pfx}_item_sk", "d_date"],
+                      as_index=False)[f"{pfx}_sales_price"].sum()
+        g = g.sort_values([f"{pfx}_item_sk", "d_date"])
+        g["cume_sales"] = g.groupby(
+            f"{pfx}_item_sk")[f"{pfx}_sales_price"].cumsum()
+        return g.rename(columns={f"{pfx}_item_sk": "item_sk"})[
+            ["item_sk", "d_date", "cume_sales"]]
+    web = v1("web_sales", "ws")
+    store = v1("store_sales", "ss")
+    m = web.merge(store, on=["item_sk", "d_date"], how="outer",
+                  suffixes=("_w", "_s"))
+    m = m.rename(columns={"cume_sales_w": "web_sales",
+                          "cume_sales_s": "store_sales"})
+    m = m.sort_values(["item_sk", "d_date"]).reset_index(drop=True)
+    m["web_cumulative"] = m.groupby("item_sk").web_sales.cummax()
+    m["store_cumulative"] = m.groupby("item_sk").store_sales.cummax()
+    m = m[m.web_cumulative > m.store_cumulative]
+    m = m.sort_values(["item_sk", "d_date"]).head(100)
+    return m[["item_sk", "d_date", "web_sales", "store_sales",
+              "web_cumulative", "store_cumulative"]]
+
+
 REFS = {i: globals()[f"q{i}"] for i in
-        (3, 7, 13, 19, 26, 42, 43, 52, 55, 73, 90, 93, 96, 97)}
+        (3, 7, 12, 13, 19, 20, 26, 42, 43, 47, 51, 52, 55, 73, 90, 93,
+         96, 97, 98)}
 
 
 def to_pandas_tables(tables) -> Dict[str, pd.DataFrame]:
