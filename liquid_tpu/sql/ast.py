@@ -169,16 +169,19 @@ class CorrLookup(Expr):
 
 @dataclass
 class SetOp:
-    """UNION [ALL] chain; `all_flags[i]` is the ALL-ness of the union
-    BETWEEN members[i] and members[i+1] (left-associative semantics:
-    a UNION b UNION ALL c dedups {a,b} then appends c).  Trailing
-    `order_by`/`limit`/`offset` apply to the combined result."""
+    """UNION / INTERSECT / EXCEPT [ALL] chain; `ops[i]`/`all_flags[i]`
+    describe the operator BETWEEN members[i] and members[i+1].
+    INTERSECT binds tighter than UNION/EXCEPT (SQL standard); the
+    remainder folds left-associatively (a UNION b UNION ALL c dedups
+    {a,b} then appends c).  Trailing `order_by`/`limit`/`offset` apply
+    to the combined result."""
 
     members: List["Select"] = field(default_factory=list)
     all_flags: List[bool] = field(default_factory=list)
     order_by: List["OrderItem"] = field(default_factory=list)
     limit: Optional[int] = None
     offset: Optional[int] = None
+    ops: List[str] = field(default_factory=list)  # union|intersect|except
 
 
 # -- relations -------------------------------------------------------------

@@ -39,7 +39,9 @@ class QueryExecutor:
     def _base_columns(self, name: str):
         if name in self.views:
             v = self.views[name]
-            return [it.alias or render(it.expr) for it in v.items]
+            items = (v.members[0].items if isinstance(v, ast.SetOp)
+                     else v.items)
+            return [it.alias or render(it.expr) for it in items]
         if name in self.catalog:
             return list(self.catalog[name].column_names)
         return None
@@ -81,10 +83,12 @@ class QueryExecutor:
                         self.views[name] = prior
         return self.execute(self._qualify(q))
 
-    def _execute_setop(self, u: ast.SetOp) -> pa.Table:
-        """UNION [ALL] chain, left-associative: `a UNION b UNION ALL c`
-        dedups {a, b} then appends c.  Columns align positionally (first
-        member's names win, SQL semantics)."""
+    def _execute_setop(self, u: ast.SetOp,
+                       qualified: bool = False) -> pa.Table:
+        """UNION / INTERSECT / EXCEPT [ALL] chain.  INTERSECT binds
+        tighter (SQL standard); the rest folds left-associatively:
+        `a UNION b UNION ALL c` dedups {a, b} then appends c.  Columns
+        align positionally (first member's names win, SQL semantics)."""
         parts = []
         saved = {}
         try:
@@ -93,7 +97,8 @@ class QueryExecutor:
                 self.views[name] = sub
             for m in u.members:
                 m.ctes = []
-                parts.append(self.execute(self._qualify(m)))
+                parts.append(self.execute(
+                    m if qualified else self._qualify(m)))
         finally:
             for name, prior in saved.items():
                 if prior is None:
@@ -102,12 +107,21 @@ class QueryExecutor:
                     self.views[name] = prior
         names = parts[0].column_names
         parts = [p.rename_columns(names) for p in parts]
+        ops = list(u.ops) if u.ops else ["union"] * len(u.all_flags)
+        alls = list(u.all_flags)
+        # INTERSECT precedence pass
+        i = 0
+        while i < len(ops):
+            if ops[i] == "intersect":
+                parts[i:i + 2] = [_setop_apply(parts[i], parts[i + 1],
+                                               "intersect", alls[i], names)]
+                ops.pop(i)
+                alls.pop(i)
+            else:
+                i += 1
         out = parts[0]
-        for part, is_all in zip(parts[1:], u.all_flags):
-            out = pa.concat_tables([out, part],
-                                   promote_options="permissive")
-            if not is_all:
-                out = out.group_by(names, use_threads=False).aggregate([])
+        for part, op, is_all in zip(parts[1:], ops, alls):
+            out = _setop_apply(out, part, op, is_all, names)
         if u.order_by:
             keys = []
             for o in u.order_by:
@@ -129,7 +143,11 @@ class QueryExecutor:
 
     # -- queries -----------------------------------------------------------
 
-    def execute(self, q: ast.Select) -> pa.Table:
+    def execute(self, q) -> pa.Table:
+        if isinstance(q, ast.SetOp):
+            # nested chain (derived table / CTE / view body), members
+            # already qualified by the enclosing pass
+            return self._execute_setop(q, qualified=True)
         if q.from_ is None:
             batch = Batch({}, 1)
             ev = Evaluator(batch, self._scalar_subquery)
@@ -298,7 +316,10 @@ class QueryExecutor:
                 return [rel.prefix + c for c in cols]
             return cols
         if isinstance(rel, ast.SubqueryRel):
-            return [it.alias or render(it.expr) for it in rel.query.items]
+            items = (rel.query.members[0].items
+                     if isinstance(rel.query, ast.SetOp)
+                     else rel.query.items)
+            return [it.alias or render(it.expr) for it in items]
         raise NotImplementedError(type(rel).__name__)
 
     def _scan_relation_batches(self, rel: ast.TableRef, where: Optional[ast.Expr],
@@ -1055,6 +1076,54 @@ class QueryExecutor:
         t = self.execute(inner_q)
         return ast.CorrLookup(keys=tuple(keys), key_cols=tuple(inner_keys),
                               kind="scalar", table=t)
+
+
+def _setop_apply(left: pa.Table, right: pa.Table, op: str, all_: bool,
+                 names: List[str]) -> pa.Table:
+    """One set operation.  NULLs compare equal (SQL set-op semantics,
+    matching pandas groupby(dropna=False)/merge NaN-key matching)."""
+    import pandas as pd
+    right = right.rename_columns(names)
+    if op == "union":
+        out = pa.concat_tables([left, right], promote_options="permissive")
+        if not all_:
+            out = out.group_by(names, use_threads=False).aggregate([])
+        return out
+    ldf = left.to_pandas()
+    rdf = right.to_pandas()
+    if op == "intersect":
+        if all_:
+            lc = ldf.groupby(names, dropna=False).size() \
+                .rename("__lc").reset_index()
+            rc = rdf.groupby(names, dropna=False).size() \
+                .rename("__rc").reset_index()
+            m = lc.merge(rc, on=names)
+            reps = m[["__lc", "__rc"]].min(axis=1)
+            res = m.loc[m.index.repeat(reps), names]
+        else:
+            res = ldf.drop_duplicates().merge(
+                rdf.drop_duplicates(), on=names, how="inner")[names]
+    elif op == "except":
+        if all_:
+            lc = ldf.groupby(names, dropna=False).size() \
+                .rename("__lc").reset_index()
+            rc = rdf.groupby(names, dropna=False).size() \
+                .rename("__rc").reset_index()
+            m = lc.merge(rc, on=names, how="left")
+            reps = (m.__lc - m.__rc.fillna(0)).clip(lower=0).astype(int)
+            res = m.loc[m.index.repeat(reps), names]
+        else:
+            m = ldf.drop_duplicates().merge(
+                rdf.drop_duplicates(), on=names, how="left", indicator=True)
+            res = m[m._merge == "left_only"][names]
+    else:
+        raise NotImplementedError(op)
+    out = pa.Table.from_pandas(res.reset_index(drop=True),
+                               preserve_index=False)
+    try:
+        return out.cast(left.schema)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, ValueError):
+        return out
 
 
 def _fix_null_keys(t: pa.Table, keys: List[str],

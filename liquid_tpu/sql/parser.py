@@ -28,7 +28,8 @@ KEYWORDS = {
     "is", "null", "true", "false", "distinct", "case", "when", "then",
     "else", "end", "cast", "extract", "interval", "date", "timestamp",
     "join", "inner", "left", "right", "full", "outer", "cross", "on",
-    "union", "all", "exists", "asc", "desc", "nulls", "first", "last",
+    "union", "intersect", "except", "all", "exists", "asc", "desc",
+    "nulls", "first", "last",
     "substring", "for", "with",
 }
 
@@ -158,38 +159,47 @@ class Parser:
                     self.expect_op(")")
                 self.expect_kw("as")
                 self.expect_op("(")
-                sub = self.parse_select()
+                sub = self._maybe_setop_chain(self.parse_select())
                 self.expect_op(")")
                 if cols:
-                    for item, cname in zip(sub.items, cols):
+                    items = (sub.members[0].items
+                             if isinstance(sub, ast.SetOp) else sub.items)
+                    for item, cname in zip(items, cols):
                         item.alias = cname
                 ctes.append((name, sub))
                 if not self.accept_op(","):
                     break
         q = self.parse_select()
         q.ctes = ctes
-        if self.peek() and self.peek().kind == "kw" \
-                and self.peek().value == "union":
-            members = [q]
-            all_flags = []
-            while self.accept_kw("union"):
-                all_flags.append(bool(self.accept_kw("all")))
-                members.append(self.parse_select())
-            # trailing ORDER BY / LIMIT / OFFSET bind to the whole union:
-            # the last member's clauses are hoisted
-            last = members[-1]
-            u = ast.SetOp(members, all_flags, last.order_by, last.limit,
-                          last.offset)
-            last.order_by, last.limit, last.offset = [], None, None
-            u.members[0].ctes = ctes
-            self.accept_op(";")
-            if self.peek() is not None:
-                raise SyntaxError(f"trailing tokens at {self.peek()}")
-            return u
+        res = self._maybe_setop_chain(q)
         self.accept_op(";")
         if self.peek() is not None:
             raise SyntaxError(f"trailing tokens at {self.peek()}")
-        return q
+        return res
+
+    def _maybe_setop_chain(self, q: ast.Select):
+        """Wrap `q` in a SetOp if a UNION/INTERSECT/EXCEPT chain follows.
+        Trailing ORDER BY / LIMIT / OFFSET bind to the whole chain: the
+        last member's clauses are hoisted."""
+        t = self.peek()
+        if not (t and t.kind == "kw"
+                and t.value in ("union", "intersect", "except")):
+            return q
+        members = [q]
+        all_flags = []
+        ops = []
+        while True:
+            op = self.accept_kw("union", "intersect", "except")
+            if op is None:
+                break
+            ops.append(op)
+            all_flags.append(bool(self.accept_kw("all")))
+            members.append(self.parse_select())
+        last = members[-1]
+        u = ast.SetOp(members, all_flags, last.order_by, last.limit,
+                      last.offset, ops)
+        last.order_by, last.limit, last.offset = [], None, None
+        return u
 
     def parse_select(self) -> ast.Select:
         self.expect_kw("select")
@@ -293,7 +303,7 @@ class Parser:
         if self.accept_op("("):
             t = self.peek()
             if t and t.kind == "kw" and t.value == "select":
-                sub = self.parse_select()
+                sub = self._maybe_setop_chain(self.parse_select())
                 self.expect_op(")")
                 self.accept_kw("as")
                 alias = self.next().value
@@ -302,7 +312,9 @@ class Parser:
                     while self.accept_op(","):
                         cols.append(self.next().value)
                     self.expect_op(")")
-                    for item, cname in zip(sub.items, cols):
+                    items = (sub.members[0].items
+                             if isinstance(sub, ast.SetOp) else sub.items)
+                    for item, cname in zip(items, cols):
                         item.alias = cname
                 return ast.SubqueryRel(sub, alias)
             rel = self.parse_from()
@@ -663,7 +675,9 @@ def parse_statement(sql: str):
         cols = [c.strip() for c in m.group(3).split(",")] if m.group(3) else None
         sub = parse_sql(m.group(4))
         if cols:
-            for item, cname in zip(sub.items, cols):
+            items = (sub.members[0].items if isinstance(sub, ast.SetOp)
+                     else sub.items)
+            for item, cname in zip(items, cols):
                 item.alias = cname
         return ("create_view", name, sub)
     if head == "drop":

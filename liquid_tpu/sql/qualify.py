@@ -102,8 +102,13 @@ class Qualifier:
         table or view, or None if unknown."""
         self.rel_columns = rel_columns
 
-    def qualify(self, q: ast.Select,
-                outer: Tuple[Scope, ...] = ()) -> ast.Select:
+    def qualify(self, q,
+                outer: Tuple[Scope, ...] = ()):
+        if isinstance(q, ast.SetOp):
+            # each member resolves in its own scope; the chain itself
+            # introduces no names beyond the first member's items
+            q.members = [self.qualify(m, outer) for m in q.members]
+            return q
         scope = Scope()
         leaves: List = []
         _leaves(q.from_, leaves)
@@ -129,7 +134,9 @@ class Qualifier:
             elif isinstance(leaf, ast.SubqueryRel):
                 # derived tables cannot correlate outward: fresh scope
                 sub = self.qualify(leaf.query)
-                cols = [it.alias or _render_name(it.expr) for it in sub.items]
+                items = (sub.members[0].items if isinstance(sub, ast.SetOp)
+                         else sub.items)
+                cols = [it.alias or _render_name(it.expr) for it in items]
                 scope.add(leaf.alias, None, cols)
                 new_leaf[id(leaf)] = ast.SubqueryRel(sub, leaf.alias)
             else:

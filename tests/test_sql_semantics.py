@@ -154,3 +154,76 @@ def test_grouped_stddev_median(sess):
     # g=0: ids 2,4 -> var 2.0, median 3.0 ; g=1: ids 1,3,5 -> var 4.0, med 3
     assert out.column("vr").to_pylist() == [2.0, 4.0]
     assert out.column("md").to_pylist() == [3.0, 3.0]
+
+
+def test_intersect_distinct(sess):
+    out = sess.sql("""
+        SELECT id FROM t WHERE id <= 3
+        INTERSECT
+        SELECT id FROM t WHERE id >= 2""").to_arrow()
+    assert sorted(out.column(0).to_pylist()) == [2, 3]
+
+
+def test_except_distinct(sess):
+    out = sess.sql("""
+        SELECT id FROM t
+        EXCEPT
+        SELECT id FROM t WHERE id >= 3""").to_arrow()
+    assert sorted(out.column(0).to_pylist()) == [1, 2]
+
+
+def test_intersect_nulls_compare_equal(sess):
+    out = sess.sql("""
+        SELECT x FROM t
+        INTERSECT
+        SELECT x FROM t""").to_arrow()
+    vals = out.column(0).to_pylist()
+    assert None in vals  # NULL intersects with NULL (set-op semantics)
+    assert sorted(v for v in vals if v is not None) == [10, 30, 50]
+
+
+def test_except_all_multiset(sess):
+    # t has x values [10, None, 30, None, 50]; EXCEPT ALL keeps one NULL
+    out = sess.sql("""
+        SELECT x FROM t
+        EXCEPT ALL
+        SELECT x FROM t WHERE x IS NULL LIMIT 10""").to_arrow()
+    # subquery LIMIT binds to the chain; rewrite without it:
+    out = sess.sql("""
+        SELECT x FROM t
+        EXCEPT ALL
+        SELECT x FROM t WHERE id = 2""").to_arrow()
+    vals = out.column(0).to_pylist()
+    assert sorted(v for v in vals if v is not None) == [10, 30, 50]
+    assert vals.count(None) == 1  # two NULLs minus one NULL
+
+
+def test_intersect_all_multiset(sess):
+    out = sess.sql("""
+        SELECT s FROM (
+          SELECT 'a' AS s UNION ALL SELECT 'a' UNION ALL SELECT 'b') l
+        INTERSECT ALL
+        SELECT s2 FROM (
+          SELECT 'a' AS s2 UNION ALL SELECT 'a' UNION ALL
+          SELECT 'a' UNION ALL SELECT 'c') r""").to_arrow()
+    assert sorted(out.column(0).to_pylist()) == ["a", "a"]
+
+
+def test_intersect_binds_tighter_than_union(sess):
+    # a UNION b INTERSECT c  ==  a UNION (b INTERSECT c)
+    out = sess.sql("""
+        SELECT 1 AS v
+        UNION
+        SELECT 2 AS v
+        INTERSECT
+        SELECT 3 AS v""").to_arrow()
+    assert sorted(out.column(0).to_pylist()) == [1]
+
+
+def test_setop_order_by_limit(sess):
+    out = sess.sql("""
+        SELECT id FROM t
+        EXCEPT
+        SELECT id FROM t WHERE id = 1
+        ORDER BY id DESC LIMIT 2""").to_arrow()
+    assert out.column(0).to_pylist() == [5, 4]
