@@ -92,6 +92,8 @@ def generate(sf: float = 0.01, seed: int = 20030101) -> Dict[str, pa.Table]:
         "i_item_sk": pa.array(np.arange(1, n_item + 1), pa.int64()),
         "i_item_id": pa.array([f"AAAAAAAA{i:08d}" for i in range(1, n_item + 1)]),
         "i_item_desc": pa.array([f"item desc {i}" for i in range(1, n_item + 1)]),
+        "i_product_name": pa.array([f"product{i:07d}"
+                                    for i in range(1, n_item + 1)]),
         "i_category": pa.array(i_cat),
         "i_class": pa.array([f"{c[:4].lower()}class{rng.integers(1, 8)}"
                              for c in i_cat]),
@@ -142,6 +144,8 @@ def generate(sf: float = 0.01, seed: int = 20030101) -> Dict[str, pa.Table]:
         "c_current_hdemo_sk": pa.array(rng.integers(1, n_hd + 1, n_cust), pa.int64()),
         "c_birth_country": pa.array(rng.choice(
             ["UNITED STATES", "CANADA", "MEXICO", "GERMANY", "JAPAN"], n_cust)),
+        "c_birth_year": pa.array(rng.integers(1924, 1993, n_cust), pa.int64()),
+        "c_birth_month": pa.array(rng.integers(1, 13, n_cust), pa.int64()),
     })
 
     store = pa.table({
@@ -232,8 +236,23 @@ def generate(sf: float = 0.01, seed: int = 20030101) -> Dict[str, pa.Table]:
         "sr_return_amt": pa.array(_money(r, n_sr, 1.0, 2000.0)),
     })
 
+    # inventory: weekly snapshots of a random item subset (q22)
+    r = np.random.default_rng(seed + 123)
+    week_sks = d_sk[::7]
+    n_inv_per_week = max(200, n_item // 2)
+    inv_date = np.repeat(week_sks, n_inv_per_week)
+    n_inv = len(inv_date)
+    inventory = pa.table({
+        "inv_date_sk": pa.array(inv_date, pa.int64()),
+        "inv_item_sk": pa.array(r.integers(1, n_item + 1, n_inv), pa.int64()),
+        "inv_warehouse_sk": pa.array(r.integers(1, 6, n_inv), pa.int64()),
+        "inv_quantity_on_hand": pa.array(
+            r.integers(0, 1000, n_inv), pa.int64()),
+    })
+
     return {
         "date_dim": date_dim, "time_dim": time_dim, "item": item,
+        "inventory": inventory,
         "customer": customer, "customer_address": customer_address,
         "customer_demographics": customer_demographics,
         "household_demographics": household_demographics, "store": store,

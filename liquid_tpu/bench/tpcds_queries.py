@@ -11,6 +11,97 @@ comparison), all in the official parameter style.
 """
 
 QUERIES = {
+    18: """
+select i_item_id, ca_country, ca_state, ca_county,
+    avg(cs_quantity) as agg1, avg(cs_list_price) as agg2,
+    avg(cs_coupon_amt) as agg3, avg(cs_sales_price) as agg4,
+    avg(cs_net_profit) as agg5, avg(c_birth_year) as agg6,
+    avg(cd1.cd_dep_count) as agg7
+from catalog_sales, customer_demographics cd1,
+     customer_demographics cd2, customer, customer_address,
+     date_dim, item
+where cs_sold_date_sk = d_date_sk
+    and cs_item_sk = i_item_sk
+    and cs_cdemo_sk = cd1.cd_demo_sk
+    and cs_customer_sk = c_customer_sk
+    and cd1.cd_gender = 'F'
+    and cd1.cd_education_status = 'Unknown'
+    and c_current_cdemo_sk = cd2.cd_demo_sk
+    and c_current_addr_sk = ca_address_sk
+    and c_birth_month in (1, 6, 8, 9, 12, 2)
+    and d_year = 1998
+    and ca_state in ('MS', 'IN', 'ND', 'OK', 'NM', 'VA', 'MI')
+group by rollup(i_item_id, ca_country, ca_state, ca_county)
+order by ca_country nulls first, ca_state nulls first,
+    ca_county nulls first, i_item_id nulls first
+limit 100
+""",
+    22: """
+select i_product_name, i_brand, i_class, i_category,
+    avg(inv_quantity_on_hand) as qoh
+from inventory, date_dim, item
+where inv_date_sk = d_date_sk
+    and inv_item_sk = i_item_sk
+    and d_month_seq between 24 and 35
+group by rollup(i_product_name, i_brand, i_class, i_category)
+order by qoh, i_product_name nulls first, i_brand nulls first,
+    i_class nulls first, i_category nulls first
+limit 100
+""",
+    27: """
+select i_item_id, s_state, grouping(s_state) as g_state,
+    avg(ss_quantity) as agg1, avg(ss_list_price) as agg2,
+    avg(ss_coupon_amt) as agg3, avg(ss_sales_price) as agg4
+from store_sales, customer_demographics, date_dim, store, item
+where ss_sold_date_sk = d_date_sk
+    and ss_item_sk = i_item_sk
+    and ss_store_sk = s_store_sk
+    and ss_cdemo_sk = cd_demo_sk
+    and cd_gender = 'M'
+    and cd_marital_status = 'S'
+    and cd_education_status = 'College'
+    and d_year = 2002
+    and s_state in ('AL', 'CA', 'GA', 'IL', 'IN', 'KS')
+group by rollup(i_item_id, s_state)
+order by i_item_id nulls first, s_state nulls first
+limit 100
+""",
+    36: """
+select sum(ss_net_profit) / sum(ss_ext_sales_price) as gross_margin,
+    i_category, i_class,
+    grouping(i_category) + grouping(i_class) as lochierarchy,
+    rank() over (partition by grouping(i_category) + grouping(i_class),
+        case when grouping(i_class) = 0 then i_category end
+        order by sum(ss_net_profit) / sum(ss_ext_sales_price) asc)
+        as rank_within_parent
+from store_sales, date_dim d1, item, store
+where d1.d_year = 2001
+    and d1.d_date_sk = ss_sold_date_sk
+    and i_item_sk = ss_item_sk
+    and s_store_sk = ss_store_sk
+    and s_state in ('AL', 'CA', 'GA', 'IL', 'IN', 'KS')
+group by rollup(i_category, i_class)
+order by lochierarchy desc,
+    case when lochierarchy = 0 then i_category end nulls first,
+    rank_within_parent
+limit 100
+""",
+    86: """
+select sum(ws_net_paid) as total_sum, i_category, i_class,
+    grouping(i_category) + grouping(i_class) as lochierarchy,
+    rank() over (partition by grouping(i_category) + grouping(i_class),
+        case when grouping(i_class) = 0 then i_category end
+        order by sum(ws_net_paid) desc) as rank_within_parent
+from web_sales, date_dim d1, item
+where d1.d_month_seq between 24 and 35
+    and d1.d_date_sk = ws_sold_date_sk
+    and i_item_sk = ws_item_sk
+group by rollup(i_category, i_class)
+order by lochierarchy desc,
+    case when lochierarchy = 0 then i_category end nulls first,
+    rank_within_parent
+limit 100
+""",
     12: """
 select i_item_id, i_item_desc, i_category, i_class, i_current_price,
     sum(ws_ext_sales_price) as itemrevenue,

@@ -337,9 +337,171 @@ def q51(t):
               "web_cumulative", "store_cumulative"]]
 
 
+def _sort_nf(df, keys):
+    """Sort with per-key (ascending, nulls_first) control."""
+    tmp = df.copy()
+    by, asc = [], []
+    for i, (c, a, nf) in enumerate(keys):
+        tmp[f"__n{i}"] = tmp[c].isna()
+        by.append(f"__n{i}")
+        asc.append(not nf)
+        by.append(c)
+        asc.append(a)
+    return tmp.sort_values(by, ascending=asc,
+                           kind="mergesort")[df.columns]
+
+
+def _rollup_agg(j, keys, named_aggs):
+    """Pandas ROLLUP: one aggregation per key prefix, NULL-padded."""
+    parts = []
+    for i in range(len(keys), -1, -1):
+        ks = keys[:i]
+        if ks:
+            g = j.groupby(ks, as_index=False, dropna=False).agg(**named_aggs)
+        else:
+            g = pd.DataFrame([{n: getattr(j[c], f)()
+                               for n, (c, f) in named_aggs.items()}])
+        for k in keys[i:]:
+            g[k] = None
+        g["__level"] = len(keys) - i
+        parts.append(g)
+    return pd.concat(parts, ignore_index=True)
+
+
+def q18(t):
+    j = (t["catalog_sales"]
+         .merge(t["customer_demographics"].add_prefix("cd1_"),
+                left_on="cs_cdemo_sk", right_on="cd1_cd_demo_sk")
+         .merge(t["customer"], left_on="cs_customer_sk",
+                right_on="c_customer_sk")
+         .merge(t["customer_demographics"].add_prefix("cd2_"),
+                left_on="c_current_cdemo_sk", right_on="cd2_cd_demo_sk")
+         .merge(t["customer_address"], left_on="c_current_addr_sk",
+                right_on="ca_address_sk")
+         .merge(t["date_dim"], left_on="cs_sold_date_sk",
+                right_on="d_date_sk")
+         .merge(t["item"], left_on="cs_item_sk", right_on="i_item_sk"))
+    j = j[(j.cd1_cd_gender == "F")
+          & (j.cd1_cd_education_status == "Unknown")
+          & j.c_birth_month.isin([1, 6, 8, 9, 12, 2])
+          & (j.d_year == 1998)
+          & j.ca_state.isin(["MS", "IN", "ND", "OK", "NM", "VA", "MI"])]
+    keys = ["i_item_id", "ca_country", "ca_state", "ca_county"]
+    g = _rollup_agg(j, keys, dict(
+        agg1=("cs_quantity", "mean"), agg2=("cs_list_price", "mean"),
+        agg3=("cs_coupon_amt", "mean"), agg4=("cs_sales_price", "mean"),
+        agg5=("cs_net_profit", "mean"), agg6=("c_birth_year", "mean"),
+        agg7=("cd1_cd_dep_count", "mean")))
+    g = _sort_nf(g, [("ca_country", True, True), ("ca_state", True, True),
+                     ("ca_county", True, True), ("i_item_id", True, True)])
+    return g[keys + [f"agg{i}" for i in range(1, 8)]].head(100)
+
+
+def q22(t):
+    j = (t["inventory"]
+         .merge(t["date_dim"], left_on="inv_date_sk", right_on="d_date_sk")
+         .merge(t["item"], left_on="inv_item_sk", right_on="i_item_sk"))
+    j = j[j.d_month_seq.between(24, 35)]
+    keys = ["i_product_name", "i_brand", "i_class", "i_category"]
+    g = _rollup_agg(j, keys, dict(qoh=("inv_quantity_on_hand", "mean")))
+    g = _sort_nf(g, [("qoh", True, False),
+                     ("i_product_name", True, True),
+                     ("i_brand", True, True), ("i_class", True, True),
+                     ("i_category", True, True)])
+    return g[keys + ["qoh"]].head(100)
+
+
+def q27(t):
+    j = (t["store_sales"]
+         .merge(t["customer_demographics"], left_on="ss_cdemo_sk",
+                right_on="cd_demo_sk")
+         .merge(t["date_dim"], left_on="ss_sold_date_sk",
+                right_on="d_date_sk")
+         .merge(t["store"], left_on="ss_store_sk", right_on="s_store_sk")
+         .merge(t["item"], left_on="ss_item_sk", right_on="i_item_sk"))
+    j = j[(j.cd_gender == "M") & (j.cd_marital_status == "S")
+          & (j.cd_education_status == "College") & (j.d_year == 2002)
+          & j.s_state.isin(["AL", "CA", "GA", "IL", "IN", "KS"])]
+    keys = ["i_item_id", "s_state"]
+    g = _rollup_agg(j, keys, dict(
+        agg1=("ss_quantity", "mean"), agg2=("ss_list_price", "mean"),
+        agg3=("ss_coupon_amt", "mean"), agg4=("ss_sales_price", "mean")))
+    g["g_state"] = (g.__level >= 1).astype(int)
+    g = _sort_nf(g, [("i_item_id", True, True), ("s_state", True, True)])
+    return g[["i_item_id", "s_state", "g_state",
+              "agg1", "agg2", "agg3", "agg4"]].head(100)
+
+
+def q36(t):
+    j = (t["store_sales"]
+         .merge(t["date_dim"], left_on="ss_sold_date_sk",
+                right_on="d_date_sk")
+         .merge(t["item"], left_on="ss_item_sk", right_on="i_item_sk")
+         .merge(t["store"], left_on="ss_store_sk", right_on="s_store_sk"))
+    j = j[(j.d_year == 2001)
+          & j.s_state.isin(["AL", "CA", "GA", "IL", "IN", "KS"])]
+    parts = []
+    for i in (2, 1, 0):
+        ks = ["i_category", "i_class"][:i]
+        if ks:
+            g = j.groupby(ks, as_index=False, dropna=False).agg(
+                np_=("ss_net_profit", "sum"),
+                sp_=("ss_ext_sales_price", "sum"))
+        else:
+            g = pd.DataFrame([{"np_": j.ss_net_profit.sum(),
+                               "sp_": j.ss_ext_sales_price.sum()}])
+        g["gross_margin"] = g.np_ / g.sp_
+        g["lochierarchy"] = 2 - i
+        for k in ["i_category", "i_class"][i:]:
+            g[k] = None
+        parts.append(g[["gross_margin", "i_category", "i_class",
+                        "lochierarchy"]])
+    v = pd.concat(parts, ignore_index=True)
+    v["_p"] = v.i_category.where(v.lochierarchy == 0)
+    v["rank_within_parent"] = (
+        v.groupby(["lochierarchy", "_p"], dropna=False)
+        .gross_margin.rank(method="min", ascending=True).astype(int))
+    v["_c"] = v.i_category.where(v.lochierarchy == 0)
+    v = _sort_nf(v, [("lochierarchy", False, True), ("_c", True, True),
+                     ("rank_within_parent", True, False)])
+    return v[["gross_margin", "i_category", "i_class", "lochierarchy",
+              "rank_within_parent"]].head(100)
+
+
+def q86(t):
+    j = (t["web_sales"]
+         .merge(t["date_dim"], left_on="ws_sold_date_sk",
+                right_on="d_date_sk")
+         .merge(t["item"], left_on="ws_item_sk", right_on="i_item_sk"))
+    j = j[j.d_month_seq.between(24, 35)]
+    parts = []
+    for i in (2, 1, 0):
+        ks = ["i_category", "i_class"][:i]
+        if ks:
+            g = j.groupby(ks, as_index=False, dropna=False).agg(
+                total_sum=("ws_net_paid", "sum"))
+        else:
+            g = pd.DataFrame([{"total_sum": j.ws_net_paid.sum()}])
+        g["lochierarchy"] = 2 - i
+        for k in ["i_category", "i_class"][i:]:
+            g[k] = None
+        parts.append(g[["total_sum", "i_category", "i_class",
+                        "lochierarchy"]])
+    v = pd.concat(parts, ignore_index=True)
+    v["_p"] = v.i_category.where(v.lochierarchy == 0)
+    v["rank_within_parent"] = (
+        v.groupby(["lochierarchy", "_p"], dropna=False)
+        .total_sum.rank(method="min", ascending=False).astype(int))
+    v["_c"] = v.i_category.where(v.lochierarchy == 0)
+    v = _sort_nf(v, [("lochierarchy", False, True), ("_c", True, True),
+                     ("rank_within_parent", True, False)])
+    return v[["total_sum", "i_category", "i_class", "lochierarchy",
+              "rank_within_parent"]].head(100)
+
+
 REFS = {i: globals()[f"q{i}"] for i in
-        (3, 7, 12, 13, 19, 20, 26, 42, 43, 47, 51, 52, 55, 73, 90, 93,
-         96, 97, 98)}
+        (3, 7, 12, 13, 18, 19, 20, 22, 26, 27, 36, 42, 43, 47, 51, 52,
+         55, 73, 86, 90, 93, 96, 97, 98)}
 
 
 def to_pandas_tables(tables) -> Dict[str, pd.DataFrame]:

@@ -77,6 +77,21 @@ class WindowFunc(Expr):
 
 
 @dataclass(frozen=True)
+class GroupingSpec(Expr):
+    """GROUP BY ROLLUP(...) / CUBE(...) / GROUPING SETS(...).
+
+    Ref: the reference gets grouping sets from DataFusion's logical
+    planner (TPC-DS q18/q22/q27/q36/q67/q86); liquid_tpu expands them in
+    the executor (one grouped aggregation per set, excluded keys NULLed,
+    `grouping(col)` folded to 0/1 per set).
+    """
+
+    kind: str                                  # rollup | cube | sets
+    exprs: Tuple[Expr, ...] = ()               # rollup/cube key list
+    sets: Tuple[Tuple[Expr, ...], ...] = ()    # explicit GROUPING SETS
+
+
+@dataclass(frozen=True)
 class Extract(Expr):
     field: str  # year month day dow minute hour ...
     operand: Expr

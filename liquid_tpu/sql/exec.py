@@ -228,7 +228,8 @@ class QueryExecutor:
                 resolved_group.append(alias_map[g.name])
             else:
                 resolved_group.append(g)
-        gmap = {g: reg(g) for g in resolved_group}
+        gmap = {g: reg(g) for g in resolved_group
+                if not isinstance(g, ast.GroupingSpec)}
 
         def reg_residual(e: ast.Expr, skip_aliases: bool) -> ast.Expr:
             def walk(x):
@@ -238,7 +239,10 @@ class QueryExecutor:
                     if not x.name.startswith("__w"):
                         reg(x)
                     return x
-                if isinstance(x, ast.Func) and x.name in AGG_FUNCS:
+                if isinstance(x, ast.Func) and (x.name in AGG_FUNCS
+                                                or x.name == "grouping"):
+                    # grouping() folds per grouping set inside the inner
+                    # aggregation, like an aggregate result
                     return ast.Column(reg(x))
                 return None
             return map_expr(e, walk)
@@ -286,7 +290,13 @@ class QueryExecutor:
                         and o.expr.name in alias_map):
                     continue
                 nm = f"__ob{i}"
-                v = ev.eval(self._rewrite_subqueries(res))
+                try:
+                    v = ev.eval(self._rewrite_subqueries(res))
+                except KeyError:
+                    # expression over item ALIASES (e.g. TPC-DS q36's
+                    # `case when lochierarchy = 0 ...`): resolves in
+                    # _order_limit over the projected result instead
+                    continue
                 if isinstance(v, pa.Scalar):
                     v = pa.repeat(v, batch.length)
                 icols[nm] = v
@@ -633,6 +643,8 @@ class QueryExecutor:
         return out
 
     def _exec_aggregate(self, q: ast.Select, aggs: List[ast.Func]) -> pa.Table:
+        if any(isinstance(g, ast.GroupingSpec) for g in q.group_by):
+            return self._exec_grouping_sets(q)
         slots = make_slots(aggs)
         group = self._resolve_group_exprs(q)
         key_names = [nm for _, nm in group]
@@ -767,6 +779,94 @@ class QueryExecutor:
         # ORDER BY / LIMIT over the combined (items + internal) namespace
         result = self._order_limit(q, result, final, mapping)
         return result
+
+    def _exec_grouping_sets(self, q: ast.Select) -> pa.Table:
+        """GROUP BY ROLLUP/CUBE/GROUPING SETS: one grouped aggregation
+        per set; excluded keys project as NULL; `grouping(e)` folds to
+        0/1.  HAVING applies per set (uniform, so equivalent to applying
+        on the union); ORDER BY / LIMIT apply to the combined result.
+
+        Ref: DataFusion's grouping-set expansion, which the reference
+        gets for free (TPC-DS q18/q22/q27/q36/q67/q86).
+        """
+        import itertools
+
+        sets_per_elem: List[List[Tuple[ast.Expr, ...]]] = []
+        spec_keys: List[ast.Expr] = []
+        for g in q.group_by:
+            if isinstance(g, ast.GroupingSpec):
+                if g.kind == "rollup":
+                    ss = [tuple(g.exprs[:i])
+                          for i in range(len(g.exprs), -1, -1)]
+                elif g.kind == "cube":
+                    ss = [tuple(e for e, keep in zip(g.exprs, mask) if keep)
+                          for mask in itertools.product(
+                              (True, False), repeat=len(g.exprs))]
+                else:
+                    ss = list(g.sets)
+                sets_per_elem.append(ss)
+                for e in (g.exprs or
+                          tuple(x for s in g.sets for x in s)):
+                    if not any(e == k for k in spec_keys):
+                        spec_keys.append(e)
+            else:
+                sets_per_elem.append([(g,)])
+
+        full_keys: List[ast.Expr] = []
+        for elem in sets_per_elem:
+            for s in elem:
+                for e in s:
+                    if not any(e == k for k in full_keys):
+                        full_keys.append(e)
+
+        def rewrite(e: ast.Expr, included: List[ast.Expr],
+                    in_agg: bool = False) -> ast.Expr:
+            import dataclasses as _dc
+            if isinstance(e, ast.Func) and e.name == "grouping":
+                return ast.Literal(
+                    0 if any(e.args[0] == k for k in included) else 1)
+            if not in_agg and any(e == k for k in spec_keys) \
+                    and not any(e == k for k in included):
+                return ast.Literal(None)
+            if not _dc.is_dataclass(e):
+                return e
+            child_in_agg = in_agg or (
+                isinstance(e, ast.Func) and e.name in AGG_FUNCS)
+            changes = {}
+            for f in _dc.fields(e):
+                v = getattr(e, f.name)
+                if isinstance(v, ast.Expr):
+                    changes[f.name] = rewrite(v, included, child_in_agg)
+                elif isinstance(v, tuple):
+                    changes[f.name] = tuple(
+                        rewrite(x, included, child_in_agg)
+                        if isinstance(x, ast.Expr)
+                        else tuple(rewrite(y, included, child_in_agg)
+                                   if isinstance(y, ast.Expr) else y
+                                   for y in x) if isinstance(x, tuple)
+                        else x for x in v)
+            return _dc.replace(e, **changes) if changes else e
+
+        parts: List[pa.Table] = []
+        names = [it.alias or render(it.expr) for it in q.items]
+        for combo in itertools.product(*sets_per_elem):
+            included: List[ast.Expr] = []
+            for s in combo:
+                for e in s:
+                    if not any(e == k for k in included):
+                        included.append(e)
+            qi = ast.Select()
+            qi.items = [ast.SelectItem(rewrite(it.expr, included), nm)
+                        for it, nm in zip(q.items, names)]
+            qi.from_ = q.from_
+            qi.where = q.where
+            qi.group_by = [k for k in full_keys
+                           if any(k == e for e in included)]
+            qi.having = (rewrite(q.having, included)
+                         if q.having is not None else None)
+            parts.append(self.execute(qi))
+        combined = pa.concat_tables(parts, promote_options="permissive")
+        return self._order_limit(q, combined, None, {})
 
     def _order_limit(self, q: ast.Select, result: pa.Table,
                      internal: Optional[pa.Table], mapping) -> pa.Table:

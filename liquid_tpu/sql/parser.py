@@ -217,9 +217,9 @@ class Parser:
             q.where = self.parse_expr()
         if self.accept_kw("group"):
             self.expect_kw("by")
-            q.group_by.append(self.parse_expr())
+            q.group_by.append(self.parse_group_item())
             while self.accept_op(","):
-                q.group_by.append(self.parse_expr())
+                q.group_by.append(self.parse_group_item())
         if self.accept_kw("having"):
             q.having = self.parse_expr()
         if self.accept_kw("order"):
@@ -245,6 +245,43 @@ class Parser:
         elif self.peek() and self.peek().kind == "id":
             alias = self.next().value
         return ast.SelectItem(e, alias)
+
+    def parse_group_item(self) -> ast.Expr:
+        """A GROUP BY element: expr, ROLLUP(...), CUBE(...), or
+        GROUPING SETS((...), ...)."""
+        t = self.peek()
+        if t and t.kind == "id" and t.value.lower() in ("rollup", "cube"):
+            nxt = self.peek(1)
+            if nxt and nxt.kind == "op" and nxt.value == "(":
+                kind = self.next().value.lower()
+                self.expect_op("(")
+                exprs = [self.parse_expr()]
+                while self.accept_op(","):
+                    exprs.append(self.parse_expr())
+                self.expect_op(")")
+                return ast.GroupingSpec(kind, tuple(exprs))
+        if t and t.kind == "id" and t.value.lower() == "grouping":
+            nxt = self.peek(1)
+            if nxt and nxt.kind == "id" and nxt.value.lower() == "sets":
+                self.i += 2
+                self.expect_op("(")
+                sets = []
+                while True:
+                    if self.accept_op("("):
+                        one = []
+                        if not self.accept_op(")"):
+                            one.append(self.parse_expr())
+                            while self.accept_op(","):
+                                one.append(self.parse_expr())
+                            self.expect_op(")")
+                        sets.append(tuple(one))
+                    else:
+                        sets.append((self.parse_expr(),))
+                    if not self.accept_op(","):
+                        break
+                self.expect_op(")")
+                return ast.GroupingSpec("sets", (), tuple(sets))
+        return self.parse_expr()
 
     def parse_order_item(self) -> ast.OrderItem:
         e = self.parse_expr()
