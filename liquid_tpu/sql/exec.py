@@ -888,13 +888,16 @@ class QueryExecutor:
                 sort_arrays.append(arr)
                 directions.append("descending" if o.desc else "ascending")
             st = pa.table({f"__s{i}": a for i, a in enumerate(sort_arrays)})
-            null_placement = "at_start" if q.order_by[0].desc else "at_end"
-            if q.order_by[0].nulls_first is not None:
-                null_placement = ("at_start" if q.order_by[0].nulls_first
-                                  else "at_end")
-            idx = pc.sort_indices(
-                st, sort_keys=[(f"__s{i}", d) for i, d in enumerate(directions)],
-                null_placement=null_placement)
+            # per-key NULL placement (Postgres/DataFusion default:
+            # NULLS LAST for ASC, NULLS FIRST for DESC; explicit
+            # NULLS FIRST/LAST overrides per key)
+            keys = []
+            for i, (o, d) in enumerate(zip(q.order_by, directions)):
+                placement = "at_start" if o.desc else "at_end"
+                if o.nulls_first is not None:
+                    placement = "at_start" if o.nulls_first else "at_end"
+                keys.append((f"__s{i}", d, placement))
+            idx = pc.sort_indices(st, sort_keys=keys)
             result = result.take(idx)
         if q.offset:
             result = result.slice(q.offset)

@@ -34,6 +34,10 @@ def tpcds(tmp_path_factory):
 
 def _norm(v):
     import datetime
+    if v is None or (isinstance(v, float) and np.isnan(v)):
+        # arrow->pandas renders string NULLs as NaN in object columns;
+        # both mean SQL NULL in this comparison
+        return None
     if isinstance(v, (pd.Timestamp, np.datetime64, datetime.date)):
         return str(pd.Timestamp(v).date())
     return v
