@@ -658,9 +658,12 @@ class QueryExecutor:
             if s.input is not None:
                 collect_columns(s.input, needed)
 
+        from liquid_tpu.sql.device_agg import (
+            HybridGroupedAggregator, HybridScalarAggregator,
+        )
         single = self._single_parquet_source(q)
-        agg = (GroupedAggregator(key_names, slots) if group
-               else ScalarAggregator(slots))
+        agg = (HybridGroupedAggregator(key_names, slots) if group
+               else HybridScalarAggregator(slots))
 
         # rewrite subqueries ONCE (not per batch: correlated lookups
         # precompute their inner tables during the rewrite)
