@@ -134,7 +134,16 @@ class QueryExecutor:
                     raise NotImplementedError(
                         "UNION ORDER BY supports columns/positions")
                 keys.append((nm, "descending" if o.desc else "ascending"))
-            out = out.sort_by(keys)
+            from liquid_tpu.sql.device_sort import try_sort_indices
+            # pyarrow sort_by semantics (nulls at_end for both
+            # directions), which this path always had
+            idx = try_sort_indices(
+                [out.column(nm).combine_chunks() for nm, _ in keys],
+                [(d == "descending", False) for _, d in keys])
+            if idx is not None:
+                out = out.take(pa.array(idx, pa.int64()))
+            else:
+                out = out.sort_by(keys)
         if u.offset:
             out = out.slice(u.offset)
         if u.limit is not None:
@@ -890,18 +899,29 @@ class QueryExecutor:
                     arr = Evaluator(batch, self._scalar_subquery).arr(sub)
                 sort_arrays.append(arr)
                 directions.append("descending" if o.desc else "ascending")
-            st = pa.table({f"__s{i}": a for i, a in enumerate(sort_arrays)})
             # per-key NULL placement (Postgres/DataFusion default:
             # NULLS LAST for ASC, NULLS FIRST for DESC; explicit
             # NULLS FIRST/LAST overrides per key)
-            keys = []
-            for i, (o, d) in enumerate(zip(q.order_by, directions)):
-                placement = "at_start" if o.desc else "at_end"
-                if o.nulls_first is not None:
-                    placement = "at_start" if o.nulls_first else "at_end"
-                keys.append((f"__s{i}", d, placement))
-            idx = pc.sort_indices(st, sort_keys=keys)
-            result = result.take(idx)
+            placements = []
+            for o in q.order_by:
+                nf = o.desc if o.nulls_first is None else o.nulls_first
+                placements.append(nf)
+            from liquid_tpu.sql.device_sort import try_sort_indices
+            lim = (q.limit + (q.offset or 0)) if q.limit is not None else None
+            idx = try_sort_indices(
+                sort_arrays,
+                [(o.desc, nf) for o, nf in zip(q.order_by, placements)],
+                limit=lim)
+            if idx is not None:
+                result = result.take(pa.array(idx, pa.int64()))
+            else:  # unsupported key type: pyarrow sort
+                st = pa.table({f"__s{i}": a
+                               for i, a in enumerate(sort_arrays)})
+                keys = [(f"__s{i}", d,
+                         "at_start" if nf else "at_end")
+                        for i, (d, nf) in enumerate(
+                            zip(directions, placements))]
+                result = result.take(pc.sort_indices(st, sort_keys=keys))
         if q.offset:
             result = result.slice(q.offset)
         if q.limit is not None:
