@@ -1,0 +1,216 @@
+"""Device equi-join: the JAX/XLA replacement for `pyarrow.Table.join`
+(VERDICT "missing" #1: aggregate/join/sort must run on device).
+
+Key tuples from both sides are encoded to int64 code images with the
+shared `device_agg.KeyCodec` (one codec per key pair, so string vocab
+ids agree across sides), dense-ranked over the union, and packed into
+ONE int64 sort key; the sort-merge build/probe itself runs on device
+via `ops.join` (sort + searchsorted + prefix-sum expansion — the TPU
+idiom replacing DataFusion's HashJoinExec hash table, reference
+`datafusion` HashJoinExec behavior, liquid-cache outsources joins to
+DataFusion).  NULL keys never match (SQL semantics) — each side's null
+rows get a distinct non-matchable sentinel code.
+
+Inner/left/right/full joins are supported; output carries BOTH sides'
+key columns (outer-join rows null-extend the non-matching side), which
+is exactly the shape `exec._fold_join`'s arrow path reconstructs with
+its __l__/__r__ workaround.  Unsupported inputs (unpackable key
+cardinalities, colliding non-key column names) return None and the
+caller falls back to the arrow join.
+
+Row order is deterministic: probe-major (left-major for inner/left,
+right-major for right), match order by build sort position; unmatched
+outer rows follow in side order.
+"""
+from __future__ import annotations
+
+import math
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+
+from liquid_tpu.sql.device_agg import DeviceUnsupported, KeyCodec
+
+STATS = {"device_joins": 0, "host_joins": 0, "fallback_joins": 0}
+
+#: below this many total rows the sort/probe runs in numpy on host — a
+#: device dispatch per tiny dimension-table join costs more than the
+#: join (same rationale as device_sort.HOST_SORT_MAX)
+HOST_JOIN_MAX = 1 << 16
+
+_PACK_BITS = 62  # packed rank budget; 2 sentinel values live above it
+
+
+def try_device_join(left: pa.Table, right: pa.Table, lkeys: List[str],
+                    rkeys: List[str], kind: str) -> Optional[pa.Table]:
+    """Join or None (caller falls back to the arrow join)."""
+    try:
+        return _device_join(left, right, lkeys, rkeys, kind)
+    except DeviceUnsupported:
+        STATS["fallback_joins"] += 1
+        return None
+
+
+def _device_join(left: pa.Table, right: pa.Table, lkeys: List[str],
+                 rkeys: List[str], kind: str) -> pa.Table:
+    if kind not in ("inner", "left", "right", "full"):
+        raise DeviceUnsupported(kind)
+    # non-key name collisions are ambiguous; key-pair collisions coalesce
+    coalesce = {lk for lk, rk in zip(lkeys, rkeys) if lk == rk}
+    shared = (set(left.column_names) & set(right.column_names)) - coalesce
+    if shared:
+        raise DeviceUnsupported(f"colliding columns {shared}")
+
+    lcodes, lnulls, rcodes, rnulls = _encode_keys(left, right, lkeys, rkeys)
+    lkey = _pack_ranks(lcodes, lnulls, rcodes, rnulls)
+    if lkey is None:
+        raise DeviceUnsupported("key cardinality exceeds pack budget")
+    lpacked, rpacked = lkey
+
+    # probe side = the side whose order leads the output
+    if kind == "right":
+        probe, build = rpacked, lpacked
+    else:
+        probe, build = lpacked, rpacked
+
+    n_b, n_p = len(build), len(probe)
+    on_host = (n_b + n_p) < HOST_JOIN_MAX
+    if on_host:
+        STATS["host_joins"] += 1
+        perm = np.argsort(build, kind="stable")
+        skeys = build[perm]
+        lo = np.searchsorted(skeys, probe, side="left")
+        hi = np.searchsorted(skeys, probe, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        p_idx = np.repeat(np.arange(n_p, dtype=np.int64), counts)
+        offs = (np.arange(total, dtype=np.int64)
+                - np.repeat(np.cumsum(counts) - counts, counts))
+        b_idx = perm[np.repeat(lo, counts) + offs]
+        b_matched = None
+        if kind == "full":
+            diff = np.zeros(n_b + 1, np.int32)
+            np.add.at(diff, lo, 1)
+            np.add.at(diff, hi, -1)
+            b_matched = np.zeros(n_b, bool)
+            b_matched[perm] = np.cumsum(diff[:n_b]) > 0
+    else:
+        STATS["device_joins"] += 1
+        import jax.numpy as jnp
+        from liquid_tpu.ops import join as jops
+        skeys_d, perm_d = jops.sort_build(jnp.asarray(build))
+        lo_d, hi_d = jops.probe_bounds(skeys_d, jnp.asarray(probe))
+        counts_np = np.asarray(hi_d - lo_d)
+        total = int(counts_np.sum())
+        if total:
+            cap = 1 << max(0, math.ceil(math.log2(total)))
+            p_d, bpos_d, valid_d = jops.expand_matches(
+                lo_d, hi_d - lo_d, cap)
+            valid = np.asarray(valid_d)
+            p_idx = np.asarray(p_d)[valid].astype(np.int64)
+            b_idx = np.asarray(perm_d)[np.asarray(bpos_d)[valid]].astype(
+                np.int64)
+        else:
+            p_idx = np.empty(0, np.int64)
+            b_idx = np.empty(0, np.int64)
+        counts = counts_np
+        b_matched = None
+        if kind == "full":
+            flags = np.asarray(jops.matched_flags(skeys_d, lo_d, hi_d))
+            b_matched = np.zeros(n_b, bool)
+            b_matched[np.asarray(perm_d)] = flags
+
+    # assemble (left_idx, right_idx) with -1 = null-extend
+    if kind == "right":
+        l_idx, r_idx = b_idx, p_idx
+    else:
+        l_idx, r_idx = p_idx, b_idx
+
+    if kind in ("left", "right"):
+        unmatched = np.flatnonzero(counts == 0).astype(np.int64)
+        if len(unmatched):
+            miss = np.full(len(unmatched), -1, np.int64)
+            if kind == "left":
+                l_idx = np.concatenate([l_idx, unmatched])
+                r_idx = np.concatenate([r_idx, miss])
+            else:
+                l_idx = np.concatenate([l_idx, miss])
+                r_idx = np.concatenate([r_idx, unmatched])
+    elif kind == "full":
+        un_p = np.flatnonzero(counts == 0).astype(np.int64)
+        un_b = np.flatnonzero(~b_matched).astype(np.int64)
+        miss_p = np.full(len(un_p), -1, np.int64)
+        miss_b = np.full(len(un_b), -1, np.int64)
+        l_idx = np.concatenate([l_idx, un_p, miss_b])
+        r_idx = np.concatenate([r_idx, miss_p, un_b])
+
+    return _take_join(left, right, l_idx, r_idx, coalesce)
+
+
+def _encode_keys(left, right, lkeys, rkeys):
+    """Per key pair: int64 codes + null flags for both sides via ONE
+    shared codec (string vocab ids must agree across sides)."""
+    lcodes, lnulls, rcodes, rnulls = [], [], [], []
+    for lk, rk in zip(lkeys, rkeys):
+        la = left.column(lk).combine_chunks()
+        ra = right.column(rk).combine_chunks()
+        codec = KeyCodec(la.type)
+        if KeyCodec(ra.type)._kind != codec._kind:
+            raise DeviceUnsupported(f"key kinds differ: {la.type} vs {ra.type}")
+        lc, ln = codec.encode(la) if len(la) else (
+            np.empty(0, np.int64), np.empty(0, bool))
+        rc, rn = codec.encode(ra) if len(ra) else (
+            np.empty(0, np.int64), np.empty(0, bool))
+        lcodes.append(lc); lnulls.append(ln)
+        rcodes.append(rc); rnulls.append(rn)
+    return lcodes, lnulls, rcodes, rnulls
+
+
+def _pack_ranks(lcodes, lnulls, rcodes, rnulls):
+    """Dense-rank each key column over the union of both sides, pack
+    ranks into one int64 per row.  Rows with any NULL key get per-side
+    sentinels above the pack budget (they must never match)."""
+    n_l = len(lcodes[0]) if lcodes else 0
+    n_r = len(rcodes[0]) if rcodes else 0
+    lpack = np.zeros(n_l, np.int64)
+    rpack = np.zeros(n_r, np.int64)
+    used_bits = 0
+    for lc, rc in zip(lcodes, rcodes):
+        uniq, inv = np.unique(np.concatenate([lc, rc]), return_inverse=True)
+        card = max(len(uniq), 1)
+        bits = max(1, card.bit_length())
+        used_bits += bits
+        if used_bits > _PACK_BITS:
+            return None
+        lpack = (lpack << bits) | inv[:n_l].astype(np.int64)
+        rpack = (rpack << bits) | inv[n_l:].astype(np.int64)
+    lnull = np.zeros(n_l, bool)
+    rnull = np.zeros(n_r, bool)
+    for ln, rn in zip(lnulls, rnulls):
+        lnull |= ln
+        rnull |= rn
+    lpack = np.where(lnull, np.int64(1) << 62, lpack)
+    rpack = np.where(rnull, (np.int64(1) << 62) | 1, rpack)
+    return lpack, rpack
+
+
+def _take_join(left, right, l_idx, r_idx, coalesce):
+    lmask = l_idx < 0
+    rmask = r_idx < 0
+    lt = pa.array(l_idx, pa.int64(), mask=lmask if lmask.any() else None)
+    rt = pa.array(r_idx, pa.int64(), mask=rmask if rmask.any() else None)
+    cols = {}
+    for name in left.column_names:
+        cols[name] = left.column(name).take(lt)
+    for name in right.column_names:
+        if name in coalesce:
+            # same-name key pair: left value where present, else right
+            lcol = cols[name]
+            rcol = right.column(name).take(rt)
+            if lmask.any():
+                import pyarrow.compute as pc
+                cols[name] = pc.if_else(pa.array(~lmask), lcol, rcol)
+        else:
+            cols[name] = right.column(name).take(rt)
+    return pa.table(cols)

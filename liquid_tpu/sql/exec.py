@@ -15,6 +15,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from liquid_tpu.sql import ast
+from liquid_tpu.sql.device_join import try_device_join
 from liquid_tpu.sql.eval import Batch, Evaluator
 from liquid_tpu.sql.parser import parse_statement
 from liquid_tpu.sql.physical import (
@@ -554,6 +555,11 @@ class QueryExecutor:
             rkeys = [p[1] for p in pairs]
             cur = _fix_null_keys(cur, lkeys, comp, rkeys)
             comp = _fix_null_keys(comp, rkeys, cur, lkeys)
+            dev = try_device_join(cur, comp, lkeys, rkeys, "inner")
+            if dev is not None:
+                # device join already carries both sides' key columns
+                cur = dev
+                continue
             cur = cur.join(comp, keys=lkeys, right_keys=rkeys,
                            join_type="inner")
             # arrow drops right-side key columns; later equalities or
@@ -601,6 +607,19 @@ class QueryExecutor:
               "full": "full outer"}[rel.kind]
         left = _fix_null_keys(left, lkeys, right, rkeys)
         right = _fix_null_keys(right, rkeys, left, lkeys)
+        dev = try_device_join(left, right, lkeys, rkeys, rel.kind)
+        if dev is not None:
+            # device join keeps both sides' key columns with true per-side
+            # nullability — no __l__/__r__ workaround needed
+            out = dev
+            if extra:
+                if rel.kind == "inner":
+                    residual.extend(extra)
+                else:
+                    batch = Batch.from_table(out)
+                    m = Evaluator(batch).arr(_and_all(extra))
+                    out = out.filter(pc.fill_null(m.cast(pa.bool_()), False))
+            return out
         if jt != "inner":
             # arrow COALESCES outer-join key columns; carry the original
             # per-side keys through so IS NULL sees true nullability
