@@ -12,7 +12,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 jax.config.update("jax_platforms", "cpu")  # the env var is ignored under the axon plugin
 
-NANO = "/root/reference/examples/nano_hits.parquet"
+NANO = str(__import__("pathlib").Path(__file__).resolve().parents[1] / "benchmark/data/nano_hits.parquet")
 
 
 def main():

@@ -14,7 +14,7 @@ jax.config.update("jax_platforms", "cpu")  # the env var is ignored under the ax
 from liquid_tpu.cache import LiquidPolicy, TranscodeSqueezeEvict  # noqa: E402
 from liquid_tpu.sql.session import LiquidCacheLocalBuilder  # noqa: E402
 
-NANO = "/root/reference/examples/nano_hits.parquet"
+NANO = str(__import__("pathlib").Path(__file__).resolve().parents[1] / "benchmark/data/nano_hits.parquet")
 
 
 def main():

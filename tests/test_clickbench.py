@@ -9,6 +9,9 @@ ship, so):
    they share the executor but exercise disjoint predicate/data paths.
 """
 import glob
+import pathlib
+
+_REPO = pathlib.Path(__file__).resolve().parents[1]
 
 import numpy as np
 import pandas as pd
@@ -16,8 +19,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-NANO = "/root/reference/examples/nano_hits.parquet"
-QDIR = "/root/reference/benchmark/clickbench/queries"
+NANO = _REPO / "benchmark/data/nano_hits.parquet"
+QDIR = _REPO / "benchmark/clickbench/queries"
 
 
 @pytest.fixture(scope="module")

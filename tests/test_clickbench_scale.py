@@ -9,14 +9,16 @@ runs the full query set under the same kind of memory cap.
 Marked slow-ish: ~2-4 minutes; scale with LIQUID_CLICKBENCH_ROWS.
 """
 import os
+import pathlib
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-NANO = "/root/reference/examples/nano_hits.parquet"
-QDIR = "/root/reference/benchmark/clickbench/queries"
+_REPO = pathlib.Path(__file__).resolve().parents[1]
+NANO = _REPO / "benchmark/data/nano_hits.parquet"
+QDIR = _REPO / "benchmark/clickbench/queries"
 ROWS = int(os.environ.get("LIQUID_CLICKBENCH_ROWS", "1000000"))
 
 
