@@ -1,0 +1,127 @@
+"""Device hash aggregation: scatter-based grouped reduction.
+
+The sort-based `ops.groupby.group_reduce` is exact for any key
+distribution but costs one XLA variadic sort over all rows (~400 ms per
+4M-element operand on v5e -- XLA's TPU sort is 10x slower than its
+scatters).  This module provides the fast path: hash each key tuple to
+a slot in a power-of-two table and scatter-reduce payloads per slot
+(65 ms for 4M rows into 64K slots, measured PERF_NOTES.md round 2).
+
+Collision handling is EXACT, not probabilistic: alongside the payload
+scatters, each key column's code scatters per-slot min and max; a slot
+is clean iff min == max for every key column (and null flag).  If any
+slot is dirty the caller retries with a different salt / bigger table
+and finally falls back to the sort path, so answers never depend on
+hash quality.  (The reference gets GROUP BY from DataFusion's row-hash
+`GroupedHashAggregateStream`; a growable hash table is the wrong shape
+for XLA, so the TPU design is scatter + collision-check + retry.)
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from liquid_tpu.ops.groupby import _neutral
+
+#: largest slot table (2^21 slots x ~10 i64 columns ~= 170 MB HBM)
+MAX_SLOTS = 1 << 21
+
+
+def pick_slots(n_rows: int) -> int:
+    """Initial table size: 2x the row count (<= cardinality bound),
+    capped so HBM stays bounded; floor keeps lane utilization sane."""
+    h = 1024
+    while h < 2 * n_rows and h < MAX_SLOTS:
+        h <<= 1
+    return h
+
+
+def _mix(h: jax.Array, v: jax.Array) -> jax.Array:
+    """64-bit mix fold (splitmix64 finalizer shape)."""
+    h = h ^ v
+    h = (h ^ (h >> jnp.uint64(30))) * jnp.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> jnp.uint64(27))) * jnp.uint64(0x94D049BB133111EB)
+    return h ^ (h >> jnp.uint64(31))
+
+
+@partial(jax.jit, static_argnames=("kinds", "n_slots", "salt"))
+def hash_group_reduce(codes: Tuple[jax.Array, ...],
+                      knulls: Tuple[jax.Array, ...],
+                      valid: jax.Array,
+                      vals: Tuple[jax.Array, ...],
+                      vnulls: Tuple[jax.Array, ...],
+                      kinds: Tuple[str, ...],
+                      n_slots: int,
+                      salt: int):
+    """Grouped reduction by hashing; same contract as
+    `groupby.group_reduce` plus a leading `clean` flag.
+
+    Returns (clean, n_groups, ukeys, uknulls, outs, vcounts) where every
+    per-group array has length `n_slots` with groups packed at
+    [0, n_groups).  `clean` False means a hash collision merged two
+    distinct key tuples somewhere: all other outputs are garbage and the
+    caller MUST retry (different salt / bigger table) or use the sort
+    path.  Invalid rows scatter out-of-bounds and are dropped.
+    """
+    n = valid.shape[0]
+    h = jnp.full((n,), jnp.uint64(salt))
+    for c, nl in zip(codes, knulls):
+        h = _mix(h, c.astype(jnp.uint64))
+        h = _mix(h, nl.astype(jnp.uint64))
+    if not codes:
+        h = jnp.zeros((n,), jnp.uint64)
+    slot = (h & jnp.uint64(n_slots - 1)).astype(jnp.int32)
+    slot = jnp.where(valid, slot, n_slots)  # OOB -> dropped
+
+    occ = jnp.zeros((n_slots,), jnp.bool_).at[slot].set(True, mode="drop")
+
+    # exact collision check: per-slot min/max of every key column's code
+    # (and null flag) must agree
+    clean = jnp.bool_(True)
+    kreps = []
+    nreps = []
+    for c, nl in zip(codes, knulls):
+        cmin = jnp.full((n_slots,), _neutral(c.dtype, "min"), c.dtype
+                        ).at[slot].min(c, mode="drop")
+        cmax = jnp.full((n_slots,), _neutral(c.dtype, "max"), c.dtype
+                        ).at[slot].max(c, mode="drop")
+        nl8 = nl.astype(jnp.int32)
+        nmin = jnp.full((n_slots,), 2, jnp.int32).at[slot].min(nl8, mode="drop")
+        nmax = jnp.full((n_slots,), -1, jnp.int32).at[slot].max(nl8, mode="drop")
+        clean = clean & jnp.where(occ, (cmin == cmax) & (nmin == nmax),
+                                  True).all()
+        kreps.append(cmin)
+        nreps.append(nmin == 1)
+
+    # pack occupied slots to the prefix (keeps the group_reduce contract)
+    pos = jnp.cumsum(occ.astype(jnp.int32)) - 1
+    n_groups = occ.sum(dtype=jnp.int32)
+    dest = jnp.where(occ, pos, n_slots)
+    ukeys = tuple(jnp.zeros((n_slots,), c.dtype).at[dest].set(r, mode="drop")
+                  for c, r in zip(codes, kreps))
+    uknulls = tuple(jnp.zeros((n_slots,), jnp.bool_)
+                    .at[dest].set(r, mode="drop") for r in nreps)
+
+    outs = []
+    vcounts = []
+    for v, vn, kind in zip(vals, vnulls, kinds):
+        contrib = valid & ~vn
+        cslot = jnp.where(contrib, slot, n_slots)
+        cnt = jnp.zeros((n_slots,), jnp.int64).at[cslot].add(
+            jnp.ones((n,), jnp.int64), mode="drop")
+        if kind == "sum":
+            acc = jnp.zeros((n_slots,), v.dtype).at[cslot].add(v, mode="drop")
+        elif kind == "min":
+            acc = jnp.full((n_slots,), _neutral(v.dtype, "min"), v.dtype
+                           ).at[cslot].min(v, mode="drop")
+        elif kind == "max":
+            acc = jnp.full((n_slots,), _neutral(v.dtype, "max"), v.dtype
+                           ).at[cslot].max(v, mode="drop")
+        else:
+            raise ValueError(f"kind {kind}")
+        outs.append(jnp.zeros_like(acc).at[dest].set(acc, mode="drop"))
+        vcounts.append(jnp.zeros_like(cnt).at[dest].set(cnt, mode="drop"))
+    return clean, n_groups, ukeys, uknulls, tuple(outs), tuple(vcounts)

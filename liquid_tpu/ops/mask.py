@@ -100,6 +100,16 @@ def count(words: jax.Array) -> jax.Array:
 
 
 @jax.jit
+def unpack_many(stacked: jax.Array) -> jax.Array:
+    """uint32[B, W] packed selections -> bool[B, W*32] (ONE host fetch for
+    a whole row group's surviving selections instead of B ~28ms tunnel
+    syncs, PERF_NOTES.md)."""
+    shifts = jnp.arange(WORD_BITS, dtype=_U32)
+    bits = (stacked[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
+    return bits.reshape(stacked.shape[0], -1).astype(jnp.bool_)
+
+
+@jax.jit
 def count_many(stacked: jax.Array) -> jax.Array:
     """uint32[B, W] packed selections -> int32[B] set-bit counts
     (ONE host fetch for a whole row group instead of B syncs)."""

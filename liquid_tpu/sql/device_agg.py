@@ -31,6 +31,7 @@ import pyarrow.compute as pc
 import jax.numpy as jnp
 
 from liquid_tpu.ops import groupby as gops
+from liquid_tpu.ops import hashagg as hops
 
 #: aggregate kinds the device path implements
 DEVICE_KINDS = frozenset(
@@ -38,7 +39,7 @@ DEVICE_KINDS = frozenset(
 
 #: module counters (tests assert routing; bench reports them)
 STATS = {"device_agg_updates": 0, "fallback_agg_updates": 0,
-         "device_agg_rows": 0}
+         "device_agg_rows": 0, "hash_agg_fallbacks": 0}
 
 
 class DeviceUnsupported(Exception):
@@ -272,6 +273,7 @@ class DeviceGroupedAggregator:
         self._rows = 0
         # pre-reduced partial states (same layout, counts as extra slots)
         self._partial = None  # (kcodes, knulls, vals[np], vcounts[np])
+        self._hash_dirty = False  # hash table defeated: use the sort path
 
     # -- ingestion ----------------------------------------------------------
 
@@ -375,10 +377,36 @@ class DeviceGroupedAggregator:
             jnp.asarray(padc(c)) for c in counts)
         jvnulls = tuple(jnp.asarray(padc(v)) for v in vnulls) + tuple(
             jnp.asarray(np.zeros(m, bool)) for _ in counts)
-        ng, ukeys, uknulls, outs, _vc = gops.group_reduce(
-            tuple(jnp.asarray(padc(c)) for c in kcodes),
-            tuple(jnp.asarray(padc(k)) for k in knulls),
-            jnp.asarray(valid), jvals, jvnulls, kinds)
+        jcodes = tuple(jnp.asarray(padc(c)) for c in kcodes)
+        jknulls = tuple(jnp.asarray(padc(k)) for k in knulls)
+        jvalid = jnp.asarray(valid)
+        # hash fast path: scatter-reduce with exact collision detection
+        # (XLA sort is ~10x the cost of a scatter at this size); a dirty
+        # table retries once with more slots + a new salt, then falls
+        # back to the sort-based reduction -- answers are exact on every
+        # path, only the constant factor differs
+        ng = None
+        if jcodes and not self._hash_dirty:
+            h0 = hops.pick_slots(n)
+            for n_slots, salt in ((h0, 0x9E3779B97F4A7C15),
+                                  (min(4 * h0, hops.MAX_SLOTS),
+                                   0xC2B2AE3D27D4EB4F)):
+                clean, ng_h, ukeys, uknulls, outs, _vc = \
+                    hops.hash_group_reduce(jcodes, jknulls, jvalid, jvals,
+                                           jvnulls, kinds, n_slots, salt)
+                if bool(clean):
+                    ng = ng_h
+                    break
+                if n_slots == hops.MAX_SLOTS:
+                    break
+            if ng is None:
+                # cardinality defeats the table: stop re-trying the hash
+                # path for this aggregation
+                self._hash_dirty = True
+                STATS["hash_agg_fallbacks"] += 1
+        if ng is None:
+            ng, ukeys, uknulls, outs, _vc = gops.group_reduce(
+                jcodes, jknulls, jvalid, jvals, jvnulls, kinds)
         g = int(ng)
         nr = len(self._rslots)
         return (g,

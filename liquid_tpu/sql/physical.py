@@ -261,11 +261,14 @@ def scan_blocks(table, plan: ScanPlan, hints: Dict[str, object],
                                  batches=survivors).items():
                     mats[b][c] = arr
 
+        # residual expressions per block (device mask ops only -- dispatch
+        # is async and cheap; host syncs are the ~28ms cost, PERF_NOTES.md)
+        touched = {b: bool(plan.pushdown) for b in survivors}
+        final: List[Tuple[int, object]] = []
         for b in survivors:
             length = lengths[b]
             sel = sels[b]
-            cols_cache: dict = mats.get(b, {})
-            empty = False
+            cols_cache = mats.setdefault(b, {})
             for conj in deferred[b] + plan.residual:
                 cols = set()
                 collect_columns(conj, cols)
@@ -276,16 +279,23 @@ def scan_blocks(table, plan: ScanPlan, hints: Dict[str, object],
                                for c in cols}, length)
                 m = _pred_to_expr_mask(batch, conj)
                 sel = sel & _bool_to_packed(m, length)
-                if int(mops.count(sel)) == 0:
-                    empty = True
-                    break
-            if empty:
-                continue
-            sel_np = np.asarray(mops.unpack_bits(sel))[:length]
-            idx = np.flatnonzero(sel_np)
-            if idx.size == 0:
-                continue
-            yield ScanBlock(table, rg, b, length, idx, cols_cache)
+                touched[b] = True
+            final.append((b, sel))
+        # untouched full-scan selections are known: no device fetch at all
+        fetched = [b for b, _ in final if touched[b]]
+        if fetched:
+            stacked = jnp.stack([s for b, s in final if touched[b]])
+            # ONE host transfer for the whole row group's selections
+            allbits = np.asarray(mops.unpack_many(stacked))
+            row = {b: j for j, b in enumerate(fetched)}
+        for b, _ in final:
+            if not touched[b]:
+                idx = np.arange(lengths[b], dtype=np.int64)
+            else:
+                idx = np.flatnonzero(allbits[row[b]][:lengths[b]])
+                if idx.size == 0:
+                    continue
+            yield ScanBlock(table, rg, b, lengths[b], idx, mats.get(b, {}))
 
 
 def _full(table, rg, b, col, cache_dict, hints):
