@@ -1,19 +1,36 @@
-"""Distributed SQL: queries over row-sharded device tables on a Mesh.
+"""Distributed SQL: queries over encoded, row-sharded tables on a Mesh.
 
 SURVEY.md section 7 step 7 ("multi-host: hash-partitioned tables,
 all-to-all shuffle, scaling"): the reference scales by putting ONE cache
 server behind many compute nodes (section 2.10); the TPU-native design
 instead shards table rows across the mesh and executes the
 filter+aggregate pipeline as ONE shard_map'd XLA program per query
-shape -- partial aggregates merge with psum/pmin/pmax over ICI, and
-high-cardinality aggregation / joins ride the all-to-all primitives in
-`parallel/dist.py`.
+shape -- partial hash-slot tables merge with psum/pmin/pmax over ICI.
 
-Scope (documented): single-table SELECT with AND-of-comparison WHERE,
-GROUP BY <=1 integer or string column, COUNT/COUNT(col)/SUM/MIN/MAX/AVG.
-Everything beyond falls back to the local engine if one is attached.
-Strings are globally dictionary-encoded at registration so predicates
-and group keys are device-side code compares.
+Round-2 rework (VERDICT items 4+5):
+
+* Columns are stored ENCODED on device: integers/dates/timestamps/bools
+  as bit-planes (uint32 lanes, `ops.bitpack`) offset from a reference
+  value -- the same width/32 bytes-per-row the local cache reads --
+  with validity as packed uint32 bitmasks.  Strings are int32 dictionary
+  codes with a host-side vocabulary; floats are f64 (ALP packing is the
+  local cache's job; distributed floats are aggregate payloads).
+* NULLs are first-class: packed validity masks AND into every predicate
+  (SQL comparison-with-NULL excludes the row), NULL group keys form
+  their own group, and NULL agg inputs don't contribute.
+* GROUP BY is multi-column and hash-based with EXACT collision
+  detection: each shard scatters into an H-slot table (hash of the key
+  tuple), tables merge across the mesh with psum/pmin/pmax, and a slot
+  is trusted only if the global per-slot key min == max for every key
+  column.  Dirty tables retry with a bigger H + new salt (the classic
+  static-shape XLA answer to a growable hash table).
+* String predicates beyond eq/ne evaluate host-side once per DICTIONARY
+  entry into a boolean lookup table shipped to the device (the
+  byteview trick of the local engine, applied to the mesh).
+
+Reference boundary being replaced: one cache server streaming record
+batches per partition to DataFusion clients
+(`src/datafusion-client/src/client_exec.rs:148-179`).
 """
 from __future__ import annotations
 
@@ -27,6 +44,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from liquid_tpu.ops import bitpack as bp
+from liquid_tpu.ops import mask as mops
 from liquid_tpu.parallel import dist
 from liquid_tpu.sql import ast
 from liquid_tpu.sql.parser import parse_sql
@@ -40,76 +59,215 @@ except ImportError:  # older jax
 
 P = jax.sharding.PartitionSpec
 
-_CMP = {"=": "eq", "<>": "ne", "<": "lt", "<=": "le", ">": "gt", ">=": "ge"}
+_CMP = {"=": "eq", "<>": "ne", "!=": "ne", "<": "lt", "<=": "le",
+        ">": "gt", ">=": "ge"}
+
+#: hash-table growth schedule: (slots, salt); every stage is exact
+#: (collision-checked), later stages only cost more HBM + scatter width
+_HASH_STAGES = ((1 << 13, 0x9E3779B97F4A7C15),
+                (1 << 17, 0xC2B2AE3D27D4EB4F),
+                (1 << 20, 0x165667B19E3779F9))
+
+_U64 = jnp.uint64
 
 
 class ShardedColumn:
-    __slots__ = ("data", "kind", "dictionary", "lo", "hi")
+    """One table column resident on the mesh in encoded form."""
 
-    def __init__(self, data, kind, dictionary=None, lo=0, hi=0):
-        self.data = data            # sharded device array [N_padded]
-        self.kind = kind            # "int" | "float" | "dict"
-        self.dictionary = dictionary  # list[str] | None (host)
-        self.lo, self.hi = lo, hi   # int range (for dense grouping)
+    __slots__ = ("kind", "planes", "ref", "width", "data", "codes",
+                 "dictionary", "valid", "arrow_type", "has_nulls")
+
+    def __init__(self, kind: str, arrow_type: pa.DataType):
+        self.kind = kind              # "planes" | "float" | "dict"
+        self.arrow_type = arrow_type
+        self.planes = None            # u32[bucket, Wp] (planes kind)
+        self.ref = 0                  # python int reference value
+        self.width = 0
+        self.data = None              # f64[N] (float kind)
+        self.codes = None             # i32[N] (dict kind)
+        self.dictionary = None        # list[str] (dict kind)
+        self.valid = None             # u32[Wp] packed validity (None = no nulls)
+        self.has_nulls = False
+
+    def device_bytes(self) -> int:
+        """Bytes the scan reads per shard pass (the bytes-moved metric:
+        encoded shards read width/32 of the raw 8B/row,
+        VERDICT item 5)."""
+        n = 0
+        if self.planes is not None:
+            n += self.planes.size * 4
+        if self.data is not None:
+            n += self.data.size * self.data.dtype.itemsize
+        if self.codes is not None:
+            n += self.codes.size * 4
+        if self.valid is not None:
+            n += self.valid.size * 4
+        return n
+
+
+def _int_code_image(col: pa.Array) -> Tuple[np.ndarray, pa.DataType]:
+    """Arrow integer-like column -> exact int64 bit-image + type."""
+    t = col.type
+    if pa.types.is_boolean(t):
+        return np.asarray(col.fill_null(False)).astype(np.int64), t
+    if pa.types.is_date32(t):
+        return np.asarray(col.fill_null(0).cast(pa.int32())).astype(np.int64), t
+    if pa.types.is_date64(t) or pa.types.is_timestamp(t):
+        return np.asarray(col.fill_null(0).view(pa.int64())), t
+    if pa.types.is_uint64(t):
+        return np.asarray(col.fill_null(0)).view(np.int64).copy(), t
+    return np.asarray(col.fill_null(0).cast(pa.int64(), safe=False)), t
+
+
+def _restore_int(vals: np.ndarray, nulls: np.ndarray,
+                 t: pa.DataType) -> pa.Array:
+    """Decode int64 bit-images back to the original arrow type."""
+    mask = nulls if nulls is not None and nulls.any() else None
+    if pa.types.is_boolean(t):
+        return pa.array(vals != 0, pa.bool_(), mask=mask)
+    if pa.types.is_date32(t):
+        return pa.array(vals.astype(np.int32), pa.int32(),
+                        mask=mask).view(pa.date32())
+    if pa.types.is_date64(t) or pa.types.is_timestamp(t):
+        return pa.array(vals, pa.int64(), mask=mask).view(t)
+    if pa.types.is_uint64(t):
+        return pa.array(vals.view(np.uint64), t, mask=mask)
+    return pa.array(vals, pa.int64(), mask=mask).cast(t, safe=False)
 
 
 class DistributedTable:
     def __init__(self, mesh, table: pa.Table):
         self.mesh = mesh
         n_dev = mesh.shape[dist.DATA_AXIS]
+        self.n_dev = n_dev
         n = table.num_rows
-        pad = (-n) % n_dev
+        # rows pad to a multiple of 32*n_dev so packed-word arrays shard
+        # evenly (each device's shard is whole uint32 words)
+        unit = 32 * n_dev
+        pad = (-n) % unit
         self.num_rows = n
         self.padded = n + pad
-        valid = np.zeros(self.padded, dtype=bool)
-        valid[:n] = True
-        self.valid = dist.shard_rows(mesh, jnp.asarray(valid))
+        rowvalid = np.zeros(self.padded, dtype=bool)
+        rowvalid[:n] = True
+        self.valid = dist.shard_rows(
+            mesh, mops.pack_bools(jnp.asarray(rowvalid)))
         self.columns: Dict[str, ShardedColumn] = {}
         for name in table.column_names:
             col = table.column(name).combine_chunks()
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
             self.columns[name] = self._shard_column(mesh, col, pad)
 
     def _shard_column(self, mesh, col: pa.Array, pad: int) -> ShardedColumn:
         t = col.type
+        nulls = np.zeros(self.padded, bool)
         if col.null_count:
-            raise NotImplementedError(
-                "distributed mode requires NULL-free columns (validity "
-                "masks are a follow-up); register through the local "
-                "engine instead")
+            nulls[: self.num_rows] = np.asarray(col.is_null())
         if pa.types.is_string(t) or pa.types.is_large_string(t) \
-                or pa.types.is_string_view(t):
+                or pa.types.is_string_view(t) or pa.types.is_dictionary(t):
+            if pa.types.is_dictionary(t):
+                col = col.cast(t.value_type)
+                t = t.value_type
+            sc = ShardedColumn("dict", t)
             enc = pc.dictionary_encode(col)
-            codes = np.asarray(enc.indices.fill_null(-1), dtype=np.int32)
-            codes = np.concatenate([codes, np.full(pad, -1, np.int32)])
-            dictionary = enc.dictionary.to_pylist()
-            return ShardedColumn(dist.shard_rows(mesh, jnp.asarray(codes)),
-                                 "dict", dictionary)
-        if pa.types.is_floating(t):
-            vals = np.asarray(col.fill_null(0), dtype=np.float64)
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            codes = np.asarray(enc.indices.fill_null(0), dtype=np.int32)
+            codes = np.concatenate([codes, np.zeros(pad, np.int32)])
+            sc.codes = dist.shard_rows(mesh, jnp.asarray(codes))
+            sc.dictionary = enc.dictionary.to_pylist()
+        elif pa.types.is_floating(t):
+            sc = ShardedColumn("float", t)
+            vals = np.asarray(col.fill_null(0).cast(pa.float64()))
             vals = np.concatenate([vals, np.zeros(pad)])
-            return ShardedColumn(dist.shard_rows(mesh, jnp.asarray(vals)),
-                                 "float")
-        if pa.types.is_date32(t):
-            vals = np.asarray(col.fill_null(0)).astype("datetime64[D]")
-            vals = vals.astype(np.int64)
+            sc.data = dist.shard_rows(mesh, jnp.asarray(vals))
         else:
-            vals = np.asarray(col.fill_null(0), dtype=np.int64)
-        vals = np.concatenate([vals, np.zeros(pad, np.int64)])
-        lo = int(vals[: self.num_rows].min()) if self.num_rows else 0
-        hi = int(vals[: self.num_rows].max()) if self.num_rows else 0
-        return ShardedColumn(dist.shard_rows(mesh, jnp.asarray(vals)),
-                             "int", lo=lo, hi=hi)
+            sc = ShardedColumn("planes", t)
+            img, _ = _int_code_image(col)
+            img = np.concatenate([img, np.zeros(pad, np.int64)])
+            live = img[: self.num_rows][~nulls[: self.num_rows]]
+            lo = int(live.min()) if live.size else 0
+            hi = int(live.max()) if live.size else 0
+            sc.ref = lo
+            sc.width = bp.bit_width_for(hi - lo)
+            # encode in the unsigned offset domain (exact for uint64 too:
+            # python-int arithmetic, wrap into uint64 lanes)
+            off = (img.astype(object) - lo) % (1 << 64)
+            enc = np.array(off, dtype=np.uint64) if len(off) else \
+                np.zeros(0, np.uint64)
+            enc[nulls] = 0
+            sc.planes = jax.device_put(
+                bp.pack_bitplanes(jnp.asarray(enc), sc.width),
+                jax.sharding.NamedSharding(mesh, P(None, dist.DATA_AXIS)))
+        if nulls.any():
+            sc.has_nulls = True
+            sc.valid = dist.shard_rows(
+                mesh, mops.pack_bools(jnp.asarray(~nulls)))
+        return sc
+
+    def scan_device_bytes(self, cols: List[str]) -> int:
+        return sum(self.columns[c].device_bytes() for c in set(cols))
+
+
+# -- predicate planning -------------------------------------------------------
+
+class _Pred:
+    """One planned conjunct: a device-evaluable packed-mask producer."""
+
+    __slots__ = ("col", "mode", "op", "value_i", "value_f", "lut")
+
+    def __init__(self, col, mode, op=None, value_i=0, value_f=0.0, lut=None):
+        self.col = col
+        self.mode = mode      # planes | float | lut | all | none
+        self.op = op
+        self.value_i = value_i  # encoded int literal (traced)
+        self.value_f = value_f
+        self.lut = lut          # np.bool_[D] for dict columns
+
+
+def _encode_int_literal(sc: ShardedColumn, v: int, op: str):
+    """Encode a comparison literal into the column's offset domain,
+    resolving out-of-range constants to all/none statically."""
+    lo = sc.ref
+    hi = sc.ref + (1 << sc.width) - 1 if sc.width < 64 else (1 << 63) - 1
+    if v < lo:
+        return {"eq": ("none",), "ne": ("all",), "lt": ("none",),
+                "le": ("none",), "gt": ("all",), "ge": ("all",)}[op]
+    if v > hi or (v - lo) >= (1 << 64):
+        return {"eq": ("none",), "ne": ("all",), "lt": ("all",),
+                "le": ("all",), "gt": ("none",), "ge": ("none",)}[op]
+    return ("cmp", op, (v - lo) % (1 << 64))
+
+
+def _dict_lut(dictionary: List[str], op: str, value) -> np.ndarray:
+    """Evaluate `entry <op> value` for every dictionary entry host-side
+    (the per-distinct-value trick of the local byteview path)."""
+    d = np.asarray(dictionary, dtype=object)
+    if op == "eq":
+        out = d == value
+    elif op == "ne":
+        out = d != value
+    elif op == "lt":
+        out = d < value
+    elif op == "le":
+        out = d <= value
+    elif op == "gt":
+        out = d > value
+    else:
+        out = d >= value
+    return out.astype(bool)
 
 
 class DistributedSession:
     """`sql()` over sharded tables; one compiled shard_map program per
-    query SHAPE (literals are traced args, so constants don't recompile)."""
-
-    MAX_DENSE_GROUPS = 1 << 16
+    query SHAPE (literals are traced args, so constants don't
+    recompile; hash-table sizes grow on a fixed schedule)."""
 
     def __init__(self, mesh=None):
         self.mesh = mesh or dist.make_mesh()
         self.tables: Dict[str, DistributedTable] = {}
+        #: device bytes the last query's scan touched (bytes-moved metric)
+        self.last_scan_bytes = 0
 
     def register_table(self, name: str, table: pa.Table) -> None:
         self.tables[name] = DistributedTable(self.mesh, table)
@@ -122,25 +280,31 @@ class DistributedSession:
 
     def sql(self, query: str) -> pa.Table:
         q = parse_sql(query)
+        if isinstance(q.from_, ast.Join):
+            from liquid_tpu.parallel.join import execute_dist_join
+            return execute_dist_join(self, q)
         assert isinstance(q.from_, ast.TableRef) and q.from_.name in self.tables, \
-            "distributed mode: single registered table FROM"
+            "distributed mode: registered table FROM"
         dt = self.tables[q.from_.name]
         preds, never = self._plan_where(q.where, dt)
-        group_col, aggs, names = self._plan_items(q, dt)
+        key_cols, aggs, names = self._plan_items(q, dt)
+        scanned = [p.col for p in preds] + key_cols \
+            + [c for _, c in aggs if c]
+        self.last_scan_bytes = dt.scan_device_bytes(scanned)
         if never:
-            out = self._zero_outputs(dt, group_col, aggs)
+            table = self._empty_result(dt, key_cols, aggs, names)
+        elif key_cols:
+            table = self._execute_grouped(dt, preds, key_cols, aggs, names)
         else:
-            out = self._execute(dt, preds, group_col, aggs)
-        table = self._finalize(q, dt, group_col, aggs, names, out)
-        return table
+            table = self._execute_scalar(dt, preds, aggs, names)
+        return self._order_limit(q, table, names)
 
-    def _plan_where(self, where, dt):
-        """-> (preds, never): preds are (col, op, value) with values kept
-        EXACT (int literals never round-trip through float64 -- a UserID
-        above 2^53 would compare wrong); fractional literals against int
-        columns normalize to floor/ceil ops or prove the query empty."""
+    def _plan_where(self, where, dt) -> Tuple[List[_Pred], bool]:
+        """-> (preds, never): literal values stay EXACT (int literals
+        never round-trip through float64); fractional literals against
+        int columns normalize to floor/ceil or prove the query empty."""
         import math
-        preds = []
+        preds: List[_Pred] = []
         never = False
         for conj in split_conjuncts(where):
             assert isinstance(conj, ast.Binary) and conj.op in _CMP, \
@@ -154,212 +318,571 @@ class DistributedSession:
             assert isinstance(col, ast.Column) and isinstance(lit, ast.Literal)
             sc = dt.columns[col.name]
             v = lit.value
-            if isinstance(v, datetime.date):
+            if v is None:
+                never = True  # x <op> NULL matches nothing
+                continue
+            if isinstance(v, datetime.datetime):
+                v = int(v.timestamp() * 1_000_000)
+            elif isinstance(v, datetime.date):
                 v = (v - datetime.date(1970, 1, 1)).days
             if sc.kind == "dict":
-                assert op in ("eq", "ne"), "dict compare: eq/ne only"
-                v = sc.dictionary.index(v) if v in sc.dictionary else -2
-            elif sc.kind == "int" and isinstance(v, float):
+                preds.append(_Pred(col.name, "lut",
+                                   lut=_dict_lut(sc.dictionary, op, v)))
+                continue
+            if sc.kind == "float":
+                preds.append(_Pred(col.name, "float", op=op,
+                                   value_f=float(v)))
+                continue
+            if isinstance(v, float):
                 if v != int(v):
                     if op == "eq":
                         never = True
                         continue
                     if op == "ne":
-                        continue  # always true for a NULL-free int column
+                        if sc.has_nulls:
+                            preds.append(_Pred(col.name, "all"))
+                        continue  # always true on non-null rows
                     if op in ("lt", "le"):
                         v, op = math.floor(v), "le"
                     else:
                         v, op = math.ceil(v), "ge"
                 v = int(v)
-            preds.append((col.name, op, v))
+            if isinstance(v, bool):
+                v = int(v)
+            plan = _encode_int_literal(sc, int(v), op)
+            if plan[0] == "none":
+                never = True
+            elif plan[0] == "all":
+                preds.append(_Pred(col.name, "all"))
+            else:
+                preds.append(_Pred(col.name, "planes", op=plan[1],
+                                   value_i=plan[2]))
         return preds, never
 
     def _plan_items(self, q, dt):
-        group_col: Optional[str] = None
+        key_cols: List[str] = []
         if q.group_by:
-            assert len(q.group_by) == 1 and isinstance(q.group_by[0], ast.Column)
-            group_col = q.group_by[0].name
+            for g in q.group_by:
+                assert isinstance(g, ast.Column), \
+                    "distributed GROUP BY: plain columns"
+                key_cols.append(g.name)
         aggs: List[Tuple[str, Optional[str]]] = []
         names: List[str] = []
         for it in q.items:
             e = it.expr
-            if isinstance(e, ast.Column) and e.name == group_col:
+            if isinstance(e, ast.Column) and e.name in key_cols:
                 names.append(it.alias or e.name)
-                aggs.append(("key", None))
+                aggs.append(("key:" + e.name, None))
                 continue
             assert isinstance(e, ast.Func) and e.name in AGG_FUNCS, render(e)
             names.append(it.alias or render(e))
             if e.star or not e.args:
                 aggs.append(("count_star", None))
             else:
-                assert isinstance(e.args[0], ast.Column)
-                aggs.append((e.name, e.args[0].name))
-        return group_col, aggs, names
+                assert isinstance(e.args[0], ast.Column), \
+                    "distributed aggregates take plain columns"
+                assert not e.distinct, "distributed DISTINCT unsupported"
+                kind = "count_star" if e.name == "count" and False else e.name
+                aggs.append((kind, e.args[0].name))
+        for kind, c in aggs:
+            if kind in ("sum", "avg", "min", "max") and c:
+                assert dt.columns[c].kind in ("planes", "float"), \
+                    f"distributed {kind} over {dt.columns[c].kind}"
+        return key_cols, aggs, names
 
-    def _group_k(self, dt, group_col):
-        if group_col is None:
-            return 1, 0
-        gc = dt.columns[group_col]
-        if gc.kind == "dict":
-            return len(gc.dictionary), 0
-        return gc.hi - gc.lo + 1, gc.lo
+    # -- device programs -----------------------------------------------------
 
-    def _zero_outputs(self, dt, group_col, aggs):
-        """Outputs of a provably-empty query (a fractional equality on an
-        int column) without touching the device."""
-        k, _ = self._group_k(dt, group_col)
-        outs = []
-        for kind, cname in aggs:
-            if kind == "key":
-                continue
-            dtype = (np.float64 if cname and
-                     dt.columns[cname].kind == "float" else np.int64)
-            if kind in ("count_star", "count"):
-                outs.append(np.zeros(k, np.int64))
-            elif kind == "sum":
-                outs.append(np.zeros(k, dtype))
-            elif kind == "avg":
-                outs.append(np.zeros(k, np.float64))
-                outs.append(np.zeros(k, np.int64))
-            elif kind in ("min", "max"):
-                outs.append(np.zeros(k, dtype))
-        outs.append(np.zeros(k, np.int64))  # group_count
-        return outs
-
-    # -- execution -----------------------------------------------------------
-
-    def _execute(self, dt, preds, group_col, aggs):
-        mesh = self.mesh
-        cols_needed = sorted({c for c, _, _ in preds}
-                             | {c for _, c in aggs if c}
-                             | ({group_col} if group_col else set()))
-        arrays = [dt.columns[c].data for c in cols_needed]
-        idx = {c: i for i, c in enumerate(cols_needed)}
-        nlit = max(len(preds), 1)
-        lits_i = np.zeros(nlit, np.int64)
-        lits_f = np.zeros(nlit, np.float64)
-        use_float = []
-        for j, (c, _, v) in enumerate(preds):
-            if dt.columns[c].kind == "float":
-                lits_f[j] = float(v)
-                use_float.append(True)
+    def _gather_inputs(self, dt, preds, key_cols, aggs):
+        """Collect device arrays + traced literals for the step program.
+        Returns (arrays, specs, lits_i, lits_f, luts, meta)."""
+        cols_needed = sorted({p.col for p in preds if p.col}
+                             | set(key_cols) | {c for _, c in aggs if c})
+        arrays: List[object] = []
+        specs: List[object] = []
+        col_ix: Dict[str, Dict[str, int]] = {}
+        for c in cols_needed:
+            sc = dt.columns[c]
+            ix: Dict[str, int] = {}
+            if sc.kind == "planes":
+                ix["planes"] = len(arrays)
+                arrays.append(sc.planes)
+                specs.append(P(None, dist.DATA_AXIS))
+            elif sc.kind == "float":
+                ix["data"] = len(arrays)
+                arrays.append(sc.data)
+                specs.append(P(dist.DATA_AXIS))
             else:
-                lits_i[j] = int(v)
-                use_float.append(False)
-        lits_i = jnp.asarray(lits_i)
-        lits_f = jnp.asarray(lits_f)
-        use_float = tuple(use_float)  # static
-        ops = tuple(op for _, op, _ in preds)  # static
-        pred_cols = tuple(idx[c] for c, _, _ in preds)
-        agg_specs = tuple((k, idx[c] if c else -1) for k, c in aggs)
-        if group_col is not None:
-            k, key_off = self._group_k(dt, group_col)
-            assert k <= self.MAX_DENSE_GROUPS, \
-                "distributed group-by: key cardinality too large"
-            gidx = idx[group_col]
+                ix["codes"] = len(arrays)
+                arrays.append(sc.codes)
+                specs.append(P(dist.DATA_AXIS))
+            if sc.valid is not None:
+                ix["valid"] = len(arrays)
+                arrays.append(sc.valid)
+                specs.append(P(dist.DATA_AXIS))
+            col_ix[c] = ix
+        # row validity (padding)
+        rv_ix = len(arrays)
+        arrays.append(dt.valid)
+        specs.append(P(dist.DATA_AXIS))
+        # traced literals; dict-predicate LUTs ride as replicated args
+        li = np.zeros(max(len(preds), 1), np.uint64)
+        lf = np.zeros(max(len(preds), 1), np.float64)
+        lut_ix: List[int] = []
+        for j, p in enumerate(preds):
+            if p.mode == "planes":
+                li[j] = np.uint64(p.value_i)
+            elif p.mode == "float":
+                lf[j] = p.value_f
+            elif p.mode == "lut":
+                d = dt.columns[p.col]
+                lut = np.zeros(max(len(d.dictionary), 1), bool)
+                lut[: len(p.lut)] = p.lut
+                lut_ix.append(len(arrays))
+                arrays.append(jnp.asarray(lut))
+                specs.append(P())
+        return (arrays, specs, jnp.asarray(li), jnp.asarray(lf),
+                lut_ix, col_ix, rv_ix)
+
+    def _selection_body(self, cols, col_ix, rv_ix, preds, li, lf, lut_ix,
+                        dt):
+        """Build the packed selection mask inside the shard_map body."""
+        sel = cols[rv_ix]
+        lut_j = 0
+        for j, p in enumerate(preds):
+            ix = col_ix.get(p.col, {})
+            sc = dt.columns[p.col] if p.col else None
+            if p.mode == "all":
+                m = None
+            elif p.mode == "planes":
+                bop = {"le": "lt_eq", "ge": "gt_eq"}.get(p.op, p.op)
+                m = bp.cmp_const_op(cols[ix["planes"]], li[j], bop)
+            elif p.mode == "float":
+                c = cols[ix["data"]]
+                v = lf[j]
+                m = mops.pack_bools({"eq": c == v, "ne": c != v,
+                                     "lt": c < v, "le": c <= v,
+                                     "gt": c > v, "ge": c >= v}[p.op])
+            else:  # lut
+                lut = cols[lut_ix[lut_j]]
+                lut_j += 1
+                hits = lut[jnp.clip(cols[ix["codes"]], 0,
+                                    lut.shape[0] - 1)]
+                m = mops.pack_bools(hits)
+            if m is not None:
+                sel = sel & m
+            if sc is not None and "valid" in ix:
+                sel = sel & cols[ix["valid"]]
+        return sel
+
+    def _key_codes(self, cols, col_ix, key_cols, dt):
+        """Decode group-key columns to (int64 code, null flag) per row."""
+        codes = []
+        knulls = []
+        for c in key_cols:
+            sc = dt.columns[c]
+            ix = col_ix[c]
+            if sc.kind == "planes":
+                enc = bp.unpack_bitplanes(cols[ix["planes"]], jnp.uint64)
+                code = enc.astype(jnp.int64) + jnp.int64(_ref_i64(sc.ref))
+            elif sc.kind == "float":
+                code = jax.lax.bitcast_convert_type(
+                    cols[ix["data"]] + 0.0, jnp.int64)
+            else:
+                code = cols[ix["codes"]].astype(jnp.int64)
+            codes.append(code)
+            if "valid" in ix:
+                knulls.append(~mops.unpack_bits(cols[ix["valid"]]))
+            else:
+                knulls.append(jnp.zeros(code.shape, jnp.bool_))
+        return codes, knulls
+
+    def _agg_value(self, cols, col_ix, dt, cname, want_float: bool):
+        """Decode an aggregate input column to device values + null flags."""
+        sc = dt.columns[cname]
+        ix = col_ix[cname]
+        if sc.kind == "float":
+            v = cols[ix["data"]]
+            enc = None
+        elif sc.kind == "dict":
+            v = cols[ix["codes"]].astype(jnp.int64)  # COUNT only
+            enc = None
         else:
-            (k, key_off), gidx = (1, 0), -1
+            enc = bp.unpack_bitplanes(cols[ix["planes"]], jnp.uint64)
+            v = enc.astype(jnp.int64) + jnp.int64(_ref_i64(sc.ref))
+            if want_float:
+                v = v.astype(jnp.float64)
+        if "valid" in ix:
+            nulls = ~mops.unpack_bits(cols[ix["valid"]])
+        else:
+            nulls = jnp.zeros(v.shape, jnp.bool_)
+        return v, enc, nulls, sc
+
+    # -- scalar (no GROUP BY) -------------------------------------------------
+
+    def _execute_scalar(self, dt, preds, aggs, names) -> pa.Table:
+        mesh = self.mesh
+        (arrays, specs, li, lf, lut_ix, col_ix, rv_ix) = \
+            self._gather_inputs(dt, preds, [], aggs)
+        agg_specs = tuple(aggs)
 
         @partial(shard_map, mesh=mesh,
-                 in_specs=(P(dist.DATA_AXIS),) * (len(arrays) + 1)
-                 + (P(), P()),
+                 in_specs=tuple(specs) + (P(), P()),
                  out_specs=P())
         def step(*args):
-            *cols, valid, li_, lf_ = args
-            m = valid
-            for j, (ci, op) in enumerate(zip(pred_cols, ops)):
-                c = cols[ci]
-                v = (lf_[j] if use_float[j] else li_[j]).astype(c.dtype)
-                cmp = {"eq": c == v, "ne": c != v, "lt": c < v,
-                       "le": c <= v, "gt": c > v, "ge": c >= v}[op]
-                m = m & cmp
-            if gidx >= 0:
-                keys = jnp.clip(cols[gidx] - key_off, 0, k - 1).astype(jnp.int32)
-            else:
-                keys = jnp.zeros(m.shape, jnp.int32)
+            *cols, li_, lf_ = args
+            sel = self._selection_body(cols, col_ix, rv_ix, preds,
+                                       li_, lf_, lut_ix, dt)
+            selb = mops.unpack_bits(sel)
             outs = []
-            for kind, ci in agg_specs:
-                if kind == "key":
+            for kind, cname in agg_specs:
+                if kind == "count_star":
+                    outs.append(jax.lax.psum(
+                        mops.count(sel).astype(jnp.int64)[None],
+                        dist.DATA_AXIS))
                     continue
-                if kind == "count_star" or kind == "count":
-                    part = jnp.zeros((k,), jnp.int64).at[keys].add(
-                        m.astype(jnp.int64))
-                    outs.append(jax.lax.psum(part, dist.DATA_AXIS))
+                want_float = kind == "avg" or \
+                    dt.columns[cname].kind == "float"
+                v, enc, nulls, sc = self._agg_value(
+                    cols, col_ix, dt, cname, want_float and kind != "min"
+                    and kind != "max")
+                contrib = selb & ~nulls
+                cnt = jax.lax.psum(
+                    contrib.sum(dtype=jnp.int64)[None], dist.DATA_AXIS)
+                if kind == "count":
+                    outs.append(cnt)
                 elif kind in ("sum", "avg"):
-                    c = cols[ci]
-                    z = jnp.where(m, c, jnp.zeros_like(c))
-                    part = jnp.zeros((k,), c.dtype).at[keys].add(z)
-                    outs.append(jax.lax.psum(part, dist.DATA_AXIS))
-                    if kind == "avg":
-                        cnt = jnp.zeros((k,), jnp.int64).at[keys].add(
-                            m.astype(jnp.int64))
-                        outs.append(jax.lax.psum(cnt, dist.DATA_AXIS))
-                elif kind in ("min", "max"):
-                    c = cols[ci]
-                    if kind == "min":
-                        sent = (jnp.inf if jnp.issubdtype(c.dtype, jnp.floating)
-                                else jnp.iinfo(c.dtype).max)
-                        z = jnp.where(m, c, sent)
-                        part = jnp.full((k,), sent, c.dtype).at[keys].min(z)
-                        outs.append(jax.lax.pmin(part, dist.DATA_AXIS))
+                    z = jnp.where(contrib, v, jnp.zeros((), v.dtype))
+                    outs.append(jax.lax.psum(
+                        z.sum(dtype=v.dtype)[None], dist.DATA_AXIS))
+                    outs.append(cnt)
+                else:  # min / max over the ENCODED (order-preserving) domain
+                    if sc.kind == "float":
+                        sent = jnp.inf if kind == "min" else -jnp.inf
+                        z = jnp.where(contrib, v, sent)
+                        red = z.min() if kind == "min" else z.max()
+                        col = jax.lax.pmin if kind == "min" else jax.lax.pmax
+                        outs.append(col(red[None], dist.DATA_AXIS))
                     else:
-                        sent = (-jnp.inf if jnp.issubdtype(c.dtype, jnp.floating)
-                                else jnp.iinfo(c.dtype).min)
-                        z = jnp.where(m, c, sent)
-                        part = jnp.full((k,), sent, c.dtype).at[keys].max(z)
-                        outs.append(jax.lax.pmax(part, dist.DATA_AXIS))
-                else:
-                    raise NotImplementedError(kind)
-            group_count = jnp.zeros((k,), jnp.int64).at[keys].add(
-                m.astype(jnp.int64))
-            outs.append(jax.lax.psum(group_count, dist.DATA_AXIS))
+                        sent = _U64(0xFFFFFFFFFFFFFFFF) if kind == "min" \
+                            else _U64(0)
+                        z = jnp.where(contrib, enc, sent)
+                        red = z.min() if kind == "min" else z.max()
+                        col = jax.lax.pmin if kind == "min" else jax.lax.pmax
+                        outs.append(col(red[None], dist.DATA_AXIS))
+                    outs.append(cnt)
             return tuple(outs)
 
-        return step(*arrays, dt.valid, lits_i, lits_f)
-
-    def _finalize(self, q, dt, group_col, aggs, names, outs) -> pa.Table:
-        outs = [np.asarray(o) for o in outs]
-        group_count = outs[-1]
-        present = group_count > 0 if group_col is not None \
-            else np.ones(1, bool)
-        cols: Dict[str, object] = {}
+        outs = [np.asarray(o) for o in step(*arrays, li, lf)]
+        cols: Dict[str, pa.Array] = {}
         oi = 0
         for (kind, cname), name in zip(aggs, names):
-            if kind == "key":
-                gc = dt.columns[group_col]
-                keys = np.flatnonzero(present)
-                if gc.kind == "dict":
-                    cols[name] = pa.array(
-                        [gc.dictionary[i] for i in keys])
+            if kind == "count_star" or kind == "count":
+                cols[name] = pa.array([int(outs[oi][0])], pa.int64())
+                oi += 1
+            elif kind == "sum":
+                v, c = outs[oi][0], int(outs[oi + 1][0])
+                oi += 2
+                cols[name] = self._decode_sum(dt.columns[cname], v, c)
+            elif kind == "avg":
+                s, c = float(outs[oi][0]), int(outs[oi + 1][0])
+                oi += 2
+                cols[name] = pa.array([s / c if c else None], pa.float64())
+            else:  # min / max
+                v, c = outs[oi][0], int(outs[oi + 1][0])
+                oi += 2
+                sc = dt.columns[cname]
+                if c == 0:
+                    cols[name] = pa.array([None], _agg_out_type(sc))
+                elif sc.kind == "float":
+                    cols[name] = pa.array([float(v)], pa.float64()).cast(
+                        sc.arrow_type)
                 else:
-                    cols[name] = pa.array(keys + gc.lo, pa.int64())
+                    dec = (int(np.uint64(v)) + sc.ref) % (1 << 64)
+                    img = np.array([dec], dtype=object).astype(np.uint64)
+                    cols[name] = _restore_int(
+                        img.view(np.int64), np.array([False]), sc.arrow_type)
+        return pa.table(cols)
+
+    @staticmethod
+    def _decode_sum(sc: ShardedColumn, v, count: int) -> pa.Array:
+        if count == 0:
+            return pa.array([None],
+                            pa.float64() if sc.kind == "float"
+                            else pa.int64())
+        if sc.kind == "float":
+            return pa.array([float(v)], pa.float64())
+        return pa.array([int(v)], pa.int64())
+
+    # -- grouped --------------------------------------------------------------
+
+    #: collision-resolution rounds per hash stage: rows whose slot is
+    #: dirty (two distinct key tuples collided) re-scatter with a fresh
+    #: salt next round, so each key tuple resolves in EXACTLY one round;
+    #: convergence is geometric while distinct-keys < slots
+    ROUNDS = 3
+
+    def _execute_grouped(self, dt, preds, key_cols, aggs, names) -> pa.Table:
+        for n_slots, salt in _HASH_STAGES:
+            res = self._grouped_step(dt, preds, key_cols, aggs,
+                                     n_slots, salt)
+            if bool(res[0]):
+                return self._finalize_grouped(dt, key_cols, aggs, names,
+                                              res, n_slots)
+        raise NotImplementedError(
+            "distributed GROUP BY: cardinality exceeds the hash schedule "
+            f"({_HASH_STAGES[-1][0]} slots x {self.ROUNDS} rounds)")
+
+    def _grouped_step(self, dt, preds, key_cols, aggs, n_slots, salt):
+        mesh = self.mesh
+        (arrays, specs, li, lf, lut_ix, col_ix, rv_ix) = \
+            self._gather_inputs(dt, preds, key_cols, aggs)
+        agg_specs = tuple(aggs)
+        rounds = self.ROUNDS
+
+        @partial(shard_map, mesh=mesh,
+                 in_specs=tuple(specs) + (P(), P()),
+                 out_specs=P())
+        def step(*args):
+            *cols, li_, lf_ = args
+            sel = self._selection_body(cols, col_ix, rv_ix, preds,
+                                       li_, lf_, lut_ix, dt)
+            selb = mops.unpack_bits(sel)
+            codes, knulls = self._key_codes(cols, col_ix, key_cols, dt)
+            # decode aggregate inputs ONCE (shared across rounds)
+            agg_ins = []
+            for kind, cname in agg_specs:
+                if kind.startswith("key:") or kind == "count_star":
+                    agg_ins.append(None)
+                    continue
+                want_float = kind == "avg" or \
+                    dt.columns[cname].kind == "float"
+                v, enc, nulls, sc = self._agg_value(
+                    cols, col_ix, dt, cname,
+                    want_float and kind not in ("min", "max"))
+                agg_ins.append((v, enc, nulls, sc))
+
+            live = selb
+            outs = []
+            for r in range(rounds):
+                rsalt = (salt + r * 0x9E3779B97F4A7C15) % (1 << 64)
+                h = jnp.full(selb.shape, _U64(rsalt))
+                for c, nl in zip(codes, knulls):
+                    h = _mix(h, c.astype(_U64))
+                    h = _mix(h, nl.astype(_U64))
+                slot = (h & _U64(n_slots - 1)).astype(jnp.int32)
+                slot = jnp.where(live, slot, n_slots)  # OOB -> dropped
+
+                occ = jax.lax.psum(
+                    jnp.zeros((n_slots,), jnp.int32).at[slot].add(
+                        jnp.ones(selb.shape, jnp.int32), mode="drop"),
+                    dist.DATA_AXIS) > 0
+                dirty = jnp.zeros((n_slots,), jnp.bool_)
+                kreps = []
+                nreps = []
+                for c, nl in zip(codes, knulls):
+                    cmin = jax.lax.pmin(
+                        jnp.full((n_slots,), jnp.iinfo(jnp.int64).max,
+                                 jnp.int64).at[slot].min(c, mode="drop"),
+                        dist.DATA_AXIS)
+                    cmax = jax.lax.pmax(
+                        jnp.full((n_slots,), jnp.iinfo(jnp.int64).min,
+                                 jnp.int64).at[slot].max(c, mode="drop"),
+                        dist.DATA_AXIS)
+                    nl32 = nl.astype(jnp.int32)
+                    nmin = jax.lax.pmin(
+                        jnp.full((n_slots,), 2, jnp.int32
+                                 ).at[slot].min(nl32, mode="drop"),
+                        dist.DATA_AXIS)
+                    nmax = jax.lax.pmax(
+                        jnp.full((n_slots,), -1, jnp.int32
+                                 ).at[slot].max(nl32, mode="drop"),
+                        dist.DATA_AXIS)
+                    dirty = dirty | (occ & ((cmin != cmax) | (nmin != nmax)))
+                    kreps.append(cmin)
+                    nreps.append(nmin == 1)
+                clean_slot = occ & ~dirty
+
+                outs.append(clean_slot)
+                outs.extend(kreps)
+                outs.extend(nreps)
+                for (kind, cname), ins in zip(agg_specs, agg_ins):
+                    if kind.startswith("key:"):
+                        continue
+                    if kind == "count_star":
+                        outs.append(jax.lax.psum(
+                            jnp.zeros((n_slots,), jnp.int64).at[slot].add(
+                                jnp.ones(selb.shape, jnp.int64),
+                                mode="drop"), dist.DATA_AXIS))
+                        continue
+                    v, enc, nulls, sc = ins
+                    contrib = live & ~nulls
+                    cslot = jnp.where(contrib, slot, n_slots)
+                    cnt = jax.lax.psum(
+                        jnp.zeros((n_slots,), jnp.int64).at[cslot].add(
+                            jnp.ones(selb.shape, jnp.int64), mode="drop"),
+                        dist.DATA_AXIS)
+                    if kind == "count":
+                        outs.append(cnt)
+                    elif kind in ("sum", "avg"):
+                        outs.append(jax.lax.psum(
+                            jnp.zeros((n_slots,), v.dtype).at[cslot].add(
+                                v, mode="drop"), dist.DATA_AXIS))
+                        outs.append(cnt)
+                    elif kind in ("min", "max"):
+                        if sc.kind == "float":
+                            sent = jnp.inf if kind == "min" else -jnp.inf
+                            t = jnp.full((n_slots,), sent, jnp.float64)
+                            t = (t.at[cslot].min(v, mode="drop")
+                                 if kind == "min"
+                                 else t.at[cslot].max(v, mode="drop"))
+                        else:
+                            sent = _U64(0xFFFFFFFFFFFFFFFF) \
+                                if kind == "min" else _U64(0)
+                            t = jnp.full((n_slots,), sent, _U64)
+                            t = (t.at[cslot].min(enc, mode="drop")
+                                 if kind == "min"
+                                 else t.at[cslot].max(enc, mode="drop"))
+                        coll = jax.lax.pmin if kind == "min" else jax.lax.pmax
+                        outs.append(coll(t, dist.DATA_AXIS))
+                        outs.append(cnt)
+
+                # rows in dirty slots carry to the next round
+                live = live & dirty[jnp.clip(slot, 0, n_slots - 1)]
+
+            leftover = jax.lax.psum(
+                live.sum(dtype=jnp.int64), dist.DATA_AXIS)
+            ok = leftover == 0
+            return (ok,) + tuple(outs)
+
+        return step(*arrays, li, lf)
+
+    def _finalize_grouped(self, dt, key_cols, aggs, names, res,
+                          n_slots) -> pa.Table:
+        nkeys = len(key_cols)
+        naggout = 0
+        for kind, _ in aggs:
+            if kind.startswith("key:"):
                 continue
-            if kind == "avg":
-                s, c = outs[oi], outs[oi + 1]
+            naggout += 1 if kind in ("count_star", "count") else 2
+        per_round = 1 + 2 * nkeys + naggout
+        pieces: List[pa.Table] = []
+        flat = list(res[1:])
+        for r in range(self.ROUNDS):
+            chunk = flat[r * per_round: (r + 1) * per_round]
+            occ = np.asarray(chunk[0])
+            g = np.flatnonzero(occ)
+            if g.size == 0:
+                continue
+            kreps = [np.asarray(a) for a in chunk[1: 1 + nkeys]]
+            nreps = [np.asarray(a) for a in chunk[1 + nkeys: 1 + 2 * nkeys]]
+            rest = [np.asarray(a) for a in chunk[1 + 2 * nkeys:]]
+            pieces.append(self._decode_groups(
+                dt, key_cols, aggs, names, g, kreps, nreps, rest))
+        if not pieces:
+            return self._empty_result(dt, key_cols, aggs, names)
+        return pa.concat_tables(pieces)
+
+    def _decode_groups(self, dt, key_cols, aggs, names, g, kreps, nreps,
+                       rest) -> pa.Table:
+        cols: Dict[str, pa.Array] = {}
+        oi = 0
+        for (kind, cname), name in zip(aggs, names):
+            if kind.startswith("key:"):
+                kc = kind[4:]
+                ki = key_cols.index(kc)
+                sc = dt.columns[kc]
+                codes = kreps[ki][g]
+                nulls = nreps[ki][g]
+                if sc.kind == "dict":
+                    safe = np.where(nulls, 0, codes).astype(np.int64)
+                    vals = pa.array([sc.dictionary[i] for i in safe],
+                                    sc.arrow_type)
+                    if nulls.any():
+                        vals = pc.if_else(pa.array(~nulls), vals,
+                                          pa.scalar(None, sc.arrow_type))
+                    cols[name] = vals
+                elif sc.kind == "float":
+                    cols[name] = pa.array(
+                        codes.view(np.float64), pa.float64(),
+                        mask=nulls if nulls.any() else None).cast(
+                            sc.arrow_type)
+                else:
+                    cols[name] = _restore_int(codes, nulls, sc.arrow_type)
+                continue
+            if kind in ("count_star", "count"):
+                cols[name] = pa.array(rest[oi][g], pa.int64())
+                oi += 1
+            elif kind == "sum":
+                v, c = rest[oi][g], rest[oi + 1][g]
+                oi += 2
+                sc = dt.columns[cname]
+                mask = c == 0
+                if sc.kind == "float":
+                    cols[name] = pa.array(v, pa.float64(),
+                                          mask=mask if mask.any() else None)
+                else:
+                    cols[name] = pa.array(
+                        v.astype(np.int64), pa.int64(),
+                        mask=mask if mask.any() else None)
+            elif kind == "avg":
+                sv, c = rest[oi][g], rest[oi + 1][g]
                 oi += 2
                 with np.errstate(invalid="ignore", divide="ignore"):
-                    v = np.where(c > 0, s.astype(np.float64) / c, np.nan)
-                cols[name] = pa.array(v[present], pa.float64())
-                continue
-            v = outs[oi]
-            oi += 1
-            if kind in ("min", "max"):
-                # groups with no rows -> NULL (sentinel scrub)
-                vv = v[present].astype(np.float64) \
-                    if np.issubdtype(v.dtype, np.floating) else v[present]
-                mask = group_count[present] == 0
-                cols[name] = pa.array(
-                    np.ma.masked_array(vv, mask=mask))
+                    v = np.where(c > 0, sv / c.astype(np.float64), np.nan)
+                cols[name] = pa.array(v, pa.float64(),
+                                      mask=(c == 0) if (c == 0).any()
+                                      else None)
+            elif kind in ("min", "max"):
+                v, c = rest[oi][g], rest[oi + 1][g]
+                oi += 2
+                sc = dt.columns[cname]
+                mask = c == 0
+                if sc.kind == "float":
+                    cols[name] = pa.array(
+                        v, pa.float64(),
+                        mask=mask if mask.any() else None).cast(sc.arrow_type)
+                else:
+                    dec = (v.astype(object) + sc.ref) % (1 << 64)
+                    img = np.array(dec, dtype=object)
+                    img = np.where(mask, 0, img)
+                    img = np.array([int(x) for x in img],
+                                   dtype=np.uint64).view(np.int64)
+                    cols[name] = _restore_int(
+                        img, mask if mask.any() else
+                        np.zeros(len(img), bool), sc.arrow_type)
+        return pa.table(cols)
+
+    def _empty_result(self, dt, key_cols, aggs, names) -> pa.Table:
+        cols: Dict[str, pa.Array] = {}
+        grouped = bool(key_cols)
+        for (kind, cname), name in zip(aggs, names):
+            if kind.startswith("key:"):
+                sc = dt.columns[kind[4:]]
+                cols[name] = pa.array([], sc.arrow_type)
+            elif kind in ("count_star", "count"):
+                cols[name] = (pa.array([], pa.int64()) if grouped
+                              else pa.array([0], pa.int64()))
+            elif kind == "avg":
+                cols[name] = (pa.array([], pa.float64()) if grouped
+                              else pa.array([None], pa.float64()))
             else:
-                cols[name] = pa.array(v[present])
-        out = pa.table(cols)
-        # ORDER BY / LIMIT on the (small) host-side result
+                sc = dt.columns[cname]
+                t = _agg_out_type(sc) if kind != "sum" else (
+                    pa.float64() if sc.kind == "float" else pa.int64())
+                cols[name] = (pa.array([], t) if grouped
+                              else pa.array([None], t))
+        return pa.table(cols)
+
+    def _order_limit(self, q, out: pa.Table, names) -> pa.Table:
         if q.order_by:
             keys = []
             for o in q.order_by:
                 nm = (o.expr.name if isinstance(o.expr, ast.Column)
                       else names[o.expr.value - 1]
                       if isinstance(o.expr, ast.Literal) else None)
+                if (nm is None or nm not in out.column_names) \
+                        and isinstance(o.expr, ast.Func):
+                    nm = render(o.expr)
                 if nm is None or nm not in out.column_names:
                     raise NotImplementedError("distributed ORDER BY target")
                 keys.append((nm, "descending" if o.desc else "ascending"))
@@ -367,3 +890,21 @@ class DistributedSession:
         if q.limit is not None:
             out = out.slice(0, q.limit)
         return out
+
+
+def _agg_out_type(sc: ShardedColumn) -> pa.DataType:
+    return pa.float64() if sc.kind == "float" else sc.arrow_type
+
+
+def _ref_i64(ref: int) -> int:
+    """Reference value as a wrapped signed-64 python int (uint64 columns
+    store refs above 2^63; device add wraps identically)."""
+    r = ref % (1 << 64)
+    return r - (1 << 64) if r >= (1 << 63) else r
+
+
+def _mix(h: jax.Array, v: jax.Array) -> jax.Array:
+    h = h ^ v
+    h = (h ^ (h >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> _U64(27))) * _U64(0x94D049BB133111EB)
+    return h ^ (h >> _U64(31))

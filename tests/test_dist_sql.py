@@ -125,11 +125,77 @@ def test_fractional_literal_on_int_column(dsess):
     assert b.c[0] == 0
 
 
-def test_null_columns_rejected():
+def test_null_columns(dsess):
+    """NULLs: excluded by comparisons, own group key, skipped by aggs
+    (VERDICT item 4: the round-1 NULL-free restriction is lifted)."""
     import pyarrow as pa
-    import pytest as _pytest
-    from liquid_tpu.parallel.session import DistributedSession
-    s = DistributedSession()
-    t = pa.table({"x": pa.array([1, None], pa.int64())})
-    with _pytest.raises(NotImplementedError):
-        s.register_table("nully", t)
+    s, _ = dsess
+    t = pa.table({
+        "k": pa.array([1, 1, None, 2, None, 2], pa.int64()),
+        "v": pa.array([10, None, 5, 7, None, None], pa.int64()),
+    })
+    s.register_table("nully", t)
+    out = s.sql("select k, count(*) as c, count(v) as cv, sum(v) as s "
+                "from nully group by k order by k").to_pandas()
+    # pandas: groupby dropna=False ordering NULL last
+    assert list(out.k.fillna(-1)) == [1, 2, -1]
+    assert list(out.c) == [2, 2, 2]
+    assert list(out.cv) == [1, 1, 1]
+    assert list(out.s) == [10, 7, 5]
+    # comparisons exclude NULL rows
+    f = s.sql("select count(*) as c from nully where v >= 0").to_pandas()
+    assert f.c[0] == 3
+    # min/max skip NULLs; all-NULL group yields NULL
+    m = s.sql("select k, min(v) as lo, max(v) as hi from nully "
+              "group by k order by k").to_pandas()
+    assert list(m.lo.fillna(-1)) == [10, 7, 5]
+
+
+def test_encoded_shard_bytes(dsess):
+    """Distributed shards hold bit-planes: device bytes for an int column
+    are width/32 of the raw int64 form, and the query's scan byte count
+    reflects that (VERDICT item 5 bytes-moved assertion)."""
+    s, df = dsess
+    dt = s.tables["events"]
+    qty = dt.columns["qty"]
+    assert qty.kind == "planes"
+    raw_bytes = dt.padded * 8
+    # qty in [1, 100) -> width 7 -> bucket 8 planes = 8/64 of raw    
+    assert qty.width == 7
+    assert qty.device_bytes() <= raw_bytes * 8 / 64 + dt.padded // 8
+    s.sql("select count(*) as c from events where qty > 50")
+    assert s.last_scan_bytes == qty.device_bytes()
+    assert s.last_scan_bytes < raw_bytes / 4
+
+
+def test_multi_key_group_by(dsess):
+    """Multi-column GROUP BY (round-1 limit was one dense key)."""
+    s, df = dsess
+    out = s.sql("select region, status, count(*) as c, sum(qty) as sq "
+                "from events where qty < 90 group by region, status "
+                "order by region, status").to_pandas()
+    ref = (df[df.qty < 90].groupby(["region", "status"])
+           .agg(c=("qty", "size"), sq=("qty", "sum")).reset_index())
+    assert list(out.region) == list(ref.region)
+    assert list(out.status) == list(ref.status)
+    assert list(out.c) == list(ref.c)
+    assert list(out.sq) == list(ref.sq)
+
+
+def test_high_cardinality_group_by(dsess):
+    """Cardinality past the first hash stage forces the salted retry."""
+    import numpy as np
+    import pyarrow as pa
+    s, _ = dsess
+    n = 40_000
+    rng = np.random.default_rng(11)
+    keys = rng.integers(0, 1 << 60, n).astype(np.int64)
+    keys[: n // 2] = keys[: n // 2] // 2 * 2  # some repeats
+    t = pa.table({"k": pa.array(keys), "v": pa.array(np.ones(n, np.int64))})
+    s.register_table("hc", t)
+    out = s.sql("select k, sum(v) as s from hc group by k").to_pandas()
+    import pandas as pd
+    ref = pd.DataFrame({"k": keys}).groupby("k").size()
+    assert len(out) == len(ref)
+    got = dict(zip(out.k, out.s))
+    assert all(got[k] == v for k, v in ref.items())
