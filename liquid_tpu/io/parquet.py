@@ -81,8 +81,12 @@ class ParquetTable:
         self._zones: Dict[tuple, tuple] = {}  # batch-level min/max zone maps
         self.zone_prunes = 0  # batches skipped by zone maps (scan metric)
         self.bloom_prunes = 0  # row groups skipped by bloom filters
+        self.pageindex_seeds = 0  # columns whose zones came from the page index
         from liquid_tpu.io.bloom import BloomReader
         self._bloom = BloomReader(path, self.metadata, open_file)
+        from liquid_tpu.io.pageindex import PageIndexReader
+        self._pageindex = PageIndexReader(path, open_file)
+        self._pi_seeded: set = set()  # (rg, col) already seeded
         self._lock = threading.Lock()
 
     @property
@@ -187,10 +191,57 @@ class ParquetTable:
         if lo is not None and not isinstance(lo, datetime.datetime):
             self._zones[self._zone_key(rg, col_name, batch)] = (lo, hi)
 
+    def _seed_zones_from_pageindex(self, rg: int, col_name: str) -> None:
+        """First-read pruning (ref opener.rs:314-327): derive batch-level
+        zones from the parquet ColumnIndex min/max stats before ANY
+        column data IO.  A batch spanning several pages gets the merged
+        range; batches touching a page without stats stay unknown."""
+        key = (rg, col_name)
+        if key in self._pi_seeded:
+            return
+        self._pi_seeded.add(key)
+        ci = self._col_index[col_name]
+        phys = self.metadata.row_group(rg).column(ci).physical_type
+        zones = self._pageindex.page_zones(rg, ci, phys, self.rg_num_rows(rg))
+        if not zones:
+            return
+        n_b = self.num_batches(rg)
+        # timestamp/datetime stats don't participate (predicates arrive
+        # as datetime objects; lazy zones skip them too)
+        t = self.schema.field(col_name).type
+        if pa.types.is_timestamp(t) or pa.types.is_date64(t):
+            return
+        for b in range(n_b):
+            b_lo, b_hi = b * BLOCK_ROWS, b * BLOCK_ROWS + self.batch_length(rg, b)
+            lo = hi = None
+            covered = 0
+            for frow, end, plo, phi in zones:
+                if end <= b_lo or frow >= b_hi:
+                    continue
+                covered += min(end, b_hi) - max(frow, b_lo)
+                lo = plo if lo is None else min(lo, plo)
+                hi = phi if hi is None else max(hi, phi)
+            # only trust the zone if stat-carrying pages cover every row
+            # of the batch (all-null pages are exempt: NULL rows can't
+            # match a comparison predicate anyway)
+            if lo is not None and covered >= b_hi - b_lo - self._null_rows_upper(rg, ci):
+                self._zones.setdefault(self._zone_key(rg, col_name, b),
+                                       (lo, hi))
+        self.pageindex_seeds += 1
+
+    def _null_rows_upper(self, rg: int, ci: int) -> int:
+        """Upper bound on NULL rows in the column chunk (stats, else inf)."""
+        stats = self.metadata.row_group(rg).column(ci).statistics
+        if stats is not None and stats.null_count is not None:
+            return stats.null_count
+        return 0
+
     def batch_may_match(self, rg: int, col_name: str, batch: int,
                         pred: Predicate) -> bool:
         """False only when the zone map PROVES no row in the batch can
         match `pred` (unknown zones always pass)."""
+        if (rg, col_name) not in self._pi_seeded:
+            self._seed_zones_from_pageindex(rg, col_name)
         z = self._zones.get(self._zone_key(rg, col_name, batch))
         if z is None:
             return True
