@@ -27,7 +27,8 @@ import numpy as np
 import pyarrow as pa
 
 from liquid_tpu.arrays.base import (
-    BLOCK_ROWS, LiquidArray, Predicate, pack_validity, validity_mask_or_full,
+    BLOCK_ROWS, LiquidArray, LiquidSqueezedArray, Predicate, pack_validity,
+    validity_mask_or_full,
 )
 from liquid_tpu.ops import bitpack as bp
 from liquid_tpu.ops import mask as mops
@@ -240,6 +241,9 @@ class LiquidFloatArray(LiquidArray):
         from liquid_tpu.arrays import ipc
         return ipc.serialize_float(self)
 
+    def squeeze(self):
+        return squeeze_float(self)
+
 
 def _apply_patch_verdict(bits: jax.Array, patch_idx: np.ndarray,
                          verdict: np.ndarray) -> jax.Array:
@@ -252,3 +256,180 @@ def _apply_patch_verdict(bits: jax.Array, patch_idx: np.ndarray,
     on = np.where(verdict, set_bits, np.uint32(0))
     np.bitwise_or.at(host, words, on)
     return jnp.asarray(host)
+
+
+# -- float squeeze (ref FloatSqueezePolicy, float_array.rs:61,338) ----------
+
+class SqueezedFloatArray(LiquidSqueezedArray):
+    """Squeezed ALP floats: the integer offset lane quantized to
+    `2^narrow` equal-width buckets, exact array on disk.
+
+    The decode map off -> IEEE((off + ref) * 10^-e) is monotone, so a
+    float comparison is an offset threshold T; a bucket strictly below
+    or above T's bucket is decided IO-FREE, and only rows in the
+    threshold bucket read the exact backing (same shape as the
+    quantized integer squeeze).  Exception patches stay resident
+    host-side (they are rare and tiny) so patch rows never force IO.
+
+    Ref: `FloatSqueezePolicy` + `LiquidFloatArray::squeeze`
+    (liquid-cache src/core/src/liquid_array/float_array.rs:61,338).
+    """
+
+    def __init__(self, planes, narrow_width, bucket_size, width,
+                 reference_value, exponent, patch_idx, patch_vals,
+                 validity, length, arrow_type, disk_range=None):
+        self.planes = planes              # bucket ids, bit-planes
+        self.narrow_width = narrow_width
+        self.bucket_size = bucket_size
+        self.width = width                # original offset width
+        self.reference_value = reference_value
+        self.exponent = exponent
+        self.patch_idx = np.asarray(patch_idx, dtype=np.int32)
+        self.patch_vals = np.asarray(patch_vals, dtype=np.float64)
+        self.validity = validity
+        self.length = length
+        self.arrow_type = arrow_type
+        self._disk_range = disk_range
+
+    # -- LiquidSqueezedArray interface --------------------------------------
+
+    def memory_bytes(self) -> int:
+        n = self.planes.size * 4 + self.patch_idx.nbytes + self.patch_vals.nbytes
+        if self.validity is not None:
+            n += self.validity.size * 4
+        return n + 64
+
+    def disk_backing(self):
+        return ("liquid", self._disk_range)
+
+    def _read_full(self, io):
+        from liquid_tpu.arrays import ipc
+        return ipc.deserialize(io.read(self._disk_range))
+
+    def to_arrow(self, io) -> pa.Array:
+        return self._read_full(io).to_arrow()
+
+    def filter(self, selection, io) -> pa.Array:
+        return self._read_full(io).filter(selection)
+
+    # -- predicate eval ------------------------------------------------------
+
+    @property
+    def _inv(self) -> float:
+        return 10.0 ** (-self.exponent)
+
+    def _dec1(self, off: int) -> float:
+        v = np.float64(off + self.reference_value) * np.float64(self._inv)
+        if pa.types.is_float32(self.arrow_type):
+            v = np.float64(np.float32(v))
+        return float(v)
+
+    def _lower_bound(self, lit: float, strict: bool) -> int:
+        hi_off = (1 << self.width) - 1 if self.width else 0
+
+        def above(off):
+            d = self._dec1(off)
+            return d > lit if strict else d >= lit
+
+        if above(0):
+            return 0
+        if not above(hi_off):
+            return hi_off + 1
+        lo, hi = 0, hi_off
+        while lo + 1 < hi:
+            mid = (lo + hi) // 2
+            if above(mid):
+                hi = mid
+            else:
+                lo = mid
+        return hi
+
+    def _bucket_lt(self, t: int):
+        """(definitely off<t bits, ambiguous bits) in the bucket domain."""
+        max_off = (1 << self.width) - 1 if self.width else 0
+        none = mops.none_set(BLOCK_ROWS)
+        if t <= 0:
+            return none, none
+        if t > max_off:
+            return mops.all_set(BLOCK_ROWS), none
+        bt, rem = divmod(t, self.bucket_size)
+        nb = 1 << self.narrow_width
+        if bt >= nb:
+            return mops.all_set(BLOCK_ROWS), none
+        lt = bp.cmp_const_op(self.planes, np.uint64(bt), "lt")
+        if rem == 0:
+            return lt, none
+        amb = bp.cmp_const_op(self.planes, np.uint64(bt), "eq")
+        return lt, amb
+
+    def try_eval_predicate(self, pred: Predicate, io):
+        if pred.op not in ("eq", "ne", "lt", "lt_eq", "gt", "gt_eq"):
+            return None
+        lit = pred.literal
+        if isinstance(lit, bool) or not isinstance(
+                lit, (int, float, np.integer, np.floating)):
+            return None
+        lit = float(lit)
+        op = pred.op
+        none = mops.none_set(BLOCK_ROWS)
+        if math.isnan(lit):
+            bits = none if op != "ne" else mops.all_set(BLOCK_ROWS)
+            amb = none
+        else:
+            t_ge = self._lower_bound(lit, strict=False)
+            t_gt = self._lower_bound(lit, strict=True)
+            lt_ge, a1 = self._bucket_lt(t_ge)
+            lt_gt, a2 = self._bucket_lt(t_gt)
+            # ambiguity only from thresholds the op actually uses
+            if op == "lt":
+                bits, amb = lt_ge, a1
+            elif op == "lt_eq":
+                bits, amb = lt_gt, a2
+            elif op == "gt":
+                bits, amb = ~lt_gt, a2
+            elif op == "gt_eq":
+                bits, amb = ~lt_ge, a1
+            elif op == "eq":
+                bits, amb = ~lt_ge & lt_gt, a1 | a2
+            else:  # ne
+                bits, amb = lt_ge | ~lt_gt, a1 | a2
+        if int(np.asarray(mops.count(amb))):
+            exact = self._read_full(io).try_eval_predicate(pred)
+            if exact is None:
+                return None
+            bits = (bits & ~amb) | (exact.bits & amb)
+        if len(self.patch_idx):
+            fns = {"eq": np.equal, "ne": np.not_equal, "lt": np.less,
+                   "lt_eq": np.less_equal, "gt": np.greater,
+                   "gt_eq": np.greater_equal}
+            pv = self.patch_vals
+            if pa.types.is_float32(self.arrow_type):
+                pv = pv.astype(np.float32).astype(np.float64)
+            if math.isnan(lit):
+                pverdict = np.zeros(len(pv), bool) if op != "ne" \
+                    else np.ones(len(pv), bool)
+            else:
+                pverdict = fns[op](pv, np.float64(lit))
+            bits = _apply_patch_verdict(bits, self.patch_idx, pverdict)
+        return mops.BoolMask(
+            bits, validity_mask_or_full(self.validity, self.length))
+
+
+def squeeze_float(arr: LiquidFloatArray):
+    """LiquidFloatArray -> (SqueezedFloatArray-without-range, backing
+    bytes); None when the lane is too narrow to gain anything."""
+    if arr.width <= 2:
+        return None
+    narrow = max(1, (arr.width + 1) // 2)
+    nb = 1 << narrow
+    span = 1 << arr.width
+    bs = max(1, (span + nb - 1) // nb)
+    off = bp.unpack_bitplanes(
+        arr.planes, jnp.uint64 if arr.planes.shape[0] > 32 else jnp.uint32)
+    buckets = off.astype(jnp.uint64) // jnp.uint64(bs)
+    planes = bp.pack_bitplanes(buckets, narrow)
+    sq = SqueezedFloatArray(planes, narrow, bs, arr.width,
+                            arr.reference_value, arr.exponent,
+                            arr.patch_idx, arr.patch_vals, arr.validity,
+                            arr.length, arr.arrow_type)
+    return sq, arr.to_bytes()

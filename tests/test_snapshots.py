@@ -98,6 +98,18 @@ def test_snapshot_string_squeeze(tmp_path):
     assert_snapshot("string_squeeze", _events_text(cache))
 
 
+def test_snapshot_float_squeeze(tmp_path):
+    """Floats squeeze to the bucketized ALP lane instead of evicting
+    whole (ref FloatSqueezePolicy, float_array.rs:61,338)."""
+    cache = _mk(tmp_path, 1 << 24)
+    rng = np.random.default_rng(6)
+    cache.insert(3, pa.array(np.round(rng.uniform(0, 100, 8192), 2)))
+    cache._squeeze_victim(3)   # liquid float -> squeezed float
+    cache._squeeze_victim(3)   # squeezed -> disk
+    cache.get(3)               # disk read + hydration
+    assert_snapshot("float_squeeze", _events_text(cache))
+
+
 def test_snapshot_variant_squeeze(tmp_path):
     import json
     cache = _mk(tmp_path, 1 << 24)
