@@ -15,7 +15,7 @@ push-vs-local by table residency instead of plan shape.
 """
 from __future__ import annotations
 
-import socket
+import json
 import threading
 import time
 import uuid
@@ -50,31 +50,39 @@ class LiquidCacheClient:
         self._handles: Dict[str, str] = {}
         self._latch_cv = threading.Condition()
         self.last_metrics: Optional[FlightStreamMetrics] = None
+        self._flight = None
+        self._conn_lock = threading.Lock()
 
-    def _connect(self) -> socket.socket:
-        # TCP keepalive, no TLS (ref flight_channel, lib.rs:123-140)
-        s = socket.create_connection(self.addr)
-        s.setsockopt(socket.SOL_SOCKET, socket.SO_KEEPALIVE, 1)
-        return s
+    def _conn(self):
+        # one shared grpc channel, no TLS (ref flight_channel,
+        # lib.rs:123-140); pyarrow FlightClient is thread-safe
+        import pyarrow.flight as fl
+        with self._conn_lock:
+            if self._flight is None:
+                self._flight = fl.connect(
+                    f"grpc://{self.addr[0]}:{self.addr[1]}")
+            return self._flight
 
-    def _call(self, sock: socket.socket, msg: dict) -> dict:
-        rpc.write_json(sock, msg)
-        return rpc.read_json(sock)
+    def _call(self, action_type: str, msg: dict) -> dict:
+        import pyarrow.flight as fl
+        try:
+            res = list(self._conn().do_action(
+                fl.Action(action_type, json.dumps(msg).encode())))
+        except (fl.FlightError, pa.ArrowException) as ex:
+            raise RuntimeError(f"server error: {ex}") from ex
+        return json.loads(res[0].body.to_pybytes()) if res else {}
 
     def register_object_store(self, url: str, options: dict = None) -> None:
-        with self._connect() as s:
-            self._call(s, {"action": "register_object_store", "url": url,
-                           "options": options or {}})
+        self._call("register_object_store",
+                   {"url": url, "options": options or {}})
 
     def register_table(self, name: str, location: str) -> None:
         self.tables[name] = location
 
     def prefetch(self, url: str, location: str, rng=None) -> int:
-        with self._connect() as s:
-            out = self._call(s, {"action": "prefetch", "url": url,
-                                 "location": location,
-                                 "range": list(rng) if rng else None})
-            return out["bytes"]
+        out = self._call("prefetch", {"url": url, "location": location,
+                                      "range": list(rng) if rng else None})
+        return out["bytes"]
 
     def _ensure_registered(self, sql: str) -> str:
         """Register the plan exactly once across threads
@@ -87,10 +95,10 @@ class LiquidCacheClient:
             self._latch[sql] = REGISTERING
         try:
             handle = str(uuid.uuid4())
-            with self._connect() as s:
-                self._call(s, {"action": "register_plan", "plan": sql,
-                               "handle": handle, "tables": self.tables,
-                               "partitions": self.partitions})
+            self._call("register_plan",
+                       {"plan": sql, "handle": handle,
+                        "tables": self.tables,
+                        "partitions": self.partitions})
             with self._latch_cv:
                 self._handles[sql] = handle
                 self._latch[sql] = REGISTERED
@@ -105,22 +113,26 @@ class LiquidCacheClient:
     def _fetch_partition(self, handle: str, partition: int,
                          metrics: FlightStreamMetrics,
                          traceparent: str = "") -> List[pa.RecordBatch]:
+        import pyarrow.flight as fl
         t0 = time.perf_counter()
         batches: List[pa.RecordBatch] = []
-        with self._connect() as s:
-            rpc.write_json(s, {"action": "fetch", "handle": handle,
-                               "partition": partition,
-                               "traceparent": traceparent or _traceparent()})
-            rpc.read_json(s)
-            first = True
-            for batch in rpc.read_table_stream(s):
-                if first:
-                    metrics.time_to_first_batch_ms = (
-                        (time.perf_counter() - t0) * 1000)
-                    first = False
-                batches.append(batch)
-                metrics.batches += 1
-                metrics.rows += batch.num_rows
+        # FetchResults ticket (ref rpc.rs:195-212 FetchResults -> Ticket)
+        ticket = fl.Ticket(json.dumps(
+            {"handle": handle, "partition": partition,
+             "traceparent": traceparent or _traceparent()}).encode())
+        try:
+            reader = self._conn().do_get(ticket)
+        except (fl.FlightError, pa.ArrowException) as ex:
+            raise RuntimeError(f"server error: {ex}") from ex
+        first = True
+        for chunk in reader:
+            if first:
+                metrics.time_to_first_batch_ms = (
+                    (time.perf_counter() - t0) * 1000)
+                first = False
+            batches.append(chunk.data)
+            metrics.batches += 1
+            metrics.rows += chunk.data.num_rows
         return batches
 
     def sql(self, query: str) -> pa.Table:
@@ -158,18 +170,14 @@ class LiquidCacheClient:
     def execution_metrics(self, sql: Optional[str] = None
                           ) -> rpc.ExecutionMetricsResponse:
         handle = self._handles.get(sql, "") if sql else ""
-        with self._connect() as s:
-            out = self._call(s, {"action": "execution_metrics",
-                                 "handle": handle})
+        out = self._call("execution_metrics", {"handle": handle})
         return rpc.ExecutionMetricsResponse(**out["metrics"])
 
     def server_stats(self) -> dict:
-        with self._connect() as s:
-            return self._call(s, {"action": "stats"})["stats"]
+        return self._call("stats", {})["stats"]
 
     def reset_cache(self) -> None:
-        with self._connect() as s:
-            self._call(s, {"action": "reset"})
+        self._call("reset", {})
 
 
 def _traceparent() -> str:

@@ -14,8 +14,6 @@ arrow IPC, common/rpc.py).  Partition streams slice the cached result.
 """
 from __future__ import annotations
 
-import socket
-import socketserver
 import threading
 import time
 import uuid
@@ -135,84 +133,80 @@ class LiquidCacheServiceInner:
         self.cache.reset()
 
 
-class _Handler(socketserver.BaseRequestHandler):
-    def handle(self):
-        inner: LiquidCacheServiceInner = self.server.inner  # type: ignore
-        sock = self.request
-        try:
-            while True:
-                try:
-                    msg = rpc.read_json(sock)
-                except (ConnectionError, OSError):
-                    return
-                try:
-                    self._dispatch(inner, sock, msg)
-                except Exception as ex:  # noqa: BLE001 - surface to client
-                    rpc.write_msg(sock, rpc.KIND_ERROR,
-                                  f"{type(ex).__name__}: {ex}".encode())
-        finally:
-            sock.close()
+class _FlightServer(__import__("pyarrow.flight", fromlist=["x"]).FlightServerBase):
+    """Arrow Flight front-end (ref LiquidCacheService, lib.rs:102-349):
+    DoAction carries the control protocol (RegisterObjectStore /
+    RegisterPlan / Prefetch / metrics / reset / stats as JSON bodies --
+    the prost-message equivalents of common/rpc.py), DoGet executes one
+    plan partition from a FetchResults ticket and streams record
+    batches."""
 
-    def _dispatch(self, inner, sock, msg):
-        action = msg["action"]
-        if action == "register_object_store":
+    def __init__(self, location, inner):
+        super().__init__(location)
+        self.inner = inner
+
+    def do_action(self, context, action):
+        import json
+        import pyarrow.flight as fl
+        inner = self.inner
+        body = action.body.to_pybytes() if action.body is not None else b""
+        msg = json.loads(body or b"{}")
+        t = action.type
+        if t == "register_object_store":
             inner.register_object_store(msg["url"], msg.get("options", {}))
-            rpc.write_json(sock, {"ok": True})
-        elif action == "register_plan":
+            out = {"ok": True}
+        elif t == "register_plan":
             inner.register_plan(msg["plan"], msg["handle"],
                                 msg.get("tables", {}),
                                 msg.get("partitions", 1))
-            rpc.write_json(sock, {"ok": True,
-                                  "partitions": msg.get("partitions", 1)})
-        elif action == "prefetch":
+            out = {"ok": True, "partitions": msg.get("partitions", 1)}
+        elif t == "prefetch":
             n = inner.prefetch(msg["url"], msg["location"],
                                tuple(msg["range"]) if msg.get("range")
                                else None)
-            rpc.write_json(sock, {"ok": True, "bytes": n})
-        elif action == "fetch":
-            # continue the client's trace (ref W3C traceparent decode,
-            # datafusion-server lib.rs:215-217)
-            with TRACER.remote_span("server.fetch",
-                                    msg.get("traceparent", ""),
-                                    handle=msg["handle"],
-                                    partition=msg["partition"]):
-                t = inner.execute_partition(msg["handle"], msg["partition"])
-            rpc.write_json(sock, {"ok": True, "rows": t.num_rows})
-            rpc.write_table_stream(sock, t)
-        elif action == "execution_metrics":
+            out = {"ok": True, "bytes": n}
+        elif t == "execution_metrics":
             m = inner.metrics(msg.get("handle", ""))
-            rpc.write_json(sock, {"ok": True, "metrics": m.__dict__})
-        elif action == "reset":
+            out = {"ok": True, "metrics": m.__dict__}
+        elif t == "reset":
             inner.reset()
-            rpc.write_json(sock, {"ok": True})
-        elif action == "stats":
-            rpc.write_json(sock, {"ok": True, "stats": inner.cache.stats()})
+            out = {"ok": True}
+        elif t == "stats":
+            out = {"ok": True, "stats": inner.cache.stats()}
         else:
-            raise ValueError(f"unknown action {action!r}")
+            raise fl.FlightServerError(f"unknown action {t!r}")
+        yield fl.Result(json.dumps(out).encode())
 
-
-class _Server(socketserver.ThreadingTCPServer):
-    allow_reuse_address = True
-    daemon_threads = True
+    def do_get(self, context, ticket):
+        import json
+        import pyarrow.flight as fl
+        msg = json.loads(ticket.ticket)
+        # continue the client's trace (ref W3C traceparent decode,
+        # datafusion-server lib.rs:215-217)
+        with TRACER.remote_span("server.fetch",
+                                msg.get("traceparent", ""),
+                                handle=msg["handle"],
+                                partition=msg["partition"]):
+            t = self.inner.execute_partition(msg["handle"],
+                                             msg["partition"])
+        return fl.RecordBatchStream(t)
 
 
 class LiquidCacheService:
-    """TCP front-end over LiquidCacheServiceInner (ref lib.rs:102-349)."""
+    """Arrow Flight front-end over LiquidCacheServiceInner
+    (ref lib.rs:102-349); `start()` serves on a daemon thread."""
 
     def __init__(self, cache, host: str = "127.0.0.1", port: int = 0,
                  byte_cache_dir: Optional[str] = None):
         self.inner = LiquidCacheServiceInner(cache, byte_cache_dir)
-        self._srv = _Server((host, port), _Handler)
-        self._srv.inner = self.inner  # type: ignore
-        self.addr = self._srv.server_address
+        self._srv = _FlightServer(f"grpc://{host}:{port}", self.inner)
+        self.addr = (host, self._srv.port)
         self._thread: Optional[threading.Thread] = None
 
     def start(self) -> Tuple[str, int]:
-        self._thread = threading.Thread(target=self._srv.serve_forever,
-                                        daemon=True)
+        self._thread = threading.Thread(target=self._srv.serve, daemon=True)
         self._thread.start()
         return self.addr
 
     def stop(self) -> None:
         self._srv.shutdown()
-        self._srv.server_close()
