@@ -648,111 +648,25 @@ class DistributedSession:
                                        li_, lf_, lut_ix, dt)
             selb = mops.unpack_bits(sel)
             codes, knulls = self._key_codes(cols, col_ix, key_cols, dt)
-            # decode aggregate inputs ONCE (shared across rounds)
-            agg_ins = []
+            # decode aggregate inputs ONCE (shared across rounds);
+            # min/max ride the ENCODED unsigned domain (order-preserving)
+            rspecs = []
             for kind, cname in agg_specs:
-                if kind.startswith("key:") or kind == "count_star":
-                    agg_ins.append(None)
+                if kind.startswith("key:"):
+                    continue
+                if kind == "count_star":
+                    rspecs.append({"kind": kind})
                     continue
                 want_float = kind == "avg" or \
                     dt.columns[cname].kind == "float"
                 v, enc, nulls, sc = self._agg_value(
                     cols, col_ix, dt, cname,
                     want_float and kind not in ("min", "max"))
-                agg_ins.append((v, enc, nulls, sc))
-
-            live = selb
-            outs = []
-            for r in range(rounds):
-                rsalt = (salt + r * 0x9E3779B97F4A7C15) % (1 << 64)
-                h = jnp.full(selb.shape, _U64(rsalt))
-                for c, nl in zip(codes, knulls):
-                    h = _mix(h, c.astype(_U64))
-                    h = _mix(h, nl.astype(_U64))
-                slot = (h & _U64(n_slots - 1)).astype(jnp.int32)
-                slot = jnp.where(live, slot, n_slots)  # OOB -> dropped
-
-                occ = jax.lax.psum(
-                    jnp.zeros((n_slots,), jnp.int32).at[slot].add(
-                        jnp.ones(selb.shape, jnp.int32), mode="drop"),
-                    dist.DATA_AXIS) > 0
-                dirty = jnp.zeros((n_slots,), jnp.bool_)
-                kreps = []
-                nreps = []
-                for c, nl in zip(codes, knulls):
-                    cmin = jax.lax.pmin(
-                        jnp.full((n_slots,), jnp.iinfo(jnp.int64).max,
-                                 jnp.int64).at[slot].min(c, mode="drop"),
-                        dist.DATA_AXIS)
-                    cmax = jax.lax.pmax(
-                        jnp.full((n_slots,), jnp.iinfo(jnp.int64).min,
-                                 jnp.int64).at[slot].max(c, mode="drop"),
-                        dist.DATA_AXIS)
-                    nl32 = nl.astype(jnp.int32)
-                    nmin = jax.lax.pmin(
-                        jnp.full((n_slots,), 2, jnp.int32
-                                 ).at[slot].min(nl32, mode="drop"),
-                        dist.DATA_AXIS)
-                    nmax = jax.lax.pmax(
-                        jnp.full((n_slots,), -1, jnp.int32
-                                 ).at[slot].max(nl32, mode="drop"),
-                        dist.DATA_AXIS)
-                    dirty = dirty | (occ & ((cmin != cmax) | (nmin != nmax)))
-                    kreps.append(cmin)
-                    nreps.append(nmin == 1)
-                clean_slot = occ & ~dirty
-
-                outs.append(clean_slot)
-                outs.extend(kreps)
-                outs.extend(nreps)
-                for (kind, cname), ins in zip(agg_specs, agg_ins):
-                    if kind.startswith("key:"):
-                        continue
-                    if kind == "count_star":
-                        outs.append(jax.lax.psum(
-                            jnp.zeros((n_slots,), jnp.int64).at[slot].add(
-                                jnp.ones(selb.shape, jnp.int64),
-                                mode="drop"), dist.DATA_AXIS))
-                        continue
-                    v, enc, nulls, sc = ins
-                    contrib = live & ~nulls
-                    cslot = jnp.where(contrib, slot, n_slots)
-                    cnt = jax.lax.psum(
-                        jnp.zeros((n_slots,), jnp.int64).at[cslot].add(
-                            jnp.ones(selb.shape, jnp.int64), mode="drop"),
-                        dist.DATA_AXIS)
-                    if kind == "count":
-                        outs.append(cnt)
-                    elif kind in ("sum", "avg"):
-                        outs.append(jax.lax.psum(
-                            jnp.zeros((n_slots,), v.dtype).at[cslot].add(
-                                v, mode="drop"), dist.DATA_AXIS))
-                        outs.append(cnt)
-                    elif kind in ("min", "max"):
-                        if sc.kind == "float":
-                            sent = jnp.inf if kind == "min" else -jnp.inf
-                            t = jnp.full((n_slots,), sent, jnp.float64)
-                            t = (t.at[cslot].min(v, mode="drop")
-                                 if kind == "min"
-                                 else t.at[cslot].max(v, mode="drop"))
-                        else:
-                            sent = _U64(0xFFFFFFFFFFFFFFFF) \
-                                if kind == "min" else _U64(0)
-                            t = jnp.full((n_slots,), sent, _U64)
-                            t = (t.at[cslot].min(enc, mode="drop")
-                                 if kind == "min"
-                                 else t.at[cslot].max(enc, mode="drop"))
-                        coll = jax.lax.pmin if kind == "min" else jax.lax.pmax
-                        outs.append(coll(t, dist.DATA_AXIS))
-                        outs.append(cnt)
-
-                # rows in dirty slots carry to the next round
-                live = live & dirty[jnp.clip(slot, 0, n_slots - 1)]
-
-            leftover = jax.lax.psum(
-                live.sum(dtype=jnp.int64), dist.DATA_AXIS)
-            ok = leftover == 0
-            return (ok,) + tuple(outs)
+                mm = v if sc.kind == "float" else enc
+                rspecs.append({"kind": kind, "v": v, "mm": mm,
+                               "nulls": nulls})
+            return hash_rounds_body(codes, knulls, selb, rspecs,
+                                    n_slots, salt, rounds)
 
         return step(*arrays, li, lf)
 
@@ -908,3 +822,104 @@ def _mix(h: jax.Array, v: jax.Array) -> jax.Array:
     h = (h ^ (h >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
     h = (h ^ (h >> _U64(27))) * _U64(0x94D049BB133111EB)
     return h ^ (h >> _U64(31))
+
+
+def hash_rounds_body(codes, knulls, live0, rspecs, n_slots, salt, rounds,
+                     axis=dist.DATA_AXIS):
+    """Multi-round collision-resolved hash aggregation, to be called
+    INSIDE a shard_map body; per-shard scatters merge across `axis`
+    with psum/pmin/pmax.
+
+    codes/knulls: per-key int64 code arrays + bool null flags.
+    live0: bool[n] rows participating.
+    rspecs: per output aggregate a dict
+        {"kind": count_star|count|sum|avg|min|max,
+         "v":  values for sum/avg (f64 or i64),
+         "mm": values for min/max (sentinel domain from dtype:
+               float -> +-inf, uint64 -> 0/max, int64 -> iinfo),
+         "nulls": bool[n] input-null flags}.
+    Returns (ok,) + per-round (clean_slot, kreps..., nreps..., agg outs
+    [cnt for count; acc,cnt for sum/avg/min/max]) with groups valid in
+    slots where clean_slot holds.  `ok` False means rounds did not
+    converge: retry with the next hash stage.
+    """
+    from liquid_tpu.ops.groupby import _neutral
+    n_rows = live0.shape[0]
+    live = live0
+    outs = []
+    for r in range(rounds):
+        rsalt = (salt + r * 0x9E3779B97F4A7C15) % (1 << 64)
+        h = jnp.full((n_rows,), _U64(rsalt))
+        for c, nl in zip(codes, knulls):
+            h = _mix(h, c.astype(_U64))
+            h = _mix(h, nl.astype(_U64))
+        slot = (h & _U64(n_slots - 1)).astype(jnp.int32)
+        slot = jnp.where(live, slot, n_slots)  # OOB -> dropped
+
+        occ = jax.lax.psum(
+            jnp.zeros((n_slots,), jnp.int32).at[slot].add(
+                jnp.ones((n_rows,), jnp.int32), mode="drop"), axis) > 0
+        dirty = jnp.zeros((n_slots,), jnp.bool_)
+        kreps = []
+        nreps = []
+        for c, nl in zip(codes, knulls):
+            cmin = jax.lax.pmin(
+                jnp.full((n_slots,), jnp.iinfo(jnp.int64).max, jnp.int64
+                         ).at[slot].min(c, mode="drop"), axis)
+            cmax = jax.lax.pmax(
+                jnp.full((n_slots,), jnp.iinfo(jnp.int64).min, jnp.int64
+                         ).at[slot].max(c, mode="drop"), axis)
+            nl32 = nl.astype(jnp.int32)
+            nmin = jax.lax.pmin(
+                jnp.full((n_slots,), 2, jnp.int32
+                         ).at[slot].min(nl32, mode="drop"), axis)
+            nmax = jax.lax.pmax(
+                jnp.full((n_slots,), -1, jnp.int32
+                         ).at[slot].max(nl32, mode="drop"), axis)
+            dirty = dirty | (occ & ((cmin != cmax) | (nmin != nmax)))
+            kreps.append(cmin)
+            nreps.append(nmin == 1)
+        clean_slot = occ & ~dirty
+
+        outs.append(clean_slot)
+        outs.extend(kreps)
+        outs.extend(nreps)
+        for spec in rspecs:
+            kind = spec["kind"]
+            if kind == "count_star":
+                outs.append(jax.lax.psum(
+                    jnp.zeros((n_slots,), jnp.int64).at[slot].add(
+                        jnp.ones((n_rows,), jnp.int64), mode="drop"),
+                    axis))
+                continue
+            nulls = spec["nulls"]
+            contrib = live & ~nulls
+            cslot = jnp.where(contrib, slot, n_slots)
+            cnt = jax.lax.psum(
+                jnp.zeros((n_slots,), jnp.int64).at[cslot].add(
+                    jnp.ones((n_rows,), jnp.int64), mode="drop"), axis)
+            if kind == "count":
+                outs.append(cnt)
+            elif kind in ("sum", "avg"):
+                v = spec["v"]
+                outs.append(jax.lax.psum(
+                    jnp.zeros((n_slots,), v.dtype).at[cslot].add(
+                        v, mode="drop"), axis))
+                outs.append(cnt)
+            elif kind in ("min", "max"):
+                mm = spec["mm"]
+                sent = _neutral(mm.dtype, kind)
+                t = jnp.full((n_slots,), sent, mm.dtype)
+                t = (t.at[cslot].min(mm, mode="drop") if kind == "min"
+                     else t.at[cslot].max(mm, mode="drop"))
+                coll = jax.lax.pmin if kind == "min" else jax.lax.pmax
+                outs.append(coll(t, axis))
+                outs.append(cnt)
+            else:
+                raise ValueError(kind)
+
+        # rows in dirty slots carry to the next round
+        live = live & dirty[jnp.clip(slot, 0, n_slots - 1)]
+
+    leftover = jax.lax.psum(live.sum(dtype=jnp.int64), axis)
+    return (leftover == 0,) + tuple(outs)
