@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import threading
 
+from liquid_tpu.utils import sync as _sync
+
 
 class BudgetExceeded(Exception):
     pass
@@ -17,7 +19,7 @@ class BudgetExceeded(Exception):
 
 class BudgetAccounting:
     def __init__(self, max_memory_bytes: int, max_disk_bytes: int | None = None):
-        self._lock = threading.Lock()
+        self._lock = _sync.Lock()
         self.max_memory_bytes = max_memory_bytes
         self.max_disk_bytes = max_disk_bytes  # None = unbounded (ref default)
         self._memory_used = 0

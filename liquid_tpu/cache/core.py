@@ -19,6 +19,8 @@ decode) runs on device outside the critical path wherever possible.
 from __future__ import annotations
 
 import threading
+
+from liquid_tpu.utils import sync as _sync
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -196,7 +198,7 @@ class LiquidCache:
         self.metadata = DefaultCacheMetadata()
         self._entries: Dict[int, CacheEntry] = {}
         self._hints: Dict[int, HintVote] = {}
-        self._lock = threading.RLock()
+        self._lock = _sync.RLock()
 
     # -- hints -------------------------------------------------------------
 
@@ -240,6 +242,8 @@ class LiquidCache:
     def _insert_payload(self, entry_id, state, payload, nbytes, hint) -> bool:
         # replacement loop: evict/squeeze victims until the reservation fits
         while not self.budget.try_reserve_memory(nbytes):
+            _sync.yield_now()  # scheduling point (ref yield_now_if_shuttle,
+            #                    core.rs:367 + utils/mod.rs:156-159)
             victims = [v for v in self.cache_policy.find_memory_victims(8)
                        if v != entry_id]
             if not victims:

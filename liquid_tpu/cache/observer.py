@@ -9,6 +9,8 @@ access tracer (tracer.rs:26-100).
 from __future__ import annotations
 
 import threading
+
+from liquid_tpu.utils import sync as _sync
 import time
 from dataclasses import dataclass, field
 from typing import List, Optional
@@ -25,7 +27,7 @@ COUNTERS = (
 
 class RuntimeStats:
     def __init__(self):
-        self._lock = threading.Lock()
+        self._lock = _sync.Lock()
         self._c = {k: 0 for k in COUNTERS}
 
     def bump(self, name: str, n: int = 1) -> None:
@@ -71,9 +73,9 @@ class Observer:
         self.stats = RuntimeStats()
         self._trace_events = trace_events
         self._events: List[Event] = []
-        self._events_lock = threading.Lock()
+        self._events_lock = _sync.Lock()
         self._tracer: Optional[List[TraceRecord]] = None
-        self._tracer_lock = threading.Lock()
+        self._tracer_lock = _sync.Lock()
 
     # -- event trace (snapshot tests) -------------------------------------
 

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import abc
 import threading
+
+from liquid_tpu.utils import sync as _sync
 from collections import OrderedDict
 from typing import List, Optional, Tuple
 
@@ -53,7 +55,7 @@ class LiquidPolicy(CachePolicy):
     until a notify_* re-enqueues them."""
 
     def __init__(self):
-        self._lock = threading.Lock()
+        self._lock = _sync.Lock()
         self._queues = {k: OrderedDict() for k in (_MEMORY_ORDER + (DISK,))}
         self._where = {}  # entry_id -> kind
 
@@ -102,7 +104,7 @@ class FifoPolicy(CachePolicy):
     """Single FIFO over all memory entries (baseline policy)."""
 
     def __init__(self):
-        self._lock = threading.Lock()
+        self._lock = _sync.Lock()
         self._mem = OrderedDict()
         self._disk = OrderedDict()
 
@@ -138,7 +140,7 @@ class LruPolicy(CachePolicy):
     """LRU over memory entries: notify_accessed moves to the back."""
 
     def __init__(self):
-        self._lock = threading.Lock()
+        self._lock = _sync.Lock()
         self._mem = OrderedDict()
         self._disk = OrderedDict()
 

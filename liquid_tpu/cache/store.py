@@ -16,6 +16,8 @@ from __future__ import annotations
 import ctypes
 import os
 import threading
+
+from liquid_tpu.utils import sync as _sync
 from typing import Dict, Optional, Tuple
 
 
@@ -24,7 +26,7 @@ class PyBlockStore:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         self._path = path
         self._f = open(path, "a+b")
-        self._lock = threading.Lock()
+        self._lock = _sync.Lock()
         self._index: Dict[int, Tuple[int, int]] = {}
         self._tail = self._f.seek(0, os.SEEK_END)
         self._live_bytes = 0
