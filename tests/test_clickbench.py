@@ -208,3 +208,186 @@ def test_dual_path_agreement(ctx, ctx_arrow, i):
             np.testing.assert_allclose(va, vb, rtol=1e-9, err_msg=f"q{i}.{col}")
         else:
             np.testing.assert_array_equal(va, vb, err_msg=f"q{i}.{col}")
+
+
+# -- round-2 oracle expansion (VERDICT weak #6): tie-robust pandas
+# oracles for the remaining queries.  Top-k-by-count queries compare the
+# count sequence exactly and the key sets above the k-th count (rows
+# tied AT the boundary are implementation-defined order).
+
+def _check_topk(got, ref, key_cols, cnt_col_got, cnt_col_ref):
+    gc = list(got[cnt_col_got])
+    rc = list(ref[cnt_col_ref])[: len(gc)]
+    assert gc == rc, (gc, rc)
+    if not gc:
+        return
+    cstar = gc[-1]
+    gkeys = {tuple(r) for _, r in
+             got[got[cnt_col_got] > cstar][key_cols].iterrows()}
+    rkeys = {tuple(r) for _, r in
+             ref[ref[cnt_col_ref] > cstar].head(len(gc))[key_cols].iterrows()}
+    assert gkeys == rkeys
+
+
+def test_q10_phone_model_distinct(ctx, df):
+    t = run(ctx, 10).to_pandas()
+    ref = (df[df.MobilePhoneModel != ""].groupby("MobilePhoneModel")
+           .UserID.nunique().sort_values(ascending=False)
+           .reset_index(name="u"))
+    _check_topk(t, ref, ["MobilePhoneModel"], t.columns[1], "u")
+
+
+def test_q11_phone_pair_distinct(ctx, df):
+    t = run(ctx, 11).to_pandas()
+    ref = (df[df.MobilePhoneModel != ""]
+           .groupby(["MobilePhone", "MobilePhoneModel"])
+           .UserID.nunique().sort_values(ascending=False)
+           .reset_index(name="u"))
+    _check_topk(t, ref, ["MobilePhone", "MobilePhoneModel"],
+                t.columns[2], "u")
+
+
+def test_q13_phrase_users(ctx, df):
+    t = run(ctx, 13).to_pandas()
+    ref = (df[df.SearchPhrase != ""].groupby("SearchPhrase")
+           .UserID.nunique().sort_values(ascending=False)
+           .reset_index(name="u"))
+    _check_topk(t, ref, ["SearchPhrase"], t.columns[1], "u")
+
+
+def test_q16_user_phrase(ctx, df):
+    t = run(ctx, 16).to_pandas()
+    ref = (df.groupby(["UserID", "SearchPhrase"]).size()
+           .sort_values(ascending=False).reset_index(name="c"))
+    _check_topk(t, ref, ["UserID", "SearchPhrase"], t.columns[2], "c")
+
+
+def test_q17_user_phrase_any10(ctx, df):
+    t = run(ctx, 17).to_pandas()
+    assert len(t) == 10
+    ref = df.groupby(["UserID", "SearchPhrase"]).size()
+    for _, row in t.iterrows():
+        assert ref[(row.iloc[0], row.iloc[1])] == row.iloc[2]
+
+
+def test_q18_minute_groups(ctx, df):
+    t = run(ctx, 18).to_pandas()
+    m = (df.EventTime % 3600) // 60
+    ref = (df.assign(m=m).groupby(["UserID", "m", "SearchPhrase"]).size()
+           .sort_values(ascending=False).reset_index(name="c"))
+    assert list(t[t.columns[3]]) == list(ref.c)[: len(t)]
+
+
+def test_q21_google_urls(ctx, df):
+    t = run(ctx, 21).to_pandas()
+    sub = df[df.URL.str.contains("google") & (df.SearchPhrase != "")]
+    ref = (sub.groupby("SearchPhrase")
+           .agg(mu=("URL", "min"), c=("URL", "size"))
+           .sort_values("c", ascending=False).reset_index())
+    _check_topk(t, ref, ["SearchPhrase"], t.columns[2], "c")
+    # min(URL) must match for every returned phrase
+    mu = dict(zip(ref.SearchPhrase, ref.mu))
+    for _, row in t.iterrows():
+        assert row.iloc[1] == mu[row.iloc[0]]
+
+
+def test_q22_title_google(ctx, df):
+    t = run(ctx, 22).to_pandas()
+    sub = df[df.Title.str.contains("Google")
+             & ~df.URL.str.contains(".google.", regex=False)
+             & (df.SearchPhrase != "")]
+    ref = (sub.groupby("SearchPhrase")
+           .agg(mu=("URL", "min"), mt=("Title", "min"),
+                c=("URL", "size"), u=("UserID", "nunique"))
+           .sort_values("c", ascending=False).reset_index())
+    _check_topk(t, ref, ["SearchPhrase"], t.columns[3], "c")
+
+
+def test_q23_star_order_by_time(ctx, df):
+    t = run(ctx, 23).to_pandas()
+    sub = df[df.URL.str.contains("google")].sort_values("EventTime",
+                                                        kind="stable")
+    assert len(t) == min(10, len(sub))
+    # row multiset check on a few stable columns at matching EventTimes
+    assert sorted(t.EventTime) == sorted(sub.EventTime.head(len(t)))
+
+
+def test_q24_q26_phrase_by_time(ctx, df):
+    t24 = run(ctx, 24).to_pandas()
+    sub = df[df.SearchPhrase != ""]
+    times = sub.sort_values("EventTime").EventTime.head(len(t24))
+    byt = sub[sub.EventTime.isin(set(times))]
+    assert set(t24[t24.columns[0]]) <= set(byt.SearchPhrase)
+    t26 = run(ctx, 26).to_pandas()
+    ref = sub.sort_values(["EventTime", "SearchPhrase"]).head(len(t26))
+    assert list(t26[t26.columns[0]]) == list(ref.SearchPhrase)
+
+
+def test_q27_counter_url_len(ctx, df):
+    t = run(ctx, 27).to_pandas()
+    sub = df[df.URL != ""]
+    g = (sub.assign(l=sub.URL.str.len())
+         .groupby("CounterID").agg(l=("l", "mean"), c=("l", "size")))
+    ref = g[g.c > 100000].sort_values("l", ascending=False).reset_index()
+    assert len(t) == len(ref.head(25))
+    if len(t):
+        assert np.allclose(t[t.columns[1]], ref.l.head(len(t)))
+
+
+def test_q30_q31_q32_engine_ip(ctx, df):
+    for qi, keys, flt in ((30, ["SearchEngineID", "ClientIP"], True),
+                          (31, ["WatchID", "ClientIP"], True),
+                          (32, ["WatchID", "ClientIP"], False)):
+        t = run(ctx, qi).to_pandas()
+        sub = df[df.SearchPhrase != ""] if flt else df
+        ref = (sub.groupby(keys)
+               .agg(c=("IsRefresh", "size"), s=("IsRefresh", "sum"),
+                    a=("ResolutionWidth", "mean"))
+               .sort_values("c", ascending=False).reset_index())
+        cn = t.columns[len(keys)]
+        _check_topk(t, ref, keys, cn, "c")
+
+
+def test_q33_q34_url_counts(ctx, df):
+    ref = (df.groupby("URL").size().sort_values(ascending=False)
+           .reset_index(name="c"))
+    t33 = run(ctx, 33).to_pandas()
+    _check_topk(t33, ref, ["URL"], t33.columns[1], "c")
+    t34 = run(ctx, 34).to_pandas()
+    _check_topk(t34, ref, ["URL"], t34.columns[2], "c")
+
+
+def _july_window(df):
+    d = df.EventDate.astype("int64")
+    base = (pd.Timestamp("2013-07-01") - pd.Timestamp("1970-01-01")).days
+    end = (pd.Timestamp("2013-07-31") - pd.Timestamp("1970-01-01")).days
+    return (d >= base) & (d <= end)
+
+
+def test_q36_q37_pageviews(ctx, df):
+    for qi, col, extra in ((36, "URL", (df.DontCountHits == 0)),
+                           (37, "Title", (df.DontCountHits == 0))):
+        t = run(ctx, qi).to_pandas()
+        sub = df[(df.CounterID == 62) & _july_window(df)
+                 & extra & (df.IsRefresh == 0) & (df[col] != "")]
+        ref = (sub.groupby(col).size().sort_values(ascending=False)
+               .reset_index(name="c"))
+        _check_topk(t, ref, [col], t.columns[1], "c")
+
+
+def test_q38_offset_past_end(ctx, df):
+    t = run(ctx, 38).to_pandas()
+    sub = df[(df.CounterID == 62) & _july_window(df) & (df.IsRefresh == 0)
+             & (df.IsLink != 0) & (df.IsDownload == 0)]
+    n_groups = sub.groupby("URL").ngroups
+    assert len(t) == max(0, min(10, n_groups - 1000))
+
+
+def test_q41_window_size(ctx, df):
+    t = run(ctx, 41).to_pandas()
+    sub = df[(df.CounterID == 62) & _july_window(df) & (df.IsRefresh == 0)
+             & (df.DontCountHits == 0)
+             & (df.URLHash == 2868770270353813622)]
+    n_groups = sub.groupby(["WindowClientWidth",
+                            "WindowClientHeight"]).ngroups
+    assert len(t) == max(0, min(10, n_groups - 10000))
