@@ -48,6 +48,34 @@ def _mix(h: jax.Array, v: jax.Array) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("kinds", "n_slots", "salt"))
+def hash_group_reduce_packed(codes, knulls, valid, vals, vnulls, kinds,
+                             n_slots, salt):
+    """hash_group_reduce with every output bit-packed into ONE int64
+    matrix [1 + 2*nkeys + 2*nslots_out, n_slots] so the host pays a
+    single device->host transfer (each fetch has a ~28ms floor through
+    the axon tunnel, PERF_NOTES.md).  Row 0 is the header
+    [clean, n_groups, 0...]; f64/u64 payload rows are bitcast and
+    recovered host-side by dtype."""
+    clean, ng, ukeys, uknulls, outs, vcounts = hash_group_reduce(
+        codes, knulls, valid, vals, vnulls, kinds, n_slots, salt)
+    hdr = jnp.zeros((n_slots,), jnp.int64)
+    hdr = hdr.at[0].set(clean.astype(jnp.int64))
+    hdr = hdr.at[1].set(ng.astype(jnp.int64))
+
+    def as_i64(x):
+        if x.dtype == jnp.int64:
+            return x
+        if x.dtype in (jnp.float64, jnp.uint64):
+            return jax.lax.bitcast_convert_type(x, jnp.int64)
+        return x.astype(jnp.int64)
+
+    rows = [hdr] + [as_i64(k) for k in ukeys] \
+        + [as_i64(n) for n in uknulls] \
+        + [as_i64(o) for o in outs] + [as_i64(c) for c in vcounts]
+    return jnp.stack(rows)
+
+
+@partial(jax.jit, static_argnames=("kinds", "n_slots", "salt"))
 def hash_group_reduce(codes: Tuple[jax.Array, ...],
                       knulls: Tuple[jax.Array, ...],
                       valid: jax.Array,

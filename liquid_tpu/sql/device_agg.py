@@ -385,28 +385,27 @@ class DeviceGroupedAggregator:
         # table retries once with more slots + a new salt, then falls
         # back to the sort-based reduction -- answers are exact on every
         # path, only the constant factor differs
-        ng = None
+        nk = len(jcodes)
+        nv = len(jvals)
         if jcodes and not self._hash_dirty:
             h0 = hops.pick_slots(n)
             for n_slots, salt in ((h0, 0x9E3779B97F4A7C15),
                                   (min(4 * h0, hops.MAX_SLOTS),
                                    0xC2B2AE3D27D4EB4F)):
-                clean, ng_h, ukeys, uknulls, outs, _vc = \
-                    hops.hash_group_reduce(jcodes, jknulls, jvalid, jvals,
-                                           jvnulls, kinds, n_slots, salt)
-                if bool(clean):
-                    ng = ng_h
-                    break
+                # ONE packed device->host fetch for header + all outputs
+                mat = np.asarray(hops.hash_group_reduce_packed(
+                    jcodes, jknulls, jvalid, jvals, jvnulls, kinds,
+                    n_slots, salt))
+                if mat[0, 0]:
+                    return self._unpack_hash(mat, nk, nv)
                 if n_slots == hops.MAX_SLOTS:
                     break
-            if ng is None:
-                # cardinality defeats the table: stop re-trying the hash
-                # path for this aggregation
-                self._hash_dirty = True
-                STATS["hash_agg_fallbacks"] += 1
-        if ng is None:
-            ng, ukeys, uknulls, outs, _vc = gops.group_reduce(
-                jcodes, jknulls, jvalid, jvals, jvnulls, kinds)
+            # cardinality defeats the table: stop re-trying the hash
+            # path for this aggregation
+            self._hash_dirty = True
+            STATS["hash_agg_fallbacks"] += 1
+        ng, ukeys, uknulls, outs, _vc = gops.group_reduce(
+            jcodes, jknulls, jvalid, jvals, jvnulls, kinds)
         g = int(ng)
         nr = len(self._rslots)
         return (g,
@@ -414,6 +413,28 @@ class DeviceGroupedAggregator:
                 [np.asarray(u)[:g] for u in uknulls],
                 [np.asarray(o)[:g] for o in outs[:nr]],
                 [np.asarray(o)[:g] for o in outs[nr:]])
+
+    def _unpack_hash(self, mat: np.ndarray, nk: int, nv: int):
+        """Parse the packed hash_group_reduce matrix (row 0 header,
+        then ukeys/uknulls/outs/counts; f64/u64 rows bitcast back)."""
+        g = int(mat[0, 1])
+        r = 1
+        ukeys = [mat[r + i][:g] for i in range(nk)]
+        r += nk
+        uknulls = [mat[r + i][:g].astype(bool) for i in range(nk)]
+        r += nk
+        nr = len(self._rslots)
+        outs = []
+        for j in range(nv):
+            row = mat[r + j][:g]
+            if j < nr:
+                dt = np.dtype(self._rslots[j].dtype)
+                if dt == np.float64 or dt == np.uint64:
+                    row = row.view(dt)
+            outs.append(row)
+        # outs[:nr] are the aggregate slots; outs[nr:] the appended
+        # non-null-count slots (same split as the sort path)
+        return (g, ukeys, uknulls, outs[:nr], outs[nr:])
 
     def _compact(self) -> None:
         g, uk, un, outs, cnts = self._reduce()
