@@ -47,32 +47,41 @@ def _mix(h: jax.Array, v: jax.Array) -> jax.Array:
     return h ^ (h >> jnp.uint64(31))
 
 
+#: packed-fetch width: groups are prefix-packed, so fetching beyond the
+#: typical group count wastes transfer; > PACK_CAP groups re-fetch full
+PACK_CAP = 1 << 16
+
+
 @partial(jax.jit, static_argnames=("kinds", "n_slots", "salt"))
 def hash_group_reduce_packed(codes, knulls, valid, vals, vnulls, kinds,
                              n_slots, salt):
     """hash_group_reduce with every output bit-packed into ONE int64
-    matrix [1 + 2*nkeys + 2*nslots_out, n_slots] so the host pays a
-    single device->host transfer (each fetch has a ~28ms floor through
-    the axon tunnel, PERF_NOTES.md).  Row 0 is the header
-    [clean, n_groups, 0...]; f64/u64 payload rows are bitcast and
-    recovered host-side by dtype."""
+    matrix [1 + 2*nkeys + 2*nslots_out, min(n_slots, PACK_CAP)] so the
+    host pays a single bounded device->host transfer (each fetch has a
+    ~28ms floor through the axon tunnel, PERF_NOTES.md).  Groups are
+    prefix-packed; row 0 is the header [clean, n_groups, 0...]; if
+    n_groups exceeds the cap the caller re-fetches the full arrays.
+    f64/u64 payload rows are bitcast and recovered host-side by dtype."""
     clean, ng, ukeys, uknulls, outs, vcounts = hash_group_reduce(
         codes, knulls, valid, vals, vnulls, kinds, n_slots, salt)
-    hdr = jnp.zeros((n_slots,), jnp.int64)
+    w = min(n_slots, PACK_CAP)
+    hdr = jnp.zeros((w,), jnp.int64)
     hdr = hdr.at[0].set(clean.astype(jnp.int64))
     hdr = hdr.at[1].set(ng.astype(jnp.int64))
 
     def as_i64(x):
         if x.dtype == jnp.int64:
-            return x
-        if x.dtype in (jnp.float64, jnp.uint64):
-            return jax.lax.bitcast_convert_type(x, jnp.int64)
-        return x.astype(jnp.int64)
+            pass
+        elif x.dtype in (jnp.float64, jnp.uint64):
+            x = jax.lax.bitcast_convert_type(x, jnp.int64)
+        else:
+            x = x.astype(jnp.int64)
+        return x[:w]
 
     rows = [hdr] + [as_i64(k) for k in ukeys] \
         + [as_i64(n) for n in uknulls] \
         + [as_i64(o) for o in outs] + [as_i64(c) for c in vcounts]
-    return jnp.stack(rows)
+    return (jnp.stack(rows), clean, ng, ukeys, uknulls, outs, vcounts)
 
 
 @partial(jax.jit, static_argnames=("kinds", "n_slots", "salt"))

@@ -392,12 +392,23 @@ class DeviceGroupedAggregator:
             for n_slots, salt in ((h0, 0x9E3779B97F4A7C15),
                                   (min(4 * h0, hops.MAX_SLOTS),
                                    0xC2B2AE3D27D4EB4F)):
-                # ONE packed device->host fetch for header + all outputs
-                mat = np.asarray(hops.hash_group_reduce_packed(
-                    jcodes, jknulls, jvalid, jvals, jvnulls, kinds,
-                    n_slots, salt))
+                # ONE bounded packed fetch for header + all outputs
+                pk, clean, ng_h, ukeys, uknulls, outs, _vc = \
+                    hops.hash_group_reduce_packed(
+                        jcodes, jknulls, jvalid, jvals, jvnulls, kinds,
+                        n_slots, salt)
+                mat = np.asarray(pk)
                 if mat[0, 0]:
-                    return self._unpack_hash(mat, nk, nv)
+                    g = int(mat[0, 1])
+                    if g <= mat.shape[1]:
+                        return self._unpack_hash(mat, nk, nv)
+                    # > PACK_CAP groups: fetch the full arrays instead
+                    nr = len(self._rslots)
+                    return (g,
+                            [np.asarray(u)[:g] for u in ukeys],
+                            [np.asarray(u)[:g] for u in uknulls],
+                            [np.asarray(o)[:g] for o in outs[:nr]],
+                            [np.asarray(o)[:g] for o in outs[nr:]])
                 if n_slots == hops.MAX_SLOTS:
                     break
             # cardinality defeats the table: stop re-trying the hash
