@@ -9,8 +9,11 @@ whose DoGet executes one plan partition and streams record batches.
 TPU-native shape: the reference ships serialized DataFusion physical
 plans because its cache server embeds DataFusion; our server embeds the
 full liquid-tpu engine, so the shipped "plan" is the SQL text + table
-registrations (same boundary, simpler wire format -- framed JSON +
-arrow IPC, common/rpc.py).  Partition streams slice the cached result.
+registrations (same boundary; action/ticket payloads from
+common/rpc.py).  Served over real Arrow Flight (`pyarrow.flight`
+gRPC): DoAction for registrations/prefetch, DoGet(FetchResults ticket)
+for per-partition record-batch streams.  Partition streams slice the
+cached result.
 """
 from __future__ import annotations
 

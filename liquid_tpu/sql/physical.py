@@ -12,11 +12,13 @@ DataFusion operators:
 - Multi-column OR groups combine per-column encoded masks with Kleene
   OR (ref cache/mod.rs:111-150).
 - Aggregation runs as per-batch partial aggregates merged at the end
-  (count->sum, sum->sum, min->min, max->max, avg->(sum,count)); the
-  partial step is columnar C++ (pyarrow group_by) pending the Pallas
-  hash-agg kernel swap-in.
-- Joins use equi-key hash join (pyarrow Table.join) with residual
-  post-filters.
+  (count->sum, sum->sum, min->min, max->max, avg->(sum,count)).  The
+  partial step routes through `sql/device_agg.py` (device hash/dense-key
+  aggregation in JAX) when key/agg types are supported; this module's
+  `GroupedAggregator` (pyarrow group_by) is the typed fallback for
+  irregular inputs (nested types, exotic aggregates).
+- Equi-joins route through `sql/device_join.py` (device sort-merge
+  build/probe); non-equi residuals evaluate post-join.
 """
 from __future__ import annotations
 
