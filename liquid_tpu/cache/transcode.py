@@ -32,7 +32,9 @@ def _try_linear(arr: pa.Array):
         return None
     vals = np.asarray(arr.fill_null(0)if arr.null_count else arr)
     vals = vals.astype(np.int64, copy=False)
-    plain_width = bp.bit_width_for(int(vals.max() - vals.min()))
+    # range in Python ints: int64 columns spanning > 2^63 (e.g. hash ids)
+    # would wrap under numpy scalar subtraction
+    plain_width = bp.bit_width_for(int(vals.max()) - int(vals.min()))
     if plain_width < 10:
         return None
     idx = np.arange(n, dtype=np.float64)
@@ -42,7 +44,7 @@ def _try_linear(arr: pa.Array):
         return None
     slope = ((idx - idx.mean()) * (vf - vf.mean())).sum() / denom
     resid = vals - np.round(slope * idx).astype(np.int64)
-    resid_width = bp.bit_width_for(int(resid.max() - resid.min()))
+    resid_width = bp.bit_width_for(int(resid.max()) - int(resid.min()))
     if resid_width + 3 > plain_width:
         return None
     return linear.LiquidLinearArray.from_arrow(arr)

@@ -31,6 +31,12 @@ DATA_AXIS = "data"
 def make_mesh(n_devices: int | None = None) -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
+        assert len(devs) >= n_devices, (
+            f"requested a {n_devices}-device mesh but only {len(devs)} "
+            f"device(s) visible; for CPU dry-runs set "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n_devices} "
+            f"and jax.config.update('jax_platforms', 'cpu') before first "
+            f"jax use")
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (DATA_AXIS,))
 

@@ -391,3 +391,75 @@ def test_q41_window_size(ctx, df):
     n_groups = sub.groupby(["WindowClientWidth",
                             "WindowClientHeight"]).ngroups
     assert len(t) == max(0, min(10, n_groups - 10000))
+
+
+# -- round-2 completion: q28 / q40 / q42 oracles.  On nano data the
+# original predicates (HAVING c>100000, CounterID=62 July-2013 windows)
+# are exactly empty -- assert THAT, then validate the same query shapes
+# at nano-calibrated selectivities against pandas.
+
+def test_q28_q40_q42_exact_empty(ctx, df):
+    assert len(run(ctx, 28)) == 0   # no domain reaches count > 100000
+    assert len(run(ctx, 40)) == 0   # CounterID=62 never matches
+    assert len(run(ctx, 42)) == 0
+
+
+def test_q28_shape_domain_having(ctx, df):
+    import re
+    t = ctx.sql(
+        "SELECT REGEXP_REPLACE(\"Referer\","
+        " '^https?://(?:www\\.)?([^/]+)/.*$', '\\1') AS k,"
+        " AVG(length(\"Referer\")) AS l, COUNT(*) AS c, MIN(\"Referer\")"
+        " FROM hits WHERE \"Referer\" <> '' GROUP BY k"
+        " HAVING COUNT(*) > 100 ORDER BY l DESC LIMIT 25").to_arrow() \
+        .to_pandas()
+    sub = df[df.Referer != ""]
+    k = sub.Referer.map(
+        lambda s: re.sub(r"^https?://(?:www\.)?([^/]+)/.*$", r"\1", s))
+    g = (sub.assign(k=k, l=sub.Referer.str.len()).groupby("k")
+         .agg(l=("l", "mean"), c=("l", "size"), m=("Referer", "min")))
+    ref = g[g.c > 100].sort_values("l", ascending=False).reset_index()
+    assert len(t) == len(ref.head(25))
+    assert list(t[t.columns[0]]) == list(ref.k.head(25))
+    np.testing.assert_allclose(t[t.columns[1]], ref.l.head(25), rtol=1e-9)
+    assert list(t[t.columns[2]]) == list(ref.c.head(25))
+    assert list(t[t.columns[3]]) == list(ref.m.head(25))
+
+
+def test_q40_shape_offset_topk(ctx, df):
+    t = ctx.sql(
+        'SELECT "URLHash", "EventDate"::INT::DATE, COUNT(*) AS PageViews'
+        ' FROM hits WHERE "CounterID" = 38 AND "IsRefresh" = 0'
+        ' AND "TraficSourceID" IN (-1, 6)'
+        ' GROUP BY "URLHash", "EventDate"::INT::DATE'
+        ' ORDER BY PageViews DESC LIMIT 10 OFFSET 100').to_arrow() \
+        .to_pandas()
+    sub = df[(df.CounterID == 38) & (df.IsRefresh == 0)
+             & df.TraficSourceID.isin([-1, 6])]
+    ref = (sub.groupby(["URLHash", "EventDate"]).size()
+           .sort_values(ascending=False).reset_index(name="c"))
+    assert len(t) == max(0, min(10, len(ref) - 100))
+    # the count sequence at positions 100.. is order-invariant under ties
+    assert list(t[t.columns[2]]) == list(ref.c.iloc[100:100 + len(t)])
+    counts = {(r.URLHash, r.EventDate): r.c for r in ref.itertuples()}
+    days = (t[t.columns[1]].astype("datetime64[ns]")
+            - pd.Timestamp("1970-01-01")).dt.days
+    for (uh, day, c) in zip(t[t.columns[0]], days, t[t.columns[2]]):
+        assert counts[(uh, day)] == c
+
+
+def test_q42_shape_minute_series(ctx, df):
+    t = ctx.sql(
+        "SELECT DATE_TRUNC('minute', to_timestamp_seconds(\"EventTime\"))"
+        ' AS M, COUNT(*) AS PageViews FROM hits'
+        ' WHERE "CounterID" = 38 AND "IsRefresh" = 0'
+        " GROUP BY DATE_TRUNC('minute', to_timestamp_seconds(\"EventTime\"))"
+        " ORDER BY M LIMIT 10 OFFSET 1000").to_arrow().to_pandas()
+    sub = df[(df.CounterID == 38) & (df.IsRefresh == 0)]
+    ref = (sub.assign(m=sub.EventTime // 60 * 60).groupby("m").size()
+           .sort_index().reset_index(name="c"))
+    assert len(t) == max(0, min(10, len(ref) - 1000))
+    got_m = (t[t.columns[0]].astype("datetime64[ns]")
+             - pd.Timestamp("1970-01-01")).dt.total_seconds().astype(int)
+    assert list(got_m) == list(ref.m.iloc[1000:1000 + len(t)])
+    assert list(t[t.columns[1]]) == list(ref.c.iloc[1000:1000 + len(t)])
