@@ -24,6 +24,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from liquid_tpu.ops import floatbits
 from liquid_tpu.ops.groupby import _neutral
 
 #: largest slot table (2^21 slots x ~10 i64 columns ~= 170 MB HBM)
@@ -70,11 +71,13 @@ def hash_group_reduce_packed(codes, knulls, valid, vals, vnulls, kinds,
     hdr = hdr.at[1].set(ng.astype(jnp.int64))
 
     def as_i64(x):
-        if x.dtype == jnp.int64:
-            pass
-        elif x.dtype in (jnp.float64, jnp.uint64):
-            x = jax.lax.bitcast_convert_type(x, jnp.int64)
-        else:
+        # no bitcast_convert_type: TPU's X64-rewrite pass can't compile
+        # it on 64-bit operands (ops/floatbits.py).  u64 -> s64 convert
+        # is modular two's-complement (bit-exact, verified on v5e);
+        # f64 goes through the arithmetic IEEE-bit-image kernel.
+        if x.dtype == jnp.float64:
+            x = floatbits.f64_bits(x)
+        elif x.dtype != jnp.int64:
             x = x.astype(jnp.int64)
         return x[:w]
 

@@ -485,8 +485,10 @@ class DistributedSession:
                 enc = bp.unpack_bitplanes(cols[ix["planes"]], jnp.uint64)
                 code = enc.astype(jnp.int64) + jnp.int64(_ref_i64(sc.ref))
             elif sc.kind == "float":
-                code = jax.lax.bitcast_convert_type(
-                    cols[ix["data"]] + 0.0, jnp.int64)
+                # arithmetic IEEE bit image: bitcast_convert_type on
+                # 64-bit operands doesn't compile on TPU (ops/floatbits)
+                from liquid_tpu.ops.floatbits import f64_bits
+                code = f64_bits(cols[ix["data"]] + 0.0)
             else:
                 code = cols[ix["codes"]].astype(jnp.int64)
             codes.append(code)
