@@ -133,18 +133,20 @@ class LiquidSqueezedArray(abc.ABC):
         {"liquid", "arrow"} (ref SqueezedBacking, mod.rs:156-170)."""
 
 
-def pack_validity(valid_bools: Optional[np.ndarray], length: int) -> Optional[jax.Array]:
-    """Host bools[length] -> packed device validity over BLOCK_ROWS, or None
-    if there are no nulls (padding rows are marked invalid)."""
+def pack_validity(valid_bools: Optional[np.ndarray], length: int):
+    """Host bools[length] -> packed HOST validity words over BLOCK_ROWS,
+    or None if there are no nulls (padding rows are marked invalid).
+    Stays numpy so transcode never touches the device; consumers upload
+    lazily (see LiquidPrimitiveArray.validity)."""
     if valid_bools is None or bool(np.all(valid_bools)):
         if length == BLOCK_ROWS:
             return None
         v = np.zeros(BLOCK_ROWS, dtype=bool)
         v[:length] = True
-        return mops.pack_bools(jnp.asarray(v))
+        return mops.pack_bools_host(v)
     v = np.zeros(BLOCK_ROWS, dtype=bool)
     v[:length] = valid_bools[:length]
-    return mops.pack_bools(jnp.asarray(v))
+    return mops.pack_bools_host(v)
 
 
 def validity_mask_or_full(validity: Optional[jax.Array], length: int) -> jax.Array:

@@ -97,11 +97,16 @@ class LiquidByteViewArray(LiquidArray):
                  arrow_type: pa.DataType,
                  fingerprints: Optional[np.ndarray] = None,
                  fsst=None, prefix_meta: Optional[pk.PrefixMeta] = None):
-        self.codes = codes              # int32[BLOCK_ROWS] device (dict codes)
+        # codes/validity may be host numpy (fresh transcode) or device;
+        # device copies upload lazily (see LiquidPrimitiveArray)
+        self._codes = codes             # int32[BLOCK_ROWS] (dict codes)
+        self._codes_dev = None if isinstance(codes, np.ndarray) else codes
         self._dict_raw = dictionary     # pa array (host) | None when fsst-backed
         self.fsst = fsst                # arrays.fsst.FsstBuffer | None
         self.prefix_meta = prefix_meta  # required when fsst-backed
-        self.validity = validity
+        self._validity = validity
+        self._validity_dev = (None if isinstance(validity, np.ndarray)
+                              else validity)
         self.length = length
         self._arrow_type = arrow_type
         self._fingerprints = fingerprints
@@ -142,10 +147,10 @@ class LiquidByteViewArray(LiquidArray):
             from liquid_tpu.arrays.fsst import FsstBuffer
             meta = pk.build_prefix_meta(dict_values)
             buf = FsstBuffer.from_arrow(dict_values, compressor)
-            return cls(jnp.asarray(codes), None,
+            return cls(codes, None,
                        pack_validity(valid, length), length, logical, fps,
                        fsst=buf, prefix_meta=meta)
-        return cls(jnp.asarray(codes), dict_values,
+        return cls(codes, dict_values,
                    pack_validity(valid, length), length, logical, fps)
 
     # -- LiquidArray -------------------------------------------------------
@@ -153,6 +158,34 @@ class LiquidByteViewArray(LiquidArray):
     @property
     def arrow_type(self) -> pa.DataType:
         return self._arrow_type
+
+    @property
+    def codes(self) -> jax.Array:
+        if self._codes_dev is None:
+            self._codes_dev = jnp.asarray(self._codes)
+        return self._codes_dev
+
+    @property
+    def codes_np(self) -> np.ndarray:
+        if isinstance(self._codes, np.ndarray):
+            return self._codes
+        return np.asarray(self._codes)
+
+    @property
+    def validity(self):
+        if self._validity is None:
+            return None
+        if self._validity_dev is None:
+            self._validity_dev = jnp.asarray(self._validity)
+        return self._validity_dev
+
+    @property
+    def validity_np(self):
+        if self._validity is None:
+            return None
+        if isinstance(self._validity, np.ndarray):
+            return self._validity
+        return np.asarray(self._validity)
 
     @property
     def is_fsst(self) -> bool:
@@ -179,9 +212,9 @@ class LiquidByteViewArray(LiquidArray):
         return len(self.fsst)
 
     def memory_bytes(self) -> int:
-        n = self.codes.size * 4
-        if self.validity is not None:
-            n += self.validity.size * 4
+        n = self._codes.size * 4
+        if self._validity is not None:
+            n += self._validity.size * 4
         if self.is_fsst:
             n += self.fsst.memory_bytes()
             n += self.prefix_meta.prefixes.nbytes + self.prefix_meta.rest_lens.nbytes
@@ -196,9 +229,9 @@ class LiquidByteViewArray(LiquidArray):
         return self.codes, self.validity
 
     def to_arrow(self) -> pa.Array:
-        codes = np.asarray(self.codes)[: self.length]
-        if self.validity is not None:
-            valid = np.asarray(mops.unpack_bits(self.validity))[: self.length]
+        codes = self.codes_np[: self.length]
+        if self._validity is not None:
+            valid = mops.unpack_bits_host(self.validity_np)[: self.length]
             idx = pa.array(codes, type=pa.int32(), mask=~valid)
         else:
             idx = pa.array(codes, type=pa.int32())

@@ -123,8 +123,9 @@ class LiquidDecimalArray(LiquidPrimitiveArray):
         vals = np.array([int(v) for v in vals_obj], dtype=np.int64)
         base = LiquidPrimitiveArray.from_numpy(vals, valid, pa.int64(),
                                                len(arr))
-        return cls(base.planes, base.width, base.reference_value,
-                   base.validity, base.length, t)
+        # hand over the HOST forms (no device upload at transcode time)
+        return cls(base._planes, base.width, base.reference_value,
+                   base._validity, base.length, t)
 
     def to_arrow(self) -> pa.Array:
         dev, _ = self.to_device()

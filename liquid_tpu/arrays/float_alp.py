@@ -44,15 +44,48 @@ def is_supported_type(t: pa.DataType) -> bool:
 class LiquidFloatArray(LiquidArray):
     def __init__(self, planes, width, reference_value, exponent,
                  patch_idx, patch_vals, validity, length, arrow_type):
-        self.planes = planes                  # uint32[bucket, W] device
+        # planes/validity may be host numpy (fresh transcode) or device;
+        # device copies upload lazily (see LiquidPrimitiveArray)
+        self._planes = planes                 # uint32[bucket, W]
+        self._planes_dev = None if isinstance(planes, np.ndarray) else planes
         self.width = width                    # logical bit width
         self.reference_value = reference_value  # int (encoded domain)
         self.exponent = exponent              # int: enc = round(v * 10^e)
         self.patch_idx = np.asarray(patch_idx, dtype=np.int32)    # host rows
         self.patch_vals = np.asarray(patch_vals, dtype=np.float64)  # host exact
-        self.validity = validity
+        self._validity = validity
+        self._validity_dev = (None if isinstance(validity, np.ndarray)
+                              else validity)
         self.length = length
         self._arrow_type = arrow_type
+
+    @property
+    def planes(self) -> jax.Array:
+        if self._planes_dev is None:
+            self._planes_dev = jnp.asarray(self._planes)
+        return self._planes_dev
+
+    @property
+    def planes_np(self) -> np.ndarray:
+        if isinstance(self._planes, np.ndarray):
+            return self._planes
+        return np.asarray(self._planes)
+
+    @property
+    def validity(self):
+        if self._validity is None:
+            return None
+        if self._validity_dev is None:
+            self._validity_dev = jnp.asarray(self._validity)
+        return self._validity_dev
+
+    @property
+    def validity_np(self):
+        if self._validity is None:
+            return None
+        if isinstance(self._validity, np.ndarray):
+            return self._validity
+        return np.asarray(self._validity)
 
     @classmethod
     def from_arrow(cls, arr: pa.Array) -> "LiquidFloatArray":
@@ -85,8 +118,30 @@ class LiquidFloatArray(LiquidArray):
                   & ((enc * inv).astype(np_dtype) == v))
             return enc, ok
 
-        best_e, best_exc = 0, None
-        for e in range(_MAX_EXP + 1):
+        # exponent search on a SAMPLE first (ALP's sampling idea): rank
+        # candidate exponents by exception rate over <=512 live rows,
+        # then full-verify the best few -- a clean column (the common
+        # case) settles in ONE full encode instead of e_best+1
+        live_idx = np.flatnonzero(live_mask)
+        if live_idx.size > 512:
+            samp = v[live_idx[:: max(1, live_idx.size // 512)]][:512]
+        else:
+            samp = v[live_idx]
+
+        def sample_exc(e):
+            scale = 10.0 ** e
+            enc_s = np.round(samp.astype(np.float64) * scale)
+            ok_s = ((np.abs(enc_s) < _SAFE_INT) & np.isfinite(samp)
+                    & ((enc_s * (1.0 / scale)).astype(np_dtype) == samp))
+            return int((~ok_s).sum())
+
+        if samp.size:
+            ranked = sorted(range(_MAX_EXP + 1),
+                            key=lambda e: (sample_exc(e), e))
+        else:
+            ranked = [0]
+        best_e, best_exc = ranked[0], None
+        for e in ranked[:3]:
             _, ok = encode(e)
             n_exc = int((live_mask & ~ok).sum())
             if best_exc is None or n_exc < best_exc:
@@ -100,7 +155,7 @@ class LiquidFloatArray(LiquidArray):
         ref = int(enc_i[live_ok].min()) if live_ok.any() else 0
         off = np.where(live_ok, enc_i - ref, 0)
         width = bp.bit_width_for(int(off.max()) if off.size else 0)
-        planes = bp.pack_bitplanes(jnp.asarray(off.astype(np.uint64)), width)
+        planes = bp.pack_bitplanes_host(off.astype(np.uint64), width)
         return cls(planes, width, ref, best_e, exc_rows,
                    v.astype(np.float64)[exc_rows], pack_validity(valid, length),
                    length, arrow_type)
@@ -118,14 +173,20 @@ class LiquidFloatArray(LiquidArray):
         return 1.0 / (10.0 ** self.exponent)
 
     def memory_bytes(self) -> int:
-        n = self.planes.size * 4 + self.patch_idx.nbytes + self.patch_vals.nbytes
-        if self.validity is not None:
-            n += self.validity.size * 4
+        n = self._planes.size * 4 + self.patch_idx.nbytes + self.patch_vals.nbytes
+        if self._validity is not None:
+            n += self._validity.size * 4
         return n + 64
 
+    def _host_offsets(self) -> np.ndarray:
+        if isinstance(self._planes, np.ndarray):
+            return bp.unpack_bitplanes_host(self._planes)
+        return np.asarray(bp.unpack_bitplanes(
+            self.planes,
+            jnp.uint64 if self.planes.shape[0] > 32 else jnp.uint32))
+
     def _decode_host(self) -> np.ndarray:
-        off = np.asarray(bp.unpack_bitplanes(
-            self.planes, jnp.uint64 if self.planes.shape[0] > 32 else jnp.uint32))
+        off = self._host_offsets()
         enc = off.astype(np.int64) + self.reference_value
         vals = enc.astype(np.float64) * self._inv
         vals[self.patch_idx] = self.patch_vals
@@ -140,9 +201,7 @@ class LiquidFloatArray(LiquidArray):
         return jnp.asarray(vals), self.validity
 
     def to_arrow(self) -> pa.Array:
-        off = np.asarray(bp.unpack_bitplanes(
-            self.planes, jnp.uint64 if self.planes.shape[0] > 32 else jnp.uint32))
-        return self.decode_from_offsets(off)
+        return self.decode_from_offsets(self._host_offsets())
 
     def decode_from_offsets(self, off: np.ndarray) -> pa.Array:
         """Batched-decode entry point (see primitive.decode_from_offsets)."""
@@ -152,9 +211,8 @@ class LiquidFloatArray(LiquidArray):
         vals = vals[: self.length]
         if pa.types.is_float32(self._arrow_type):
             vals = vals.astype(np.float32)
-        if self.validity is not None:
-            valid = mops.unpack_bits_host(
-                np.asarray(self.validity))[: self.length]
+        if self._validity is not None:
+            valid = mops.unpack_bits_host(self.validity_np)[: self.length]
             return pa.array(vals, type=self._arrow_type, mask=~valid)
         return pa.array(vals, type=self._arrow_type)
 
@@ -424,10 +482,9 @@ def squeeze_float(arr: LiquidFloatArray):
     nb = 1 << narrow
     span = 1 << arr.width
     bs = max(1, (span + nb - 1) // nb)
-    off = bp.unpack_bitplanes(
-        arr.planes, jnp.uint64 if arr.planes.shape[0] > 32 else jnp.uint32)
-    buckets = off.astype(jnp.uint64) // jnp.uint64(bs)
-    planes = bp.pack_bitplanes(buckets, narrow)
+    off = bp.unpack_bitplanes_host(arr.planes_np)
+    buckets = off // np.uint64(bs)
+    planes = jnp.asarray(bp.pack_bitplanes_host(buckets, narrow))
     sq = SqueezedFloatArray(planes, narrow, bs, arr.width,
                             arr.reference_value, arr.exponent,
                             arr.patch_idx, arr.patch_vals, arr.validity,

@@ -131,11 +131,11 @@ def squeeze_primitive(arr) -> Optional[Tuple[object, bytes]]:
         return None  # nothing to gain
     narrow = max(1, (arr.width + 1) // 2)
     sentinel = (1 << narrow) - 1
-    # clamp offsets on device: min(offset, sentinel) then re-pack narrow
-    off = bp.unpack_bitplanes(
-        arr.planes, jnp.uint64 if arr.planes.shape[0] > 32 else jnp.uint32)
-    clamped = jnp.minimum(off.astype(jnp.uint64), jnp.uint64(sentinel))
-    planes = bp.pack_bitplanes(clamped, narrow)
+    # clamp offsets host-side (planes are host-resident after transcode;
+    # squeeze must not force an upload round trip), then ONE upload
+    off = bp.unpack_bitplanes_host(arr.planes_np)
+    clamped = np.minimum(off, np.uint64(sentinel))
+    planes = jnp.asarray(bp.pack_bitplanes_host(clamped, narrow))
     sq = SqueezedPrimitiveArray(planes, narrow, arr.reference_value,
                                 arr.validity, arr.length, arr.arrow_type,
                                 disk_range=None)
@@ -233,11 +233,10 @@ def squeeze_primitive_quantized(arr) -> Optional[Tuple[object, bytes]]:
     narrow = max(1, (arr.width + 1) // 2)
     span = 1 << arr.width
     bucket_size = max(1, (span + (1 << narrow) - 1) >> narrow)
-    off = bp.unpack_bitplanes(
-        arr.planes, jnp.uint64 if arr.planes.shape[0] > 32 else jnp.uint32)
-    buckets = (off.astype(jnp.uint64) // jnp.uint64(bucket_size))
-    buckets = jnp.minimum(buckets, jnp.uint64((1 << narrow) - 1))
-    planes = bp.pack_bitplanes(buckets, narrow)
+    off = bp.unpack_bitplanes_host(arr.planes_np)
+    buckets = np.minimum(off // np.uint64(bucket_size),
+                         np.uint64((1 << narrow) - 1))
+    planes = jnp.asarray(bp.pack_bitplanes_host(buckets, narrow))
     sq = SqueezedQuantizedArray(planes, narrow, arr.reference_value,
                                 bucket_size, arr.validity, arr.length,
                                 arr.arrow_type, disk_range=None)
@@ -376,13 +375,13 @@ def squeeze_date32(arr, field: str) -> Optional[Tuple[object, bytes]]:
     """LiquidPrimitiveArray(date32) + EXTRACT hint -> squeezed component."""
     if not pa.types.is_date32(arr.arrow_type):
         return None
-    vals, _ = arr.to_device()
-    days = np.asarray(vals).astype(np.int64)
+    days = (bp.unpack_bitplanes_host(arr.planes_np).astype(np.int64)
+            + arr.reference_value)
     comp = datelib.extract_field(days, field)
     ref = int(comp.min()) if comp.size else 0
     off = (comp.astype(np.int64) - ref).astype(np.uint64)
     width = bp.bit_width_for(int(off.max()) if off.size else 0)
-    planes = bp.pack_bitplanes(jnp.asarray(off), width)
+    planes = jnp.asarray(bp.pack_bitplanes_host(off, width))
     sq = SqueezedDate32Array(planes, width, ref, field, arr.validity,
                              arr.length, disk_range=None)
     return sq, arr.to_bytes()

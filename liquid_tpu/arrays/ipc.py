@@ -79,6 +79,21 @@ def _parse(data: bytes):
     return physical, logical, meta, buffers
 
 
+
+def _host_planes(a) -> np.ndarray:
+    """Planes/codes as numpy WITHOUT forcing a device upload or fetch
+    (hot classes keep host-resident forms; see LiquidPrimitiveArray)."""
+    if hasattr(type(a), "planes_np"):
+        return a.planes_np
+    return np.asarray(a.planes)
+
+
+def _host_validity(a):
+    if hasattr(type(a), "validity_np"):
+        return a.validity_np
+    return a.validity
+
+
 def _np_bytes(arr) -> bytes:
     return np.ascontiguousarray(np.asarray(arr)).tobytes()
 
@@ -90,7 +105,8 @@ def _opt_validity_bytes(validity) -> bytes:
 def _validity_from(buf: bytes):
     if not buf:
         return None
-    return jnp.asarray(np.frombuffer(buf, dtype=np.uint32))
+    # stays numpy: consumers upload lazily on first device use
+    return np.frombuffer(buf, dtype=np.uint32).copy()
 
 
 def _arrow_to_bytes(arr: pa.Array) -> bytes:
@@ -110,9 +126,10 @@ def _arrow_from_bytes(buf: bytes) -> pa.Array:
 # -- per-encoding ----------------------------------------------------------
 
 def serialize_primitive(a) -> bytes:
+    planes = _host_planes(a)
     meta = {"width": a.width, "ref": a.reference_value, "length": a.length,
-            "rows": int(a.planes.shape[0]), "words": int(a.planes.shape[1])}
-    bufs = [_np_bytes(a.planes), _opt_validity_bytes(a.validity)]
+            "rows": int(planes.shape[0]), "words": int(planes.shape[1])}
+    bufs = [_np_bytes(planes), _opt_validity_bytes(_host_validity(a))]
     return _emit(PHYS_PRIMITIVE, logical_id(a.arrow_type), meta, bufs)
 
 
@@ -121,13 +138,13 @@ def serialize_byteview(a) -> bytes:
             "has_fp": a._fingerprints is not None,
             "fsst": a.is_fsst}
     if a.is_fsst:
-        bufs = [_np_bytes(a.codes), _opt_validity_bytes(a.validity),
+        bufs = [_np_bytes(a.codes_np), _opt_validity_bytes(a.validity_np),
                 a.fsst.to_bytes(),
                 a.prefix_meta.prefixes.tobytes(),
                 a.prefix_meta.rest_lens.tobytes(),
                 a.prefix_meta.shared]
     else:
-        bufs = [_np_bytes(a.codes), _opt_validity_bytes(a.validity),
+        bufs = [_np_bytes(a.codes_np), _opt_validity_bytes(a.validity_np),
                 _arrow_to_bytes(a.dictionary)]
     if a._fingerprints is not None:
         bufs.append(a._fingerprints.tobytes())
@@ -135,10 +152,11 @@ def serialize_byteview(a) -> bytes:
 
 
 def serialize_float(a) -> bytes:
+    planes = _host_planes(a)
     meta = {"width": a.width, "ref": a.reference_value, "exp": a.exponent,
             "length": a.length,
-            "rows": int(a.planes.shape[0]), "words": int(a.planes.shape[1])}
-    bufs = [_np_bytes(a.planes), _opt_validity_bytes(a.validity),
+            "rows": int(planes.shape[0]), "words": int(planes.shape[1])}
+    bufs = [_np_bytes(planes), _opt_validity_bytes(_host_validity(a)),
             _np_bytes(a.patch_idx), _np_bytes(a.patch_vals)]
     return _emit(PHYS_FLOAT, logical_id(a.arrow_type), meta, bufs)
 
@@ -154,10 +172,11 @@ def _decimal_type(meta: dict) -> pa.DataType:
 
 
 def serialize_decimal(a) -> bytes:
+    planes = _host_planes(a)
     meta = {"width": a.width, "ref": a.reference_value, "length": a.length,
-            "rows": int(a.planes.shape[0]), "words": int(a.planes.shape[1])}
+            "rows": int(planes.shape[0]), "words": int(planes.shape[1])}
     meta.update(_decimal_meta(a.arrow_type))
-    bufs = [_np_bytes(a.planes), _opt_validity_bytes(a.validity)]
+    bufs = [_np_bytes(planes), _opt_validity_bytes(_host_validity(a))]
     return _emit(PHYS_DECIMAL, 0, meta, bufs)
 
 
@@ -171,19 +190,21 @@ def serialize_fixedlen(a) -> bytes:
 
 def serialize_linear(a) -> bytes:
     r = a.residuals
+    rp = _host_planes(r)
     meta = {"slope": a.slope, "length": a.length,
             "width": r.width, "ref": r.reference_value,
-            "rows": int(r.planes.shape[0]), "words": int(r.planes.shape[1])}
-    bufs = [_np_bytes(r.planes), _opt_validity_bytes(r.validity)]
+            "rows": int(rp.shape[0]), "words": int(rp.shape[1])}
+    bufs = [_np_bytes(rp), _opt_validity_bytes(_host_validity(r))]
     return _emit(PHYS_LINEAR, logical_id(a.arrow_type), meta, bufs)
 
 
 def serialize_delta(a) -> bytes:
     d = a.deltas
+    dp = _host_planes(d)
     meta = {"first": a.first_value, "length": a.length,
             "width": d.width, "ref": d.reference_value,
-            "rows": int(d.planes.shape[0]), "words": int(d.planes.shape[1])}
-    bufs = [_np_bytes(d.planes), _opt_validity_bytes(a.validity)]
+            "rows": int(dp.shape[0]), "words": int(dp.shape[1])}
+    bufs = [_np_bytes(dp), _opt_validity_bytes(_host_validity(a))]
     return _emit(PHYS_DELTA, logical_id(a.arrow_type), meta, bufs)
 
 
@@ -193,13 +214,13 @@ def deserialize(data: bytes):
     t = logical_from_id(logical)
     if physical == PHYS_PRIMITIVE:
         from liquid_tpu.arrays.primitive import LiquidPrimitiveArray
-        planes = jnp.asarray(np.frombuffer(bufs[0], dtype=np.uint32)
-                             .reshape(meta["rows"], meta["words"]))
+        planes = np.frombuffer(bufs[0], dtype=np.uint32).copy() \
+                             .reshape(meta["rows"], meta["words"])
         return LiquidPrimitiveArray(planes, meta["width"], meta["ref"],
                                     _validity_from(bufs[1]), meta["length"], t)
     if physical == PHYS_BYTEVIEW:
         from liquid_tpu.arrays.byteview import LiquidByteViewArray
-        codes = jnp.asarray(np.frombuffer(bufs[0], dtype=np.int32))
+        codes = np.frombuffer(bufs[0], dtype=np.int32).copy()
         if meta.get("fsst"):
             from liquid_tpu.arrays.fsst import FsstBuffer
             from liquid_tpu.arrays.prefixkeys import PrefixMeta
@@ -219,23 +240,23 @@ def deserialize(data: bytes):
                                    fps)
     if physical == PHYS_FLOAT:
         from liquid_tpu.arrays.float_alp import LiquidFloatArray
-        planes = jnp.asarray(np.frombuffer(bufs[0], dtype=np.uint32)
-                             .reshape(meta["rows"], meta["words"]))
+        planes = np.frombuffer(bufs[0], dtype=np.uint32).copy() \
+                             .reshape(meta["rows"], meta["words"])
         return LiquidFloatArray(planes, meta["width"], meta["ref"], meta["exp"],
-                                jnp.asarray(np.frombuffer(bufs[2], dtype=np.int32)),
-                                jnp.asarray(np.frombuffer(bufs[3], dtype=np.float64)),
+                                np.frombuffer(bufs[2], dtype=np.int32).copy(),
+                                np.frombuffer(bufs[3], dtype=np.float64).copy(),
                                 _validity_from(bufs[1]), meta["length"], t)
     if physical == PHYS_DECIMAL:
         from liquid_tpu.arrays.decimal import LiquidDecimalArray
-        planes = jnp.asarray(np.frombuffer(bufs[0], dtype=np.uint32)
-                             .reshape(meta["rows"], meta["words"]))
+        planes = np.frombuffer(bufs[0], dtype=np.uint32).copy() \
+                             .reshape(meta["rows"], meta["words"])
         return LiquidDecimalArray(planes, meta["width"], meta["ref"],
                                   _validity_from(bufs[1]), meta["length"],
                                   _decimal_type(meta))
     if physical == PHYS_FIXEDLEN:
         from liquid_tpu.arrays.decimal import LiquidFixedLenByteArray
         from liquid_tpu.arrays.fsst import FsstBuffer
-        codes = jnp.asarray(np.frombuffer(bufs[0], dtype=np.int32))
+        codes = np.frombuffer(bufs[0], dtype=np.int32).copy()
         return LiquidFixedLenByteArray(codes, FsstBuffer.from_bytes(bufs[2]),
                                        meta["bw"], _validity_from(bufs[1]),
                                        meta["length"], _decimal_type(meta))
@@ -243,8 +264,8 @@ def deserialize(data: bytes):
         from liquid_tpu.arrays.linear import (
             LiquidLinearArray, LiquidPrimitiveDeltaArray)
         from liquid_tpu.arrays.primitive import LiquidPrimitiveArray
-        planes = jnp.asarray(np.frombuffer(bufs[0], dtype=np.uint32)
-                             .reshape(meta["rows"], meta["words"]))
+        planes = np.frombuffer(bufs[0], dtype=np.uint32).copy() \
+                             .reshape(meta["rows"], meta["words"])
         if physical == PHYS_LINEAR:
             inner = LiquidPrimitiveArray(planes, meta["width"], meta["ref"],
                                          _validity_from(bufs[1]),

@@ -39,23 +39,24 @@ def _offsets_data(values: pa.Array) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def _shared_prefix(offsets: np.ndarray, data: np.ndarray) -> bytes:
+    """Common byte prefix of all values = common prefix of the
+    bytewise-lexicographic min and max values (an O(n) scan over entries
+    was the transcode hotspot; min/max reduce vectorizes it)."""
     n = len(offsets) - 1
     if n == 0:
         return b""
-    lo, hi = int(offsets[0]), int(offsets[1])
-    shared = data[lo:hi][:MAX_SHARED_PREFIX].tobytes()
-    for i in range(1, n):
-        if not shared:
-            break
-        lo, hi = int(offsets[i]), int(offsets[i + 1])
-        v = data[lo:lo + len(shared)].tobytes()
-        # trim to the common prefix of (shared, v)
-        k = 0
-        m = min(len(shared), hi - lo)
-        while k < m and shared[k] == v[k]:
-            k += 1
-        shared = shared[:k]
-    return shared
+    lens = offsets[1:] - offsets[:-1]
+    cap = min(int(lens.min()), MAX_SHARED_PREFIX)
+    if cap <= 0:
+        return b""
+    # first `cap` bytes of every value as a [n, cap] matrix
+    idx = offsets[:-1, None] + np.arange(cap)[None, :]
+    mat = data[idx]
+    lo = mat.min(axis=0)
+    hi = mat.max(axis=0)
+    same = lo == hi
+    k = int(same.argmin()) if not same.all() else cap
+    return mat[0, :k].tobytes()
 
 
 def build_prefix_meta(values: pa.Array, with_shared: bool = True) -> PrefixMeta:

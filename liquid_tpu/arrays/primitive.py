@@ -48,15 +48,48 @@ def is_supported_type(t: pa.DataType) -> bool:
 class LiquidPrimitiveArray(LiquidArray):
     """One 8192-row block of a primitive column in bit-plane form."""
 
-    def __init__(self, planes: jax.Array, width: int, reference_value: int,
-                 validity: Optional[jax.Array], length: int,
-                 arrow_type: pa.DataType):
-        self.planes = planes              # uint32[width, BLOCK_ROWS/32]
+    def __init__(self, planes, width: int, reference_value: int,
+                 validity, length: int, arrow_type: pa.DataType):
+        # planes/validity may be HOST numpy (fresh transcode: no device
+        # work) or device arrays (tests/legacy); the device copy uploads
+        # lazily on first use and is cached
+        self._planes = planes             # uint32[width, BLOCK_ROWS/32]
+        self._planes_dev = None if isinstance(planes, np.ndarray) else planes
         self.width = width
         self.reference_value = reference_value
-        self.validity = validity          # packed uint32[BLOCK_ROWS/32] | None
+        self._validity = validity         # packed uint32[BLOCK_ROWS/32] | None
+        self._validity_dev = (None if isinstance(validity, np.ndarray)
+                              else validity)
         self.length = length
         self._arrow_type = arrow_type
+
+    @property
+    def planes(self) -> jax.Array:
+        if self._planes_dev is None:
+            self._planes_dev = jnp.asarray(self._planes)
+        return self._planes_dev
+
+    @property
+    def planes_np(self) -> np.ndarray:
+        if isinstance(self._planes, np.ndarray):
+            return self._planes
+        return np.asarray(self._planes)
+
+    @property
+    def validity(self):
+        if self._validity is None:
+            return None
+        if self._validity_dev is None:
+            self._validity_dev = jnp.asarray(self._validity)
+        return self._validity_dev
+
+    @property
+    def validity_np(self):
+        if self._validity is None:
+            return None
+        if isinstance(self._validity, np.ndarray):
+            return self._validity
+        return np.asarray(self._validity)
 
     # -- construction ------------------------------------------------------
 
@@ -99,7 +132,7 @@ class LiquidPrimitiveArray(LiquidArray):
             vv[:length] = valid[:length]
             off = np.where(vv, off, 0)
         off = off.astype(np.uint64)
-        planes = bp.pack_bitplanes(jnp.asarray(off), width)
+        planes = bp.pack_bitplanes_host(off, width)
         validity = pack_validity(valid, length)
         return cls(planes, width, ref, validity, length, arrow_type)
 
@@ -115,9 +148,9 @@ class LiquidPrimitiveArray(LiquidArray):
         return self._arrow_type
 
     def memory_bytes(self) -> int:
-        n = self.planes.size * 4
-        if self.validity is not None:
-            n += self.validity.size * 4
+        n = self._planes.size * 4
+        if self._validity is not None:
+            n += self._validity.size * 4
         return n + 64
 
     def to_device(self) -> Tuple[jax.Array, Optional[jax.Array]]:
@@ -127,6 +160,10 @@ class LiquidPrimitiveArray(LiquidArray):
         return vals, self.validity
 
     def to_arrow(self) -> pa.Array:
+        if isinstance(self._planes, np.ndarray):
+            # host-resident planes decode without any device round trip
+            return self.decode_from_offsets(
+                bp.unpack_bitplanes_host(self._planes))
         out_dtype = jnp.uint64 if self.planes.shape[0] > 32 else jnp.uint32
         off = np.asarray(bp.unpack_bitplanes(self.planes, out_dtype))
         return self.decode_from_offsets(off)
@@ -138,9 +175,8 @@ class LiquidPrimitiveArray(LiquidArray):
         host = (off.astype(np.int64) + self.reference_value)[: self.length]
         np_dtype = _np_dtype_for(self._arrow_type)
         host = host.astype(np_dtype)
-        if self.validity is not None:
-            valid = mops.unpack_bits_host(
-                np.asarray(self.validity))[: self.length]
+        if self._validity is not None:
+            valid = mops.unpack_bits_host(self.validity_np)[: self.length]
             return pa.array(host, type=self._arrow_type, mask=~valid)
         return pa.array(host, type=self._arrow_type)
 

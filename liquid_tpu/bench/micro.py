@@ -338,6 +338,12 @@ def bench_prefix_differentiability(tiny: bool) -> dict:
 
 
 def run_all(tiny: bool = False, names: List[str] = None) -> List[dict]:
+    if names:
+        unknown = [n for n in names if n not in REGISTRY]
+        if unknown:
+            raise ValueError(
+                f"unknown benchmark name(s) {unknown}; "
+                f"known: {sorted(REGISTRY)}")
     results = []
     for name, fn in REGISTRY.items():
         if names and name not in names:
@@ -356,7 +362,12 @@ def main(argv: List[str]) -> int:
         # PERF_NOTES.md).  The TPU hot-kernel bench is bench.py.
         import jax
         jax.config.update("jax_platforms", "cpu")
-    for r in run_all(tiny=tiny, names=names or None):
+    try:
+        results = run_all(tiny=tiny, names=names or None)
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 2
+    for r in results:
         print(json.dumps(r))
     return 0
 

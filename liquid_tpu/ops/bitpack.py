@@ -80,6 +80,50 @@ def pack_bitplanes(values: jax.Array, width: int) -> jax.Array:
     return _pack(values, bucket)
 
 
+def pack_bitplanes_host(values, width: int):
+    """Host (numpy) twin of pack_bitplanes: unsigned values[N]
+    (N % 32 == 0) -> uint32[bucket(width), N/32], bit-identical layout.
+
+    Transcode runs entirely on the host with this (no per-block device
+    dispatch -- the round-2 liquid warm-up was dominated by per-block
+    uploads/dispatches through the remote-TPU tunnel); the device copy
+    uploads lazily on first predicate/decode use.
+    """
+    import numpy as _np
+    v = _np.asarray(values, dtype=_np.uint64)
+    n = v.shape[0]
+    assert n % WORD_BITS == 0, n
+    bucket = bucket_for(width)
+    w = n // WORD_BITS
+    if bucket == 0:
+        return _np.zeros((0, w), dtype=_np.uint32)
+    vw = v.reshape(w, WORD_BITS)
+    lane = _np.uint32(1) << _np.arange(WORD_BITS, dtype=_np.uint32)
+    out = _np.empty((bucket, w), dtype=_np.uint32)
+    for b in range(bucket):
+        bits = ((vw >> _np.uint64(b)) & _np.uint64(1)).astype(_np.uint32)
+        out[b] = (bits * lane).sum(axis=1, dtype=_np.uint32)
+    return out
+
+
+def unpack_bitplanes_host(planes, out_dtype=None):
+    """Host (numpy) twin of unpack_bitplanes: uint32[bucket, W] ->
+    uint64[W*32] (or out_dtype)."""
+    import numpy as _np
+    p = _np.asarray(planes, dtype=_np.uint32)
+    bucket, w = p.shape
+    n = w * WORD_BITS
+    if bucket == 0:
+        return _np.zeros(n, dtype=out_dtype or _np.uint64)
+    shifts = _np.arange(WORD_BITS, dtype=_np.uint32)
+    bits = (p[:, :, None] >> shifts[None, None, :]) & 1  # [b, W, 32]
+    acc = _np.zeros((w, WORD_BITS), dtype=_np.uint64)
+    for b in range(bucket):
+        acc |= bits[b].astype(_np.uint64) << _np.uint64(b)
+    out = acc.reshape(n)
+    return out.astype(out_dtype) if out_dtype is not None else out
+
+
 @partial(jax.jit, static_argnums=(1,))
 def unpack_bitplanes(planes: jax.Array, out_dtype=jnp.uint32) -> jax.Array:
     """planes uint32[bucket, W] -> values out_dtype[W*32]."""

@@ -61,6 +61,12 @@ def f64_bits(x: jax.Array) -> jax.Array:
     frac = mi - (jnp.int64(1) << 52)
     # zeros (and DAZ-flushed subnormals)
     zero = mi == 0
+    # enforce the subnormal -> signed-zero contract in code: a backend
+    # that does NOT flush subnormals normalizes them to e < -1022, which
+    # would make `biased` non-positive and silently emit NaN-pattern
+    # bits; clamp those lanes to the zero image instead (ADVICE round 2)
+    sub = biased <= jnp.int64(0)
+    zero = zero | sub
     biased = jnp.where(zero, jnp.int64(0), biased)
     frac = jnp.where(zero, jnp.int64(0), frac)
     # inf / nan

@@ -48,6 +48,16 @@ def unpack_bits(words: jax.Array) -> jax.Array:
     return bits.reshape(-1).astype(jnp.bool_)
 
 
+def pack_bools_host(bools: np.ndarray) -> np.ndarray:
+    """Host (numpy) twin of pack_bools: bool[N] -> uint32[N/32]."""
+    b = np.asarray(bools, dtype=bool)
+    n = b.shape[0]
+    assert n % WORD_BITS == 0, n
+    w = b.reshape(n // WORD_BITS, WORD_BITS).astype(np.uint32)
+    weights = np.uint32(1) << np.arange(WORD_BITS, dtype=np.uint32)
+    return (w * weights).sum(axis=1, dtype=np.uint32)
+
+
 def unpack_bits_host(words: np.ndarray) -> np.ndarray:
     """numpy uint32[W] -> bool[W*32] without a device dispatch (decode
     paths touch validity masks per block; keep that on the host)."""

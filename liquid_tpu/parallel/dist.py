@@ -31,12 +31,16 @@ DATA_AXIS = "data"
 def make_mesh(n_devices: int | None = None) -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
-        assert len(devs) >= n_devices, (
-            f"requested a {n_devices}-device mesh but only {len(devs)} "
-            f"device(s) visible; for CPU dry-runs set "
-            f"XLA_FLAGS=--xla_force_host_platform_device_count={n_devices} "
-            f"and jax.config.update('jax_platforms', 'cpu') before first "
-            f"jax use")
+        if len(devs) < n_devices:
+            # user-facing configuration check: must survive python -O
+            # (a bare assert would be stripped and silently build a
+            # wrong-sized mesh -- ADVICE round 2)
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only {len(devs)} "
+                f"device(s) visible; for CPU dry-runs set "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count="
+                f"{n_devices} and jax.config.update('jax_platforms', "
+                f"'cpu') before first jax use")
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (DATA_AXIS,))
 

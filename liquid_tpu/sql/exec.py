@@ -54,6 +54,18 @@ class QueryExecutor:
         with TRACER.span("sql.execute", sql=sql[:120]):
             return self._execute_sql_inner(sql)
 
+    @staticmethod
+    def _try_fused(table, plan, hints, group, key_names, slots,
+                   rew_keys, rew_inputs):
+        """Whole-query compiled scan->filter->aggregate on the resident
+        device encodings; None when the shape is unsupported (classic
+        scan path takes over)."""
+        from liquid_tpu.sql.fused_agg import try_fused_aggregate
+        with TRACER.span("sql.fused_aggregate"):
+            return try_fused_aggregate(table, plan, hints, group,
+                                       key_names, slots, rew_keys,
+                                       rew_inputs)
+
     def _execute_sql_inner(self, sql: str) -> pa.Table:
         stmt = parse_statement(sql)
         if stmt[0] == "create_view":
@@ -714,6 +726,7 @@ class QueryExecutor:
             else:
                 agg.update(inputs, batch.length)
 
+        fused_final = None
         if single is not None:
             rel, where = single
             hints = column_hints(q)
@@ -728,6 +741,13 @@ class QueryExecutor:
                 # COUNT(*) with no filters: metadata only (ref: DataFusion
                 # statistics-based count)
                 agg.update({}, table.num_rows)
+            elif (fused_final := self._try_fused(
+                    table, plan, hints, group, key_names, slots,
+                    rew_keys, rew_inputs)) is not None:
+                # whole-query compiled path: scan->filter->aggregate as
+                # ONE device program straight from the resident encodings
+                # (sql/fused_agg.py; VERDICT r2 #1)
+                pass
             else:
                 # buffer selected blocks and aggregate in ~256k-row chunks:
                 # one pyarrow group_by per chunk instead of per block
@@ -770,7 +790,8 @@ class QueryExecutor:
                 agg.update({s.name: pa.array([], input_types.get(s.name) or pa.int64())
                             for s in slots if s.input is not None}, 0)
 
-        final = (agg.finalize() if group
+        final = (fused_final if fused_final is not None
+                 else agg.finalize() if group
                  else agg.finalize(input_types))
 
         # post-projection over keys + slots

@@ -16,6 +16,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+pytestmark = pytest.mark.slow
+
 _REPO = pathlib.Path(__file__).resolve().parents[1]
 NANO = _REPO / "benchmark/data/nano_hits.parquet"
 QDIR = _REPO / "benchmark/clickbench/queries"

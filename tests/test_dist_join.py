@@ -6,6 +6,8 @@ import pandas as pd
 import pyarrow as pa
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from liquid_tpu.parallel.session import DistributedSession
 
 

@@ -10,6 +10,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 EXAMPLES = os.path.join(os.path.dirname(__file__), "..", "examples")
 RUNNABLE = ["example_local.py", "example_inprocess_read.py",
             "example_inprocess_insertion.py",

@@ -1,0 +1,225 @@
+"""Differential tests for the fused device scan->filter->aggregate path
+(sql/fused_agg.py): every query runs twice through liquid mode -- once
+with the fused path enabled, once forced onto the classic scan path
+(LIQUID_FUSED=0) -- and results must agree.  Mirrors the reference's
+answer-verification discipline (clickbench_client.rs) applied to an
+internal routing decision.
+"""
+import os
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from liquid_tpu.bench.runner import make_session
+from liquid_tpu.sql import fused_agg
+
+
+def _table(seed=7, n=20_000):
+    rng = np.random.default_rng(seed)
+    ints = rng.integers(-50, 5000, n)
+    int_nulls = rng.random(n) < 0.1
+    floats = np.round(rng.normal(100, 30, n), 2)  # ALP-clean (2dp)
+    float_nulls = rng.random(n) < 0.05
+    raw = rng.standard_normal(n)  # ALP-hostile: patches
+    cats = rng.choice(["alpha", "beta", "gamma", "delta", ""], n)
+    urls = np.array([f"http://site{i % 97}.example/page{i % 13}"
+                     for i in rng.integers(0, 10_000, n)])
+    dates = rng.integers(8000, 12_000, n).astype("datetime64[D]")
+    big = rng.integers(0, 1 << 62, n)
+    flags = rng.random(n) < 0.5
+    hi_card = rng.integers(0, 15_000, n)
+    return pa.table({
+        "i": pa.array(ints, mask=int_nulls),
+        "f": pa.array(floats, mask=float_nulls),
+        "raw": pa.array(raw),
+        "cat": pa.array(cats),
+        "url": pa.array(urls),
+        "d": pa.array(dates),
+        "big": pa.array(big),
+        "flag": pa.array(flags),
+        "hc": pa.array(hi_card),
+    })
+
+
+@pytest.fixture(scope="module")
+def ctxs():
+    path = os.path.join(tempfile.mkdtemp(), "fused.parquet")
+    pq.write_table(_table(), path, row_group_size=6000)
+    out = {}
+    for mode in ("fused", "classic"):
+        ctx, cache = make_session("liquid", 1 << 30, tempfile.mkdtemp())
+        ctx.register_parquet("t", path)
+        out[mode] = ctx
+    return out
+
+
+def run_both(ctxs, sql):
+    os.environ["LIQUID_FUSED_STRICT"] = "1"
+    try:
+        prev = os.environ.pop("LIQUID_FUSED", None)
+        a = ctxs["fused"].sql(sql).to_arrow()
+        os.environ["LIQUID_FUSED"] = "0"
+        b = ctxs["classic"].sql(sql).to_arrow()
+    finally:
+        os.environ.pop("LIQUID_FUSED", None)
+        os.environ.pop("LIQUID_FUSED_STRICT", None)
+        if prev is not None:
+            os.environ["LIQUID_FUSED"] = prev
+    return a, b
+
+
+def assert_same(a: pa.Table, b: pa.Table, rtol=1e-9):
+    assert a.num_rows == b.num_rows, (a, b)
+    assert a.column_names == b.column_names, (a.column_names, b.column_names)
+    for c in a.column_names:
+        ca, cb = a.column(c).combine_chunks(), b.column(c).combine_chunks()
+        if pa.types.is_floating(ca.type) or pa.types.is_floating(cb.type):
+            va = np.asarray(ca.cast(pa.float64()), dtype=float)
+            vb = np.asarray(cb.cast(pa.float64()), dtype=float)
+            nan = np.isnan(va) & np.isnan(vb)
+            assert (nan | np.isclose(va, vb, rtol=rtol, atol=1e-12,
+                                     equal_nan=True)).all(), (c, va, vb)
+        else:
+            assert ca.to_pylist() == cb.to_pylist(), (c, ca, cb)
+
+
+SCALAR_QUERIES = [
+    # (plain `count(*) FROM t` takes the metadata-only pure_count path)
+    "SELECT count(*) FROM t WHERE i > 100",
+    "SELECT count(*), count(i), count(cat) FROM t WHERE i <> 7",
+    "SELECT sum(i), avg(i), min(i), max(i) FROM t WHERE i >= -10",
+    "SELECT sum(f), avg(f), min(f), max(f) FROM t WHERE f < 120.5",
+    "SELECT sum(raw), avg(raw) FROM t",               # ALP patches in aggs
+    "SELECT sum(i * 2 + 1), sum(f * (1 - f)) FROM t",
+    "SELECT sum(f * i) FROM t WHERE i > 0 AND f > 50",
+    "SELECT count(*) FROM t WHERE url LIKE '%site7.%'",
+    "SELECT count(*) FROM t WHERE cat = 'alpha' OR cat = 'beta'",
+    "SELECT count(*) FROM t WHERE i < -1000",          # empty
+    "SELECT sum(i) FROM t WHERE i < -1000",            # empty -> NULL sum
+    "SELECT min(d), max(d) FROM t WHERE d >= date '1995-01-01'",
+    "SELECT sum(big), count(big) FROM t",
+    "SELECT stddev(f), var(i) FROM t WHERE i > 0",
+    "SELECT count(*) FROM t WHERE flag = true",
+    "SELECT count(*) FROM t WHERE i > 10 OR f < 80.0",
+    "SELECT avg(i) FROM t WHERE cat <> ''",
+]
+
+GROUP_QUERIES = [
+    "SELECT cat, count(*) c FROM t GROUP BY cat ORDER BY cat",
+    "SELECT cat, sum(i), avg(f), min(i), max(f) FROM t "
+    "WHERE i > 0 GROUP BY cat ORDER BY cat",
+    "SELECT flag, count(*) FROM t GROUP BY flag ORDER BY flag",
+    "SELECT d, count(*) c FROM t WHERE d < date '1997-06-01' "
+    "GROUP BY d ORDER BY c DESC, d LIMIT 20",
+    "SELECT i, count(*) c FROM t GROUP BY i ORDER BY c DESC, i LIMIT 15",
+    "SELECT cat, flag, sum(f * (1 - f)), count(i) FROM t "
+    "GROUP BY cat, flag ORDER BY cat, flag",
+    "SELECT hc, count(*) c FROM t GROUP BY hc ORDER BY c DESC, hc LIMIT 10",
+    "SELECT f, count(*) c FROM t WHERE f > 140 GROUP BY f "
+    "ORDER BY c DESC, f LIMIT 10",
+    "SELECT cat, stddev(f), var(f) FROM t GROUP BY cat ORDER BY cat",
+    "SELECT url, count(*) c FROM t WHERE url LIKE '%page7%' "
+    "GROUP BY url ORDER BY c DESC, url LIMIT 10",
+    "SELECT cat, count(*) FROM t WHERE i < -1000 GROUP BY cat",  # empty
+    "SELECT cat, avg(raw) FROM t GROUP BY cat ORDER BY cat",  # patches
+    "SELECT big, count(*) c FROM t GROUP BY big ORDER BY c DESC, big "
+    "LIMIT 5",
+]
+
+
+@pytest.mark.parametrize("sql", SCALAR_QUERIES)
+def test_scalar_matches_classic(ctxs, sql):
+    before = fused_agg.STATS["fused_queries"]
+    a, b = run_both(ctxs, sql)
+    assert_same(a, b)
+    assert fused_agg.STATS["fused_queries"] > before, \
+        f"query did not take the fused path: {sql} " \
+        f"(last bail: {fused_agg.STATS.get('last_bail')})"
+
+
+@pytest.mark.parametrize("sql", GROUP_QUERIES)
+def test_grouped_matches_classic(ctxs, sql):
+    before = fused_agg.STATS["fused_queries"]
+    a, b = run_both(ctxs, sql)
+    assert_same(a, b)
+    assert fused_agg.STATS["fused_queries"] > before, \
+        f"query did not take the fused path: {sql} " \
+        f"(last bail: {fused_agg.STATS.get('last_bail')})"
+
+
+def test_unsupported_shapes_fall_back(ctxs):
+    """DISTINCT / median / residual predicates route to the classic
+    path and still produce correct results."""
+    for sql in [
+        "SELECT count(DISTINCT cat) FROM t",
+        "SELECT median(i) FROM t",
+        "SELECT cat, count(*) FROM t WHERE i + 1 > f GROUP BY cat "
+        "ORDER BY cat",  # residual predicate
+    ]:
+        before = fused_agg.STATS["fused_queries"]
+        a, b = run_both(ctxs, sql)
+        assert_same(a, b)
+        assert fused_agg.STATS["fused_queries"] == before, sql
+
+
+def test_float_pred_with_patches_fuses(ctxs):
+    """Predicates over an ALP column with exception patches use the
+    interval form plus host-settled patch overlays (the fused analogue
+    of float_alp._apply_patch_verdict)."""
+    for sql in [
+        "SELECT count(*) FROM t WHERE raw > 0.5",
+        "SELECT count(*) FROM t WHERE raw <> 0.25",
+        "SELECT sum(i) FROM t WHERE raw <= -0.3 OR raw >= 1.5",
+    ]:
+        before = fused_agg.STATS["fused_queries"]
+        a, b = run_both(ctxs, sql)
+        assert_same(a, b)
+        assert fused_agg.STATS["fused_queries"] > before, \
+            (sql, fused_agg.STATS.get("last_bail"))
+
+
+def test_fused_used_by_default_liquid_session():
+    """The public session takes the fused path for a plain aggregate."""
+    path = os.path.join(tempfile.mkdtemp(), "small.parquet")
+    pq.write_table(_table(n=5000), path)
+    ctx, _ = make_session("liquid", 1 << 30, tempfile.mkdtemp())
+    ctx.register_parquet("t", path)
+    before = fused_agg.STATS["fused_queries"]
+    out = ctx.sql("SELECT cat, count(*) c FROM t GROUP BY cat "
+                  "ORDER BY cat").to_arrow()
+    assert fused_agg.STATS["fused_queries"] == before + 1
+    # oracle: pyarrow group_by on the raw data
+    t = pq.read_table(path)
+    expect = t.group_by("cat").aggregate([("cat", "count")])
+    expect = expect.sort_by("cat")
+    assert out.column("cat").to_pylist() == \
+        expect.column("cat").to_pylist()
+    assert out.column("c").to_pylist() == \
+        expect.column("cat_count").to_pylist()
+
+
+def test_arrow_mode_never_fuses():
+    path = os.path.join(tempfile.mkdtemp(), "small2.parquet")
+    pq.write_table(_table(n=3000), path)
+    ctx, _ = make_session("arrow", 1 << 30, tempfile.mkdtemp())
+    ctx.register_parquet("t", path)
+    before = fused_agg.STATS["fused_queries"]
+    ctx.sql("SELECT count(*) FROM t WHERE i > 0")
+    assert fused_agg.STATS["fused_queries"] == before
+
+
+def test_prep_invalidated_after_reset():
+    """Cache reset drops payloads; the fused prep must rebuild (not
+    serve stale device stacks)."""
+    path = os.path.join(tempfile.mkdtemp(), "small3.parquet")
+    pq.write_table(_table(n=4000), path)
+    ctx, cache = make_session("liquid", 1 << 30, tempfile.mkdtemp())
+    ctx.register_parquet("t", path)
+    r1 = ctx.sql("SELECT sum(i) FROM t").to_arrow()
+    cache.reset()
+    r2 = ctx.sql("SELECT sum(i) FROM t").to_arrow()
+    assert r1.column(0).to_pylist() == r2.column(0).to_pylist()

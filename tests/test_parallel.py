@@ -4,6 +4,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from liquid_tpu.ops import bitpack as bp
 from liquid_tpu.ops import mask as mops
 from liquid_tpu.parallel import dist

@@ -15,6 +15,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+pytestmark = pytest.mark.slow
+
 SF = float(os.environ.get("LIQUID_SCALE_SF", "0.5"))
 ROWS = int(os.environ.get("LIQUID_SCALE_ROWS", "2000000"))
 #: small enough to force the squeeze/evict pipeline on SF>=0.5 lineitem

@@ -15,6 +15,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from liquid_tpu.cache import LiquidCacheBuilder
 from liquid_tpu.common.object_store import (
     ByteCache, MockStore, StoreFile, sanitize_url,

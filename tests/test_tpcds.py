@@ -12,6 +12,8 @@ import pandas as pd
 import pyarrow as pa
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from liquid_tpu.bench import tpcds_data, tpcds_queries, tpcds_ref
 
 SF = float(os.environ.get("LIQUID_TPCDS_SF", "0.005"))
