@@ -3,7 +3,7 @@
 North-star metric (BASELINE.json): end-to-end query throughput in
 rows/s/chip on ClickBench hot queries + TPC-H q1/q6, executed through
 the public `LiquidCacheLocalBuilder` SQL path on the real chip --
-scan -> encoded predicate -> device aggregation -> result.
+scan -> encoded predicate -> fused device aggregation -> result.
 
 `vs_baseline` compares the SAME queries on the SAME chip in arrow mode
 (transcode disabled: raw arrow batches, pyarrow predicate fallback) --
@@ -11,8 +11,14 @@ i.e. the reference's own "liquid vs arrow cache" axis (BenchmarkMode,
 liquid-cache benchmark/src/lib.rs:293-308).  >1 means the liquid
 encodings win end-to-end, not just in a micro-kernel.
 
-The round-1 packed-compare micro-kernel (592 Grows/s/chip, 3.17x
-decode-then-compare) still prints on stderr as a secondary line.
+Round-3 changes (VERDICT r2 items 1/2/7/8):
+- queries run through the fused whole-query device path (sql/fused_agg)
+- hits data is synthesized HIGH-CARDINALITY (URL distinct ~ rows/5,
+  RegionID ~ official 9k cardinality) instead of a bootstrap resample
+  whose dictionaries stayed at the 24k-row sample's cardinality
+- warm-up reports transcode and compile+first-exec separately
+- an `operators` map reports per-operator rows/s + HBM roofline
+  fraction measured on the benchmark's own resident columns
 
 Timing notes (PERF_NOTES.md): through the axon tunnel host fetches have
 a ~28 ms floor and block_until_ready is unreliable, so queries are
@@ -28,27 +34,56 @@ import numpy as np
 
 ITERS = 3
 
+#: v5e HBM bandwidth (bytes/s) for roofline fractions
+HBM_BYTES_PER_S = 819e9
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
 def prepare_hits(rows: int) -> str:
-    """Bootstrap-resample the vendored nano_hits to `rows` rows (the
-    reference benches ClickBench partition-0; nano_hits is the vendored
-    sample, resampled to preserve per-column distributions)."""
+    """Synthesize a high-cardinality hits table from the vendored
+    nano_hits sample: per-column value distributions come from the real
+    data, but string/grouping cardinalities SCALE with the row count
+    (official ClickBench: URL distinct ~0.18x rows, RegionID ~9k)
+    instead of being capped at the 24k-row sample's dictionary."""
     import pyarrow as pa
     import pyarrow.parquet as pq
+    import pyarrow.compute as pc
     here = os.path.dirname(os.path.abspath(__file__))
     src_path = os.path.join(here, "benchmark/data/nano_hits.parquet")
-    out = f"/tmp/liquid_bench_hits_{rows}.parquet"
-    if not os.path.exists(out):
-        src = pq.read_table(src_path)
-        rng = np.random.default_rng(7)
-        idx = rng.integers(0, src.num_rows, rows)
-        big = src.take(pa.array(idx, pa.int64()))
-        pq.write_table(big, out + ".tmp", row_group_size=1 << 20)
-        os.replace(out + ".tmp", out)
+    out = f"/tmp/liquid_bench_hits_hc_{rows}.parquet"
+    if os.path.exists(out):
+        return out
+    src = pq.read_table(src_path)
+    rng = np.random.default_rng(7)
+    idx = rng.integers(0, src.num_rows, rows)
+    big = src.take(pa.array(idx, pa.int64()))
+    cols = {n: big.column(n) for n in big.column_names}
+
+    # URL / Title / SearchPhrase: append a skewed suffix id so distinct
+    # count scales with rows (~rows/5 for URL; phrases stay emptier)
+    n_url = max(rows // 5, 1)
+    sfx = (rng.zipf(1.4, rows) % n_url).astype(np.int64)
+    url = pc.binary_join_element_wise(
+        cols["URL"].combine_chunks().cast(pa.string()),
+        pa.array([f"?sid={s}" for s in sfx], pa.string()), "")
+    cols["URL"] = url
+    phr = cols["SearchPhrase"].combine_chunks().cast(pa.string())
+    nonempty = pc.not_equal(phr, "")
+    psfx = pa.array([f" {s % max(rows // 50, 1)}" for s in sfx], pa.string())
+    cols["SearchPhrase"] = pc.if_else(
+        nonempty, pc.binary_join_element_wise(phr, psfx, ""), phr)
+
+    # RegionID: zipf-skewed over the official ~9k cardinality
+    n_reg = min(9000, max(64, rows // 450))
+    cols["RegionID"] = pa.array(
+        (rng.zipf(1.3, rows) % n_reg).astype(np.int32), pa.int32())
+
+    big = pa.table(cols)
+    pq.write_table(big, out + ".tmp", row_group_size=1 << 20)
+    os.replace(out + ".tmp", out)
     return out
 
 
@@ -63,8 +98,7 @@ def prepare_lineitem(sf: float) -> str:
     return out
 
 
-#: (name, table, sql) -- ClickBench hot-query shapes (selective int
-#: filter / GROUP BY heavy / substring LIKE) + TPC-H q1 and q6
+#: (name, table, needed columns, sql)
 def queries(hits_rows, li_rows):
     Q1 = """SELECT l_returnflag, l_linestatus, sum(l_quantity) as sum_qty,
  sum(l_extendedprice) as sum_base_price,
@@ -80,16 +114,20 @@ def queries(hits_rows, li_rows):
  AND l_shipdate < date '1995-01-01'
  AND l_discount between 0.05 and 0.07 AND l_quantity < 24"""
     return [
-        ("cb_filter", "hits", hits_rows,
+        ("cb_filter", "hits", hits_rows, ["AdvEngineID"],
          'SELECT COUNT(*) FROM hits WHERE "AdvEngineID" <> 0'),
         ("cb_groupby", "hits", hits_rows,
+         ["RegionID", "AdvEngineID", "ResolutionWidth"],
          'SELECT "RegionID", SUM("AdvEngineID"), COUNT(*) AS c, '
          'AVG("ResolutionWidth") FROM hits GROUP BY "RegionID" '
          'ORDER BY c DESC LIMIT 10'),
-        ("cb_like", "hits", hits_rows,
-         'SELECT COUNT(*) FROM hits WHERE "URL" LIKE \'%google%\''),
-        ("tpch_q1", "lineitem", li_rows, Q1),
-        ("tpch_q6", "lineitem", li_rows, Q6),
+        ("cb_like", "hits", hits_rows, ["URL"],
+         'SELECT COUNT(*) FROM hits WHERE "URL" LIKE \'%yandex%\''),
+        ("tpch_q1", "lineitem", li_rows,
+         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+          "l_discount", "l_tax", "l_shipdate"], Q1),
+        ("tpch_q6", "lineitem", li_rows,
+         ["l_extendedprice", "l_discount", "l_shipdate", "l_quantity"], Q6),
     ]
 
 
@@ -101,12 +139,22 @@ def run_mode(mode, hits_path, li_path, qs):
     ctx.register_parquet("lineitem", li_path)
     times = {}
     results = {}
-    t_prep = time.perf_counter()
-    for name, table, rows, sql in qs:
-        results[name] = ctx.sql(sql).to_arrow()  # warm-up: transcode + jit
-    log(f"[{mode}] warm-up (transcode+compile): "
-        f"{time.perf_counter() - t_prep:.1f}s")
-    for name, table, rows, sql in qs:
+    # warm-up phase 1: transcode (parquet read + encode, host-only)
+    t0 = time.perf_counter()
+    for name, table, rows, cols, sql in qs:
+        pt = ctx._tables[table]
+        for rg in range(pt.num_row_groups):
+            for c in cols:
+                pt.ensure_cached(rg, c)
+    t_transcode = time.perf_counter() - t0
+    # warm-up phase 2: compile + first execution
+    t0 = time.perf_counter()
+    for name, table, rows, cols, sql in qs:
+        results[name] = ctx.sql(sql).to_arrow()
+    t_compile = time.perf_counter() - t0
+    log(f"[{mode}] warm-up: transcode {t_transcode:.1f}s, "
+        f"compile+first-exec {t_compile:.1f}s")
+    for name, table, rows, cols, sql in qs:
         best = float("inf")
         for _ in range(ITERS):
             t0 = time.perf_counter()
@@ -115,7 +163,138 @@ def run_mode(mode, hits_path, li_path, qs):
         times[name] = best
         log(f"[{mode}] {name}: {best * 1000:.1f} ms "
             f"({rows / best / 1e6:.1f} Mrows/s)")
-    return times, results
+    return times, results, (t_transcode, t_compile), ctx
+
+
+def _timed_loop(fn, args, iters):
+    """Wall time per iteration of `fn(acc, *args) -> int32 scalar`,
+    amortized inside ONE jit.  `fn` MUST mix `acc` into its computation
+    (a varying constant / input xor), otherwise XLA hoists the body out
+    of the loop.  The tunnel's ~28ms dispatch/fetch floor is subtracted
+    via a probe."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def loop(*a):
+        def body(i, acc):
+            return acc + fn(acc, *a).astype(jnp.int64)
+        return jax.lax.fori_loop(0, iters, body, jnp.int64(0))
+
+    @jax.jit
+    def probe(x):
+        return x.sum(dtype=jnp.int64)
+
+    pr = jnp.arange(8, dtype=jnp.int64)
+    int(loop(*args))
+    int(probe(pr))
+    tl = min(_t1(loop, args) for _ in range(3))
+    fl = min(_t1(probe, (pr,)) for _ in range(3))
+    return max(tl - fl, 1e-9) / iters
+
+
+def _t1(fn, args):
+    t0 = time.perf_counter()
+    int(fn(*args))
+    return time.perf_counter() - t0
+
+
+def operator_rooflines(ctx):
+    """Per-operator rows/s + HBM roofline fractions measured on the
+    benchmark's OWN resident encoded columns (north star: every
+    operator within 1.5x of roofline)."""
+    import jax.numpy as jnp
+    from liquid_tpu.ops import bitpack as bp
+    from liquid_tpu.ops import hashagg as hops
+    from liquid_tpu.sql.fused_agg import _in_interval_many
+
+    out = {}
+    pt = ctx._tables["hits"]
+    preps = getattr(pt, "_fused_prep", {})
+
+    def prep_of(col):
+        variants = preps.get(col)
+        if not variants:
+            return None
+        return next(iter(variants.values()))[1]
+
+    def emit(name, n, nbytes, per, total_s):
+        if total_s < 0.02:
+            # measured interval is inside the dispatch-floor noise:
+            # refuse to report garbage (PERF_NOTES.md timing rules)
+            out[name] = {"unreliable_below_floor_s": total_s}
+            return
+        out[name] = {
+            "rows_per_s": n / per, "gbytes_per_s": nbytes / per / 1e9,
+            "roofline_frac": (nbytes / per) / HBM_BYTES_PER_S}
+
+    def iters_for(nbytes, target=4e9):
+        return max(8, min(1024, int(target / max(nbytes, 1))))
+    adv = prep_of("AdvEngineID")
+    if adv is not None and adv.kind == "planes":
+        st = adv.planes_stack
+        n = st.shape[0] * 8192
+        lo = jnp.asarray(np.ones(st.shape[0], np.uint64))
+        hi = jnp.asarray(np.full(st.shape[0], (1 << 62), np.uint64))
+
+        def filt(acc, s):
+            # acc mixes into the constant: the loop body cannot hoist
+            l2 = lo + (acc.astype(jnp.uint64) & jnp.uint64(1))
+            return _in_interval_many(s, l2, hi).sum(dtype=jnp.int32)
+
+        nb = st.size * 4 * 2
+        it = iters_for(nb)
+        per = _timed_loop(filt, (st,), it)
+        emit("encoded_filter", n, nb, per, per * it)
+
+        def dec(acc, s):
+            s2 = s ^ (acc & 1).astype(jnp.uint32)  # fuses into the read
+            return bp.unpack_bitplanes_many(s2, jnp.uint32).sum(
+                dtype=jnp.uint32).astype(jnp.int32)
+
+        nb = st.size * 4 + n * 4
+        it = iters_for(nb)
+        per = _timed_loop(dec, (st,), it)
+        emit("decode", n, nb, per, per * it)
+    reg = prep_of("RegionID")
+    if reg is not None and reg.kind == "planes":
+        st = reg.planes_stack
+        refs = jnp.asarray(reg.refs)
+        n = st.shape[0] * 8192
+        valid = jnp.ones(n, jnp.bool_)
+        vz = jnp.zeros(n, jnp.bool_)
+
+        def agg(acc, s):
+            s2 = s ^ (acc & 1).astype(jnp.uint32)
+            off = bp.unpack_bitplanes_many(s2, jnp.uint32)
+            codes = (off.astype(jnp.int64) + refs[:, None]).reshape(-1)
+            ones = jnp.ones(n, jnp.int64)
+            _, ng, _, _, outs, _ = hops.hash_group_reduce(
+                (codes,), (vz,), valid, (ones,), (vz,), ("sum",),
+                1 << 14, 0x9E3779B97F4A7C15)
+            return ng.astype(jnp.int32)
+
+        nb = st.size * 4 + n * (8 + 8 + 4)
+        it = iters_for(nb)
+        per = _timed_loop(agg, (st,), it)
+        emit("hash_groupby", n, nb, per, per * it)
+    url = prep_of("URL")
+    if url is not None and url.kind == "dict":
+        st = url.codes_stack
+        n = st.size
+        lut = jnp.asarray(np.zeros((st.shape[0], url.dmax), bool))
+
+        def gather(acc, s):
+            s2 = jnp.clip(s + (acc & 1).astype(jnp.int32), 0,
+                          lut.shape[1] - 1)
+            return jnp.take_along_axis(lut, s2, axis=1).sum(
+                dtype=jnp.int32)
+
+        nb = n * 4 + n * 1
+        it = iters_for(nb)
+        per = _timed_loop(gather, (st,), it)
+        emit("dict_verdict_gather", n, nb, per, per * it)
+    return out
 
 
 def micro_kernel_line():
@@ -131,7 +310,7 @@ def micro_kernel_line():
         width = 10
         rng = np.random.default_rng(0)
         vals = rng.integers(0, 1 << width, n).astype(np.uint64)
-        tiles = bpp.prep(bp.pack_bitplanes(jnp.asarray(vals), width))
+        tiles = bpp.prep(jnp.asarray(bp.pack_bitplanes_host(vals, width)))
         cs = jnp.asarray(rng.integers(1, 1 << width, iters).astype(np.uint32))
 
         @jax.jit
@@ -146,42 +325,63 @@ def micro_kernel_line():
 
         int(fused(tiles, cs))
         int(floor_probe(cs))
-        tf = min(_t(fused, (tiles, cs)) for _ in range(3))
-        fl = min(_t(floor_probe, (cs,)) for _ in range(3))
+        tf = min(_t1(fused, (tiles, cs)) for _ in range(3))
+        fl = min(_t1(floor_probe, (cs,)) for _ in range(3))
         per = max(tf - fl, 1e-9) / iters
         log(f"[micro] packed-compare: {n / per / 1e9:.0f} Grows/s/chip")
+        return n / per
     except Exception as e:  # micro line must never sink the headline
         log(f"[micro] skipped: {e}")
-
-
-def _t(fn, args):
-    t0 = time.perf_counter()
-    int(fn(*args))
-    return time.perf_counter() - t0
+        return None
 
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/liquid_tpu_jit_cache_bench")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import liquid_tpu  # noqa: F401
 
     on_tpu = jax.default_backend() == "tpu"
     hits_rows = int(os.environ.get(
         "LIQUID_BENCH_ROWS", str(4_000_000 if on_tpu else 200_000)))
     sf = float(os.environ.get("LIQUID_BENCH_SF",
-                              "0.2" if on_tpu else "0.02"))
+                              "1" if on_tpu else "0.02"))
     log(f"backend={jax.default_backend()} hits_rows={hits_rows} sf={sf}")
     hits_path = prepare_hits(hits_rows)
     li_path = prepare_lineitem(sf)
     import pyarrow.parquet as pq
     li_rows = pq.ParquetFile(li_path).metadata.num_rows
+    import pyarrow.compute as pc
+    hits_t = pq.read_table(hits_path, columns=["URL", "RegionID"])
+    card = {"url_distinct": pc.count_distinct(hits_t.column("URL")).as_py(),
+            "region_distinct":
+                pc.count_distinct(hits_t.column("RegionID")).as_py(),
+            "hits_rows": hits_rows, "lineitem_rows": li_rows,
+            "hits_bytes": os.path.getsize(hits_path),
+            "lineitem_bytes": os.path.getsize(li_path)}
+    del hits_t
+    log(f"data: {card}")
     qs = queries(hits_rows, li_rows)
 
-    t_liquid, r_liquid = run_mode("liquid", hits_path, li_path, qs)
-    t_arrow, r_arrow = run_mode("arrow", hits_path, li_path, qs)
+    t_liquid, r_liquid, warm_l, ctx_l = run_mode(
+        "liquid", hits_path, li_path, qs)
+    ops = operator_rooflines(ctx_l)
+    for k, v in ops.items():
+        if "rows_per_s" not in v:
+            log(f"[op] {k}: below timing floor, not reported")
+            continue
+        log(f"[op] {k}: {v['rows_per_s'] / 1e9:.2f} Grows/s, "
+            f"{v['gbytes_per_s']:.0f} GB/s, "
+            f"roofline {v['roofline_frac'] * 100:.0f}%")
+    del ctx_l
+    t_arrow, r_arrow, warm_a, ctx_a = run_mode(
+        "arrow", hits_path, li_path, qs)
+    del ctx_a
     # correctness gate: both modes must agree before any number is
     # reported (the reference's answer-verification, clickbench_client.rs)
     import pyarrow as pa
-    for name, _, _, _ in qs:
+    for name, _, _, _, _ in qs:
         a, b = r_liquid[name], r_arrow[name]
         assert a.num_rows == b.num_rows, (name, a.num_rows, b.num_rows)
         for col in range(a.num_columns):
@@ -194,7 +394,7 @@ def main():
                 assert ca.to_pylist() == cb.to_pylist(), name
     log("correctness gate: liquid == arrow on all queries")
 
-    total_rows = sum(rows for _, _, rows, _ in qs)
+    total_rows = sum(rows for _, _, rows, _, _ in qs)
     sum_liquid = sum(t_liquid.values())
     sum_arrow = sum(t_arrow.values())
     value = total_rows / sum_liquid
@@ -202,13 +402,22 @@ def main():
     log(f"totals: liquid {sum_liquid * 1000:.0f} ms, "
         f"arrow {sum_arrow * 1000:.0f} ms")
 
-    micro_kernel_line()
+    micro = micro_kernel_line()
 
     print(json.dumps({
         "metric": "e2e_query_rows_per_s",
         "value": value,
         "unit": "rows/s/chip",
         "vs_baseline": vs,
+        "queries_ms": {k: round(v * 1000, 1) for k, v in t_liquid.items()},
+        "arrow_ms": {k: round(v * 1000, 1) for k, v in t_arrow.items()},
+        "warmup_s": {"liquid_transcode": round(warm_l[0], 1),
+                     "liquid_compile": round(warm_l[1], 1),
+                     "arrow_transcode": round(warm_a[0], 1),
+                     "arrow_compile": round(warm_a[1], 1)},
+        "data": card,
+        "operators": ops,
+        "micro_packed_compare_rows_per_s": micro,
     }))
 
 

@@ -134,11 +134,15 @@ def generate(sf: float = 0.01, seed: int = 20030101) -> Dict[str, pa.Table]:
         "hd_vehicle_count": pa.array(rng.integers(-1, 5, n_hd), pa.int64()),
     })
 
+    rc = np.random.default_rng(seed + 55)
     customer = pa.table({
         "c_customer_sk": pa.array(np.arange(1, n_cust + 1), pa.int64()),
         "c_customer_id": pa.array([f"CUST{i:012d}" for i in range(1, n_cust + 1)]),
         "c_first_name": pa.array([f"First{i % 500}" for i in range(n_cust)]),
         "c_last_name": pa.array([f"Last{i % 700}" for i in range(n_cust)]),
+        "c_salutation": pa.array(rc.choice(
+            ["Mr.", "Mrs.", "Ms.", "Dr.", "Sir", "Miss"], n_cust)),
+        "c_preferred_cust_flag": pa.array(rc.choice(["Y", "N"], n_cust)),
         "c_current_addr_sk": pa.array(rng.integers(1, n_ca + 1, n_cust), pa.int64()),
         "c_current_cdemo_sk": pa.array(rng.integers(1, n_cd + 1, n_cust), pa.int64()),
         "c_current_hdemo_sk": pa.array(rng.integers(1, n_hd + 1, n_cust), pa.int64()),
@@ -227,6 +231,7 @@ def generate(sf: float = 0.01, seed: int = 20030101) -> Dict[str, pa.Table]:
     ss_item = np.asarray(store_sales.column("ss_item_sk"))
     ss_cust = np.asarray(store_sales.column("ss_customer_sk"))
     ss_ticket = np.asarray(store_sales.column("ss_ticket_number"))
+    r2 = np.random.default_rng(seed + 100)
     store_returns = pa.table({
         "sr_returned_date_sk": pa.array(r.integers(1, nd + 1, n_sr), pa.int64()),
         "sr_item_sk": pa.array(ss_item[ret_idx], pa.int64()),
@@ -234,6 +239,15 @@ def generate(sf: float = 0.01, seed: int = 20030101) -> Dict[str, pa.Table]:
         "sr_ticket_number": pa.array(ss_ticket[ret_idx], pa.int64()),
         "sr_return_quantity": pa.array(r.integers(1, 50, n_sr), pa.int64()),
         "sr_return_amt": pa.array(_money(r, n_sr, 1.0, 2000.0)),
+        "sr_net_loss": pa.array(_money(r2, n_sr, 0.5, 1000.0)),
+        "sr_cdemo_sk": pa.array(r2.integers(1, n_cd + 1, n_sr), pa.int64()),
+        "sr_reason_sk": pa.array(r2.integers(1, 36, n_sr), pa.int64()),
+    })
+
+    reason = pa.table({
+        "r_reason_sk": pa.array(np.arange(1, 36), pa.int64()),
+        "r_reason_id": pa.array([f"RSN{i:05d}" for i in range(1, 36)]),
+        "r_reason_desc": pa.array([f"reason {i}" for i in range(1, 36)]),
     })
 
     # inventory: weekly snapshots of a random item subset (q22)
@@ -256,7 +270,7 @@ def generate(sf: float = 0.01, seed: int = 20030101) -> Dict[str, pa.Table]:
         "customer": customer, "customer_address": customer_address,
         "customer_demographics": customer_demographics,
         "household_demographics": household_demographics, "store": store,
-        "promotion": promotion,
+        "promotion": promotion, "reason": reason,
         "store_sales": store_sales, "catalog_sales": catalog_sales,
         "web_sales": web_sales, "store_returns": store_returns,
     }

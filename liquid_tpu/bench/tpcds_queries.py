@@ -480,4 +480,711 @@ where ss_sold_time_sk = time_dim.t_time_sk
 order by cnt
 limit 100
 """,
+    15: """
+select ca_zip, sum(cs_sales_price) as sum_sales
+from catalog_sales, customer, customer_address, date_dim
+where cs_customer_sk = c_customer_sk
+    and c_current_addr_sk = ca_address_sk
+    and (substr(ca_zip, 1, 2) in ('85', '86', '88', '83', '80', '81')
+         or ca_state in ('CA', 'WA', 'GA')
+         or cs_sales_price > 500)
+    and cs_sold_date_sk = d_date_sk
+    and d_qoy = 2 and d_year = 2001
+group by ca_zip
+order by ca_zip
+limit 100
+""",
+    25: """
+select i_item_id, i_item_desc, s_store_id, s_store_name,
+    sum(ss_net_profit) as store_sales_profit,
+    sum(sr_net_loss) as store_returns_loss,
+    sum(cs_net_profit) as catalog_sales_profit
+from store_sales, store_returns, catalog_sales, date_dim d1,
+     date_dim d2, date_dim d3, store, item
+where d1.d_moy = 4 and d1.d_year = 2001
+    and d1.d_date_sk = ss_sold_date_sk
+    and i_item_sk = ss_item_sk
+    and s_store_sk = ss_store_sk
+    and ss_customer_sk = sr_customer_sk
+    and ss_item_sk = sr_item_sk
+    and ss_ticket_number = sr_ticket_number
+    and sr_returned_date_sk = d2.d_date_sk
+    and d2.d_moy between 4 and 10 and d2.d_year = 2001
+    and sr_customer_sk = cs_customer_sk
+    and sr_item_sk = cs_item_sk
+    and cs_sold_date_sk = d3.d_date_sk
+    and d3.d_moy between 4 and 10 and d3.d_year = 2001
+group by i_item_id, i_item_desc, s_store_id, s_store_name
+order by i_item_id, i_item_desc, s_store_id, s_store_name
+limit 100
+""",
+    29: """
+select i_item_id, i_item_desc, s_store_id, s_store_name,
+    sum(ss_quantity) as store_sales_quantity,
+    sum(sr_return_quantity) as store_returns_quantity,
+    sum(cs_quantity) as catalog_sales_quantity
+from store_sales, store_returns, catalog_sales, date_dim d1,
+     date_dim d2, date_dim d3, store, item
+where d1.d_moy = 9 and d1.d_year = 1999
+    and d1.d_date_sk = ss_sold_date_sk
+    and i_item_sk = ss_item_sk
+    and s_store_sk = ss_store_sk
+    and ss_customer_sk = sr_customer_sk
+    and ss_item_sk = sr_item_sk
+    and ss_ticket_number = sr_ticket_number
+    and sr_returned_date_sk = d2.d_date_sk
+    and d2.d_moy between 9 and 12 and d2.d_year = 1999
+    and sr_customer_sk = cs_customer_sk
+    and sr_item_sk = cs_item_sk
+    and cs_sold_date_sk = d3.d_date_sk
+    and d3.d_year in (1999, 2000, 2001)
+group by i_item_id, i_item_desc, s_store_id, s_store_name
+order by i_item_id, i_item_desc, s_store_id, s_store_name
+limit 100
+""",
+    37: """
+select i_item_id, i_item_desc, i_current_price
+from item, inventory, date_dim, catalog_sales
+where i_current_price between 68 and 98
+    and inv_item_sk = i_item_sk
+    and d_date_sk = inv_date_sk
+    and d_date between cast('2000-02-01' as date)
+        and (cast('2000-02-01' as date) + interval '60' day)
+    and i_manufact_id in (677, 940, 694, 808)
+    and inv_quantity_on_hand between 100 and 500
+    and cs_item_sk = i_item_sk
+group by i_item_id, i_item_desc, i_current_price
+order by i_item_id
+limit 100
+""",
+    82: """
+select i_item_id, i_item_desc, i_current_price
+from item, inventory, date_dim, store_sales
+where i_current_price between 62 and 92
+    and inv_item_sk = i_item_sk
+    and d_date_sk = inv_date_sk
+    and d_date between cast('2000-05-25' as date)
+        and (cast('2000-05-25' as date) + interval '60' day)
+    and i_manufact_id in (129, 270, 821, 423)
+    and inv_quantity_on_hand between 100 and 500
+    and ss_item_sk = i_item_sk
+group by i_item_id, i_item_desc, i_current_price
+order by i_item_id
+limit 100
+""",
+    48: """
+select sum(ss_quantity) as total
+from store_sales, store, customer_demographics, customer_address,
+     date_dim
+where s_store_sk = ss_store_sk
+    and ss_sold_date_sk = d_date_sk and d_year = 2000
+    and ((cd_demo_sk = ss_cdemo_sk and cd_marital_status = 'M'
+          and cd_education_status = '4 yr Degree'
+          and ss_sales_price between 100.00 and 150.00)
+         or (cd_demo_sk = ss_cdemo_sk and cd_marital_status = 'D'
+             and cd_education_status = '2 yr Degree'
+             and ss_sales_price between 50.00 and 100.00)
+         or (cd_demo_sk = ss_cdemo_sk and cd_marital_status = 'S'
+             and cd_education_status = 'College'
+             and ss_sales_price between 150.00 and 200.00))
+    and ((ss_addr_sk = ca_address_sk and ca_country = 'United States'
+          and ca_state in ('CO', 'OH', 'TX')
+          and ss_net_profit between 0 and 2000)
+         or (ss_addr_sk = ca_address_sk and ca_country = 'United States'
+             and ca_state in ('OR', 'MN', 'KY')
+             and ss_net_profit between 150 and 3000)
+         or (ss_addr_sk = ca_address_sk and ca_country = 'United States'
+             and ca_state in ('VA', 'CA', 'MS')
+             and ss_net_profit between 50 and 25000))
+""",
+    50: """
+select s_store_name, s_company_name, s_county,
+    sum(case when (sr_returned_date_sk - ss_sold_date_sk <= 30)
+        then 1 else 0 end) as "30 days",
+    sum(case when (sr_returned_date_sk - ss_sold_date_sk > 30)
+        and (sr_returned_date_sk - ss_sold_date_sk <= 60)
+        then 1 else 0 end) as "31-60 days",
+    sum(case when (sr_returned_date_sk - ss_sold_date_sk > 60)
+        and (sr_returned_date_sk - ss_sold_date_sk <= 90)
+        then 1 else 0 end) as "61-90 days",
+    sum(case when (sr_returned_date_sk - ss_sold_date_sk > 90)
+        and (sr_returned_date_sk - ss_sold_date_sk <= 120)
+        then 1 else 0 end) as "91-120 days",
+    sum(case when (sr_returned_date_sk - ss_sold_date_sk > 120)
+        then 1 else 0 end) as ">120 days"
+from store_sales, store_returns, store, date_dim d1, date_dim d2
+where d2.d_year = 2001 and d2.d_moy = 8
+    and ss_ticket_number = sr_ticket_number
+    and ss_item_sk = sr_item_sk
+    and ss_sold_date_sk = d1.d_date_sk
+    and sr_returned_date_sk = d2.d_date_sk
+    and ss_customer_sk = sr_customer_sk
+    and ss_store_sk = s_store_sk
+group by s_store_name, s_company_name, s_county
+order by s_store_name, s_company_name, s_county
+limit 100
+""",
+    65: """
+select s_store_name, i_item_desc, sc.revenue, i_current_price,
+    i_wholesale_cost, i_brand
+from store, item,
+    (select ss_store_sk, avg(revenue) as ave
+     from (select ss_store_sk, ss_item_sk, sum(ss_sales_price) as revenue
+           from store_sales, date_dim
+           where ss_sold_date_sk = d_date_sk
+               and d_month_seq between 24 and 35
+           group by ss_store_sk, ss_item_sk) sa
+     group by ss_store_sk) sb,
+    (select ss_store_sk, ss_item_sk, sum(ss_sales_price) as revenue
+     from store_sales, date_dim
+     where ss_sold_date_sk = d_date_sk
+         and d_month_seq between 24 and 35
+     group by ss_store_sk, ss_item_sk) sc
+where sb.ss_store_sk = sc.ss_store_sk
+    and sc.revenue <= 0.1 * sb.ave
+    and s_store_sk = sc.ss_store_sk
+    and i_item_sk = sc.ss_item_sk
+order by s_store_name, i_item_desc
+limit 100
+""",
+    79: """
+select c_last_name, c_first_name,
+    substr(s_city, 1, 30) as city30, ss_ticket_number, amt, profit
+from (select ss_ticket_number, ss_customer_sk, store.s_city,
+          sum(ss_coupon_amt) amt, sum(ss_net_profit) profit
+      from store_sales, date_dim, store, household_demographics
+      where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+          and store_sales.ss_store_sk = store.s_store_sk
+          and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+          and (household_demographics.hd_dep_count = 6
+               or household_demographics.hd_vehicle_count > 2)
+          and date_dim.d_dow = 1
+          and date_dim.d_year in (1999, 2000, 2001)
+          and store.s_number_employees between 200 and 295
+      group by ss_ticket_number, ss_customer_sk, ss_addr_sk,
+          store.s_city) ms, customer
+where ss_customer_sk = c_customer_sk
+order by c_last_name, c_first_name, city30, profit, ss_ticket_number
+limit 100
+""",
+    28: """
+select *
+from (select avg(ss_list_price) b1_lp, count(ss_list_price) b1_cnt,
+          count(distinct ss_list_price) b1_cntd
+      from store_sales
+      where ss_quantity between 0 and 5
+          and (ss_list_price between 8 and 18
+               or ss_coupon_amt between 459 and 1459
+               or ss_wholesale_cost between 57 and 77)) b1,
+    (select avg(ss_list_price) b2_lp, count(ss_list_price) b2_cnt,
+         count(distinct ss_list_price) b2_cntd
+     from store_sales
+     where ss_quantity between 6 and 10
+         and (ss_list_price between 90 and 100
+              or ss_coupon_amt between 2323 and 3323
+              or ss_wholesale_cost between 31 and 51)) b2,
+    (select avg(ss_list_price) b3_lp, count(ss_list_price) b3_cnt,
+         count(distinct ss_list_price) b3_cntd
+     from store_sales
+     where ss_quantity between 11 and 15
+         and (ss_list_price between 142 and 152
+              or ss_coupon_amt between 12214 and 13214
+              or ss_wholesale_cost between 79 and 99)) b3,
+    (select avg(ss_list_price) b4_lp, count(ss_list_price) b4_cnt,
+         count(distinct ss_list_price) b4_cntd
+     from store_sales
+     where ss_quantity between 16 and 20
+         and (ss_list_price between 135 and 145
+              or ss_coupon_amt between 6071 and 7071
+              or ss_wholesale_cost between 38 and 58)) b4
+limit 100
+""",
+    33: """
+with ss as (
+    select i_manufact_id, sum(ss_ext_sales_price) total_sales
+    from store_sales, date_dim, customer_address, item
+    where i_manufact_id in (select i_manufact_id from item
+                            where i_category in ('Electronics'))
+        and ss_item_sk = i_item_sk
+        and ss_sold_date_sk = d_date_sk
+        and d_year = 1998 and d_moy = 5
+        and ss_addr_sk = ca_address_sk
+        and ca_gmt_offset = -5
+    group by i_manufact_id),
+cs as (
+    select i_manufact_id, sum(cs_ext_sales_price) total_sales
+    from catalog_sales, date_dim, customer_address, item
+    where i_manufact_id in (select i_manufact_id from item
+                            where i_category in ('Electronics'))
+        and cs_item_sk = i_item_sk
+        and cs_sold_date_sk = d_date_sk
+        and d_year = 1998 and d_moy = 5
+        and cs_addr_sk = ca_address_sk
+        and ca_gmt_offset = -5
+    group by i_manufact_id),
+ws as (
+    select i_manufact_id, sum(ws_ext_sales_price) total_sales
+    from web_sales, date_dim, customer_address, item
+    where i_manufact_id in (select i_manufact_id from item
+                            where i_category in ('Electronics'))
+        and ws_item_sk = i_item_sk
+        and ws_sold_date_sk = d_date_sk
+        and d_year = 1998 and d_moy = 5
+        and ws_addr_sk = ca_address_sk
+        and ca_gmt_offset = -5
+    group by i_manufact_id)
+select i_manufact_id, sum(total_sales) total_sales
+from (select * from ss union all select * from cs
+      union all select * from ws) tmp1
+group by i_manufact_id
+order by total_sales, i_manufact_id
+limit 100
+""",
+    34: """
+select c_last_name, c_first_name, c_salutation,
+    c_preferred_cust_flag, ss_ticket_number, cnt
+from (select ss_ticket_number, ss_customer_sk, count(*) cnt
+      from store_sales, date_dim, store, household_demographics
+      where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+          and store_sales.ss_store_sk = store.s_store_sk
+          and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+          and (date_dim.d_dom between 1 and 3
+               or date_dim.d_dom between 25 and 28)
+          and (household_demographics.hd_buy_potential = '>10000'
+               or household_demographics.hd_buy_potential = 'Unknown')
+          and household_demographics.hd_vehicle_count > 0
+          and household_demographics.hd_dep_count /
+              household_demographics.hd_vehicle_count > 1.2
+          and date_dim.d_year in (1999, 2000, 2001)
+          and store.s_county in ('Williamson County', 'Walker County',
+                                 'Ziebach County', 'Ziebach County')
+      group by ss_ticket_number, ss_customer_sk) dn, customer
+where ss_customer_sk = c_customer_sk
+    and cnt between 15 and 20
+order by c_last_name, c_first_name, c_salutation,
+    c_preferred_cust_flag desc, ss_ticket_number
+""",
+    38: """
+select count(*) from (
+    select distinct c_last_name, c_first_name, d_date
+    from store_sales, date_dim, customer
+    where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        and store_sales.ss_customer_sk = customer.c_customer_sk
+        and d_month_seq between 24 and 35
+    intersect
+    select distinct c_last_name, c_first_name, d_date
+    from catalog_sales, date_dim, customer
+    where catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+        and catalog_sales.cs_customer_sk = customer.c_customer_sk
+        and d_month_seq between 24 and 35
+    intersect
+    select distinct c_last_name, c_first_name, d_date
+    from web_sales, date_dim, customer
+    where web_sales.ws_sold_date_sk = date_dim.d_date_sk
+        and web_sales.ws_customer_sk = customer.c_customer_sk
+        and d_month_seq between 24 and 35
+) hot_cust
+limit 100
+""",
+    41: """
+select distinct i_product_name
+from item i1
+where i_manufact_id between 738 and 778
+    and (select count(*) as item_cnt from item
+         where i_manufact_id = i1.i_manufact_id
+             and i_category = 'Women') > 0
+order by i_product_name
+limit 100
+""",
+    45: """
+select ca_zip, ca_city, sum(ws_sales_price) as sum_sales
+from web_sales, customer, customer_address, date_dim, item
+where ws_customer_sk = c_customer_sk
+    and c_current_addr_sk = ca_address_sk
+    and ws_item_sk = i_item_sk
+    and (substr(ca_zip, 1, 5) in ('85669', '86197', '88274', '83405',
+                                  '86475', '85392', '85460', '80348',
+                                  '81792')
+         or i_item_id in (select i_item_id from item
+                          where i_item_sk in (2, 3, 5, 7, 11, 13,
+                                              17, 19, 23, 29)))
+    and ws_sold_date_sk = d_date_sk
+    and d_qoy = 2 and d_year = 2001
+group by ca_zip, ca_city
+order by ca_zip, ca_city
+limit 100
+""",
+    46: """
+select c_last_name, c_first_name, ca_city, bought_city,
+    ss_ticket_number, amt, profit
+from (select ss_ticket_number, ss_customer_sk,
+          ca_city bought_city, sum(ss_coupon_amt) amt,
+          sum(ss_net_profit) profit
+      from store_sales, date_dim, store, household_demographics,
+          customer_address
+      where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+          and store_sales.ss_store_sk = store.s_store_sk
+          and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+          and store_sales.ss_addr_sk = customer_address.ca_address_sk
+          and (household_demographics.hd_dep_count = 4
+               or household_demographics.hd_vehicle_count = 3)
+          and date_dim.d_dow in (6, 0)
+          and date_dim.d_year in (1999, 2000, 2001)
+          and store.s_city in ('city1', 'city2', 'city3', 'city4',
+                               'city5')
+      group by ss_ticket_number, ss_customer_sk, ss_addr_sk, ca_city)
+    dn, customer, customer_address current_addr
+where ss_customer_sk = c_customer_sk
+    and customer.c_current_addr_sk = current_addr.ca_address_sk
+    and current_addr.ca_city <> bought_city
+order by c_last_name, c_first_name, ca_city, bought_city,
+    ss_ticket_number
+limit 100
+""",
+    53: """
+select manufact_id, sum_sales, avg_quarterly_sales
+from (select i_manufact_id manufact_id,
+          sum(ss_sales_price) sum_sales,
+          avg(sum(ss_sales_price)) over (partition by i_manufact_id)
+              avg_quarterly_sales
+      from item, store_sales, date_dim, store
+      where ss_item_sk = i_item_sk
+          and ss_sold_date_sk = d_date_sk
+          and ss_store_sk = s_store_sk
+          and d_month_seq in (24, 25, 26, 27, 28, 29, 30, 31, 32, 33,
+                              34, 35)
+          and i_category in ('Books', 'Children', 'Electronics')
+      group by i_manufact_id, d_qoy) tmp1
+where case when avg_quarterly_sales > 0
+          then abs(sum_sales - avg_quarterly_sales) /
+               avg_quarterly_sales
+          else null end > 0.1
+order by avg_quarterly_sales, sum_sales, manufact_id
+limit 100
+""",
+    56: """
+with ss as (
+    select i_item_id, sum(ss_ext_sales_price) total_sales
+    from store_sales, date_dim, customer_address, item
+    where i_item_id in (select i_item_id from item
+                        where i_category in ('Music'))
+        and ss_item_sk = i_item_sk
+        and ss_sold_date_sk = d_date_sk
+        and d_year = 2001 and d_moy = 2
+        and ss_addr_sk = ca_address_sk
+        and ca_gmt_offset = -5
+    group by i_item_id),
+cs as (
+    select i_item_id, sum(cs_ext_sales_price) total_sales
+    from catalog_sales, date_dim, customer_address, item
+    where i_item_id in (select i_item_id from item
+                        where i_category in ('Music'))
+        and cs_item_sk = i_item_sk
+        and cs_sold_date_sk = d_date_sk
+        and d_year = 2001 and d_moy = 2
+        and cs_addr_sk = ca_address_sk
+        and ca_gmt_offset = -5
+    group by i_item_id),
+ws as (
+    select i_item_id, sum(ws_ext_sales_price) total_sales
+    from web_sales, date_dim, customer_address, item
+    where i_item_id in (select i_item_id from item
+                        where i_category in ('Music'))
+        and ws_item_sk = i_item_sk
+        and ws_sold_date_sk = d_date_sk
+        and d_year = 2001 and d_moy = 2
+        and ws_addr_sk = ca_address_sk
+        and ca_gmt_offset = -5
+    group by i_item_id)
+select i_item_id, sum(total_sales) total_sales
+from (select * from ss union all select * from cs
+      union all select * from ws) tmp1
+group by i_item_id
+order by total_sales, i_item_id
+limit 100
+""",
+    6: """
+select a.ca_state state, count(*) cnt
+from customer_address a, customer c, store_sales s, date_dim d, item i
+where a.ca_address_sk = c.c_current_addr_sk
+    and c.c_customer_sk = s.ss_customer_sk
+    and s.ss_sold_date_sk = d.d_date_sk
+    and s.ss_item_sk = i.i_item_sk
+    and d.d_month_seq = (select distinct d_month_seq from date_dim
+                         where d_year = 2001 and d_moy = 1)
+    and i.i_current_price > 1.2 * (select avg(j.i_current_price)
+                                   from item j
+                                   where j.i_category = i.i_category)
+group by a.ca_state
+having count(*) >= 10
+order by cnt, a.ca_state
+limit 100
+""",
+    9: """
+select case when (select count(*) from store_sales
+                  where ss_quantity between 1 and 20) > 25437
+            then (select avg(ss_ext_discount_amt) from store_sales
+                  where ss_quantity between 1 and 20)
+            else (select avg(ss_net_paid) from store_sales
+                  where ss_quantity between 1 and 20) end bucket1,
+       case when (select count(*) from store_sales
+                  where ss_quantity between 21 and 40) > 22746
+            then (select avg(ss_ext_discount_amt) from store_sales
+                  where ss_quantity between 21 and 40)
+            else (select avg(ss_net_paid) from store_sales
+                  where ss_quantity between 21 and 40) end bucket2,
+       case when (select count(*) from store_sales
+                  where ss_quantity between 41 and 60) > 9387
+            then (select avg(ss_ext_discount_amt) from store_sales
+                  where ss_quantity between 41 and 60)
+            else (select avg(ss_net_paid) from store_sales
+                  where ss_quantity between 41 and 60) end bucket3,
+       case when (select count(*) from store_sales
+                  where ss_quantity between 61 and 80) > 10098
+            then (select avg(ss_ext_discount_amt) from store_sales
+                  where ss_quantity between 61 and 80)
+            else (select avg(ss_net_paid) from store_sales
+                  where ss_quantity between 61 and 80) end bucket4,
+       case when (select count(*) from store_sales
+                  where ss_quantity between 81 and 100) > 18213
+            then (select avg(ss_ext_discount_amt) from store_sales
+                  where ss_quantity between 81 and 100)
+            else (select avg(ss_net_paid) from store_sales
+                  where ss_quantity between 81 and 100) end bucket5
+from reason
+where r_reason_sk = 1
+""",
+    32: """
+select sum(cs_ext_discount_amt) as "excess discount amount"
+from catalog_sales, item, date_dim
+where i_manufact_id = 77
+    and i_item_sk = cs_item_sk
+    and d_date between '2000-01-27'
+        and (cast('2000-01-27' as date) + interval '90' day)
+    and d_date_sk = cs_sold_date_sk
+    and cs_ext_discount_amt > (
+        select 1.3 * avg(cs_ext_discount_amt)
+        from catalog_sales, date_dim
+        where cs_item_sk = i_item_sk
+            and d_date between '2000-01-27'
+                and (cast('2000-01-27' as date) + interval '90' day)
+            and d_date_sk = cs_sold_date_sk)
+limit 100
+""",
+    60: """
+with ss as (
+    select i_item_id, sum(ss_ext_sales_price) total_sales
+    from store_sales, date_dim, customer_address, item
+    where i_item_id in (select i_item_id from item
+                        where i_category in ('Children'))
+        and ss_item_sk = i_item_sk
+        and ss_sold_date_sk = d_date_sk
+        and d_year = 2000 and d_moy = 9
+        and ss_addr_sk = ca_address_sk
+        and ca_gmt_offset = -5
+    group by i_item_id),
+cs as (
+    select i_item_id, sum(cs_ext_sales_price) total_sales
+    from catalog_sales, date_dim, customer_address, item
+    where i_item_id in (select i_item_id from item
+                        where i_category in ('Children'))
+        and cs_item_sk = i_item_sk
+        and cs_sold_date_sk = d_date_sk
+        and d_year = 2000 and d_moy = 9
+        and cs_addr_sk = ca_address_sk
+        and ca_gmt_offset = -5
+    group by i_item_id),
+ws as (
+    select i_item_id, sum(ws_ext_sales_price) total_sales
+    from web_sales, date_dim, customer_address, item
+    where i_item_id in (select i_item_id from item
+                        where i_category in ('Children'))
+        and ws_item_sk = i_item_sk
+        and ws_sold_date_sk = d_date_sk
+        and d_year = 2000 and d_moy = 9
+        and ws_addr_sk = ca_address_sk
+        and ca_gmt_offset = -5
+    group by i_item_id)
+select i_item_id, sum(total_sales) total_sales
+from (select * from ss union all select * from cs
+      union all select * from ws) tmp1
+group by i_item_id
+order by i_item_id, total_sales
+limit 100
+""",
+    61: """
+select promotions, total,
+    cast(promotions as decimal) / cast(total as decimal) * 100 as ratio
+from (select sum(ss_ext_sales_price) promotions
+      from store_sales, store, promotion, date_dim, customer,
+          customer_address, item
+      where ss_sold_date_sk = d_date_sk
+          and ss_store_sk = s_store_sk
+          and ss_promo_sk = p_promo_sk
+          and ss_customer_sk = c_customer_sk
+          and ca_address_sk = c_current_addr_sk
+          and ss_item_sk = i_item_sk
+          and ca_gmt_offset = -5
+          and i_category = 'Jewelry'
+          and (p_channel_email = 'Y' or p_channel_event = 'Y')
+          and s_gmt_offset = -5
+          and d_year = 1998 and d_moy = 11) promotional_sales,
+    (select sum(ss_ext_sales_price) total
+     from store_sales, store, date_dim, customer, customer_address,
+         item
+     where ss_sold_date_sk = d_date_sk
+         and ss_store_sk = s_store_sk
+         and ss_customer_sk = c_customer_sk
+         and ca_address_sk = c_current_addr_sk
+         and ss_item_sk = i_item_sk
+         and ca_gmt_offset = -5
+         and i_category = 'Jewelry'
+         and s_gmt_offset = -5
+         and d_year = 1998 and d_moy = 11) all_sales
+order by promotions, total
+limit 100
+""",
+    63: """
+select manager_id, sum_sales, avg_monthly_sales
+from (select i_manager_id manager_id,
+          sum(ss_sales_price) sum_sales,
+          avg(sum(ss_sales_price)) over (partition by i_manager_id)
+              avg_monthly_sales
+      from item, store_sales, date_dim, store
+      where ss_item_sk = i_item_sk
+          and ss_sold_date_sk = d_date_sk
+          and ss_store_sk = s_store_sk
+          and d_month_seq in (24, 25, 26, 27, 28, 29, 30, 31, 32, 33,
+                              34, 35)
+          and i_category in ('Books', 'Children', 'Electronics')
+      group by i_manager_id, d_moy) tmp1
+where case when avg_monthly_sales > 0
+          then abs(sum_sales - avg_monthly_sales) / avg_monthly_sales
+          else null end > 0.1
+order by manager_id, avg_monthly_sales, sum_sales
+limit 100
+""",
+    68: """
+select c_last_name, c_first_name, ca_city, bought_city,
+    ss_ticket_number, extended_price, extended_tax, list_price
+from (select ss_ticket_number, ss_customer_sk, ca_city bought_city,
+          sum(ss_ext_sales_price) extended_price,
+          sum(ss_ext_list_price) list_price,
+          sum(ss_coupon_amt) extended_tax
+      from store_sales, date_dim, store, household_demographics,
+          customer_address
+      where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+          and store_sales.ss_store_sk = store.s_store_sk
+          and store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+          and store_sales.ss_addr_sk = customer_address.ca_address_sk
+          and date_dim.d_dom between 1 and 2
+          and (household_demographics.hd_dep_count = 4
+               or household_demographics.hd_vehicle_count = 3)
+          and date_dim.d_year in (1999, 2000, 2001)
+          and store.s_city in ('city1', 'city2')
+      group by ss_ticket_number, ss_customer_sk, ss_addr_sk, ca_city)
+    dn, customer, customer_address current_addr
+where ss_customer_sk = c_customer_sk
+    and customer.c_current_addr_sk = current_addr.ca_address_sk
+    and current_addr.ca_city <> bought_city
+order by c_last_name, ss_ticket_number
+limit 100
+""",
+    88: """
+select *
+from (select count(*) h8_30_to_9
+      from store_sales, household_demographics, time_dim, store
+      where ss_sold_time_sk = time_dim.t_time_sk
+          and ss_hdemo_sk = household_demographics.hd_demo_sk
+          and ss_store_sk = s_store_sk
+          and time_dim.t_hour = 8 and time_dim.t_minute >= 30
+          and ((household_demographics.hd_dep_count = 4
+                and household_demographics.hd_vehicle_count <= 6)
+               or (household_demographics.hd_dep_count = 2
+                   and household_demographics.hd_vehicle_count <= 4)
+               or (household_demographics.hd_dep_count = 0
+                   and household_demographics.hd_vehicle_count <= 2))
+          and store.s_store_name = 'store a') s1,
+    (select count(*) h9_to_9_30
+     from store_sales, household_demographics, time_dim, store
+     where ss_sold_time_sk = time_dim.t_time_sk
+         and ss_hdemo_sk = household_demographics.hd_demo_sk
+         and ss_store_sk = s_store_sk
+         and time_dim.t_hour = 9 and time_dim.t_minute < 30
+         and ((household_demographics.hd_dep_count = 4
+               and household_demographics.hd_vehicle_count <= 6)
+              or (household_demographics.hd_dep_count = 2
+                  and household_demographics.hd_vehicle_count <= 4)
+              or (household_demographics.hd_dep_count = 0
+                  and household_demographics.hd_vehicle_count <= 2))
+         and store.s_store_name = 'store a') s2,
+    (select count(*) h9_30_to_10
+     from store_sales, household_demographics, time_dim, store
+     where ss_sold_time_sk = time_dim.t_time_sk
+         and ss_hdemo_sk = household_demographics.hd_demo_sk
+         and ss_store_sk = s_store_sk
+         and time_dim.t_hour = 9 and time_dim.t_minute >= 30
+         and ((household_demographics.hd_dep_count = 4
+               and household_demographics.hd_vehicle_count <= 6)
+              or (household_demographics.hd_dep_count = 2
+                  and household_demographics.hd_vehicle_count <= 4)
+              or (household_demographics.hd_dep_count = 0
+                  and household_demographics.hd_vehicle_count <= 2))
+         and store.s_store_name = 'store a') s3,
+    (select count(*) h10_to_10_30
+     from store_sales, household_demographics, time_dim, store
+     where ss_sold_time_sk = time_dim.t_time_sk
+         and ss_hdemo_sk = household_demographics.hd_demo_sk
+         and ss_store_sk = s_store_sk
+         and time_dim.t_hour = 10 and time_dim.t_minute < 30
+         and ((household_demographics.hd_dep_count = 4
+               and household_demographics.hd_vehicle_count <= 6)
+              or (household_demographics.hd_dep_count = 2
+                  and household_demographics.hd_vehicle_count <= 4)
+              or (household_demographics.hd_dep_count = 0
+                  and household_demographics.hd_vehicle_count <= 2))
+         and store.s_store_name = 'store a') s4
+""",
+    89: """
+select *
+from (select i_category, i_class, i_brand, s_store_name, s_company_name,
+          d_moy, sum(ss_sales_price) sum_sales,
+          avg(sum(ss_sales_price)) over (partition by i_category,
+              i_brand, s_store_name, s_company_name) avg_monthly_sales
+      from item, store_sales, date_dim, store
+      where ss_item_sk = i_item_sk
+          and ss_sold_date_sk = d_date_sk
+          and ss_store_sk = s_store_sk
+          and d_year in (1999)
+          and ((i_category in ('Books', 'Electronics', 'Sports')
+                and i_class in ('bookclass1', 'elecclass2', 'sporclass3'))
+               or (i_category in ('Men', 'Jewelry', 'Women')
+                   and i_class in ('menclass1', 'jeweclass2',
+                                   'womeclass3')))
+      group by i_category, i_class, i_brand, s_store_name,
+          s_company_name, d_moy) tmp1
+where case when avg_monthly_sales <> 0
+          then abs(sum_sales - avg_monthly_sales) / avg_monthly_sales
+          else null end > 0.1
+order by sum_sales - avg_monthly_sales, s_store_name
+limit 100
+""",
+    92: """
+select sum(ws_ext_discount_amt) as "excess discount amount"
+from web_sales, item, date_dim
+where i_manufact_id = 350
+    and i_item_sk = ws_item_sk
+    and d_date between '2000-01-27'
+        and (cast('2000-01-27' as date) + interval '90' day)
+    and d_date_sk = ws_sold_date_sk
+    and ws_ext_discount_amt > (
+        select 1.3 * avg(ws_ext_discount_amt)
+        from web_sales, date_dim
+        where ws_item_sk = i_item_sk
+            and d_date between '2000-01-27'
+                and (cast('2000-01-27' as date) + interval '90' day)
+            and d_date_sk = ws_sold_date_sk)
+order by sum(ws_ext_discount_amt)
+limit 100
+""",
 }

@@ -499,9 +499,7 @@ def q86(t):
               "rank_within_parent"]].head(100)
 
 
-REFS = {i: globals()[f"q{i}"] for i in
-        (3, 7, 12, 13, 18, 19, 20, 22, 26, 27, 36, 42, 43, 47, 51, 52,
-         55, 73, 86, 90, 93, 96, 97, 98)}
+
 
 
 def to_pandas_tables(tables) -> Dict[str, pd.DataFrame]:
@@ -513,3 +511,607 @@ def to_pandas_tables(tables) -> Dict[str, pd.DataFrame]:
                 df[col] = pd.to_datetime(df[col])
         out[name] = df
     return out
+
+
+def q15(t):
+    j = (t["catalog_sales"]
+         .merge(t["customer"], left_on="cs_customer_sk",
+                right_on="c_customer_sk")
+         .merge(t["customer_address"], left_on="c_current_addr_sk",
+                right_on="ca_address_sk")
+         .merge(t["date_dim"], left_on="cs_sold_date_sk",
+                right_on="d_date_sk"))
+    j = j[(j.d_qoy == 2) & (j.d_year == 2001)]
+    m = (j.ca_zip.str[:2].isin(["85", "86", "88", "83", "80", "81"])
+         | j.ca_state.isin(["CA", "WA", "GA"]) | (j.cs_sales_price > 500))
+    g = j[m].groupby("ca_zip", as_index=False).cs_sales_price.sum()
+    g.columns = ["ca_zip", "sum_sales"]
+    return g.sort_values("ca_zip").head(100).reset_index(drop=True)
+
+
+def _q25_like(t, aggs):
+    d = t["date_dim"]
+    ss = (t["store_sales"]
+          .merge(d[(d.d_moy == aggs["moy"]) & (d.d_year == aggs["year"])],
+                 left_on="ss_sold_date_sk", right_on="d_date_sk"))
+    d2 = d[(d.d_moy.between(*aggs["ret_moy"])) & (d.d_year == aggs["ret_year"])] \
+        if aggs.get("ret_year") else d
+    sr = t["store_returns"].merge(
+        d2, left_on="sr_returned_date_sk", right_on="d_date_sk")
+    d3f = aggs["cs_filter"]
+    cs = t["catalog_sales"].merge(
+        d[d3f(d)], left_on="cs_sold_date_sk", right_on="d_date_sk")
+    j = (ss.merge(sr[["sr_customer_sk", "sr_item_sk", "sr_ticket_number",
+                      "sr_net_loss", "sr_return_quantity"]],
+                  left_on=["ss_customer_sk", "ss_item_sk",
+                           "ss_ticket_number"],
+                  right_on=["sr_customer_sk", "sr_item_sk",
+                            "sr_ticket_number"])
+         .merge(cs[["cs_customer_sk", "cs_item_sk", "cs_net_profit",
+                    "cs_quantity"]],
+                left_on=["sr_customer_sk", "sr_item_sk"],
+                right_on=["cs_customer_sk", "cs_item_sk"])
+         .merge(t["store"], left_on="ss_store_sk", right_on="s_store_sk")
+         .merge(t["item"], left_on="ss_item_sk", right_on="i_item_sk"))
+    g = j.groupby(["i_item_id", "i_item_desc", "s_store_id",
+                   "s_store_name"], as_index=False).agg(**aggs["cols"])
+    g = g.sort_values(["i_item_id", "i_item_desc", "s_store_id",
+                       "s_store_name"])
+    return g.head(100).reset_index(drop=True)
+
+
+def q25(t):
+    return _q25_like(t, {
+        "moy": 4, "year": 2001, "ret_moy": (4, 10), "ret_year": 2001,
+        "cs_filter": lambda d: d.d_moy.between(4, 10) & (d.d_year == 2001),
+        "cols": {
+            "store_sales_profit": ("ss_net_profit", "sum"),
+            "store_returns_loss": ("sr_net_loss", "sum"),
+            "catalog_sales_profit": ("cs_net_profit", "sum")}})
+
+
+def q29(t):
+    return _q25_like(t, {
+        "moy": 9, "year": 1999, "ret_moy": (9, 12), "ret_year": 1999,
+        "cs_filter": lambda d: d.d_year.isin([1999, 2000, 2001]),
+        "cols": {
+            "store_sales_quantity": ("ss_quantity", "sum"),
+            "store_returns_quantity": ("sr_return_quantity", "sum"),
+            "catalog_sales_quantity": ("cs_quantity", "sum")}})
+
+
+def _q37_like(t, fact, pfx, lo, hi, start, manufs):
+    it = t["item"]
+    it = it[it.i_current_price.between(lo, hi)
+            & it.i_manufact_id.isin(manufs)]
+    d = t["date_dim"]
+    start = pd.Timestamp(start)
+    dd = d[(pd.to_datetime(d.d_date) >= start)
+           & (pd.to_datetime(d.d_date) <= start + pd.Timedelta(days=60))]
+    inv = t["inventory"]
+    inv = inv[inv.inv_quantity_on_hand.between(100, 500)]
+    j = (it.merge(inv, left_on="i_item_sk", right_on="inv_item_sk")
+         .merge(dd, left_on="inv_date_sk", right_on="d_date_sk")
+         .merge(t[fact][[f"{pfx}_item_sk"]], left_on="i_item_sk",
+                right_on=f"{pfx}_item_sk"))
+    g = j.groupby(["i_item_id", "i_item_desc", "i_current_price"],
+                  as_index=False).size()[
+        ["i_item_id", "i_item_desc", "i_current_price"]]
+    return g.sort_values("i_item_id").head(100).reset_index(drop=True)
+
+
+def q37(t):
+    return _q37_like(t, "catalog_sales", "cs", 68, 98, "2000-02-01",
+                     [677, 940, 694, 808])
+
+
+def q82(t):
+    return _q37_like(t, "store_sales", "ss", 62, 92, "2000-05-25",
+                     [129, 270, 821, 423])
+
+
+def q48(t):
+    j = (t["store_sales"]
+         .merge(t["store"], left_on="ss_store_sk", right_on="s_store_sk")
+         .merge(t["date_dim"], left_on="ss_sold_date_sk",
+                right_on="d_date_sk")
+         .merge(t["customer_demographics"], left_on="ss_cdemo_sk",
+                right_on="cd_demo_sk")
+         .merge(t["customer_address"], left_on="ss_addr_sk",
+                right_on="ca_address_sk"))
+    j = j[j.d_year == 2000]
+    m1 = (((j.cd_marital_status == "M")
+           & (j.cd_education_status == "4 yr Degree")
+           & j.ss_sales_price.between(100.0, 150.0))
+          | ((j.cd_marital_status == "D")
+             & (j.cd_education_status == "2 yr Degree")
+             & j.ss_sales_price.between(50.0, 100.0))
+          | ((j.cd_marital_status == "S")
+             & (j.cd_education_status == "College")
+             & j.ss_sales_price.between(150.0, 200.0)))
+    m2 = ((j.ca_country == "United States")
+          & ((j.ca_state.isin(["CO", "OH", "TX"])
+              & j.ss_net_profit.between(0, 2000))
+             | (j.ca_state.isin(["OR", "MN", "KY"])
+                & j.ss_net_profit.between(150, 3000))
+             | (j.ca_state.isin(["VA", "CA", "MS"])
+                & j.ss_net_profit.between(50, 25000))))
+    total = j[m1 & m2].ss_quantity.sum()
+    return pd.DataFrame({"total": [float(total) if len(j[m1 & m2])
+                                   else np.nan]})
+
+
+def q50(t):
+    d = t["date_dim"]
+    d2 = d[(d.d_year == 2001) & (d.d_moy == 8)]
+    j = (t["store_sales"]
+         .merge(t["store_returns"],
+                left_on=["ss_ticket_number", "ss_item_sk",
+                         "ss_customer_sk"],
+                right_on=["sr_ticket_number", "sr_item_sk",
+                          "sr_customer_sk"])
+         .merge(d[["d_date_sk"]], left_on="ss_sold_date_sk",
+                right_on="d_date_sk")
+         .merge(d2[["d_date_sk"]].rename(columns={"d_date_sk": "d2_sk"}),
+                left_on="sr_returned_date_sk", right_on="d2_sk")
+         .merge(t["store"], left_on="ss_store_sk", right_on="s_store_sk"))
+    lag = j.sr_returned_date_sk - j.ss_sold_date_sk
+    j = j.assign(
+        b30=(lag <= 30).astype(int),
+        b60=((lag > 30) & (lag <= 60)).astype(int),
+        b90=((lag > 60) & (lag <= 90)).astype(int),
+        b120=((lag > 90) & (lag <= 120)).astype(int),
+        bmore=(lag > 120).astype(int))
+    g = j.groupby(["s_store_name", "s_company_name", "s_county"],
+                  as_index=False).agg(
+        **{"30 days": ("b30", "sum"), "31-60 days": ("b60", "sum"),
+           "61-90 days": ("b90", "sum"), "91-120 days": ("b120", "sum"),
+           ">120 days": ("bmore", "sum")})
+    g = g.sort_values(["s_store_name", "s_company_name", "s_county"])
+    return g.head(100).reset_index(drop=True)
+
+
+def q65(t):
+    d = t["date_dim"]
+    ss = t["store_sales"].merge(
+        d[d.d_month_seq.between(24, 35)][["d_date_sk"]],
+        left_on="ss_sold_date_sk", right_on="d_date_sk")
+    sc = ss.groupby(["ss_store_sk", "ss_item_sk"],
+                    as_index=False).ss_sales_price.sum()
+    sc.columns = ["ss_store_sk", "ss_item_sk", "revenue"]
+    sb = sc.groupby("ss_store_sk", as_index=False).revenue.mean()
+    sb.columns = ["ss_store_sk", "ave"]
+    j = sc.merge(sb, on="ss_store_sk")
+    j = j[j.revenue <= 0.1 * j.ave]
+    j = (j.merge(t["store"], left_on="ss_store_sk", right_on="s_store_sk")
+         .merge(t["item"], left_on="ss_item_sk", right_on="i_item_sk"))
+    out = j[["s_store_name", "i_item_desc", "revenue", "i_current_price",
+             "i_wholesale_cost", "i_brand"]]
+    out = out.sort_values(["s_store_name", "i_item_desc"])
+    return out.head(100).reset_index(drop=True)
+
+
+def q79(t):
+    hd = t["household_demographics"]
+    st = t["store"]
+    d = t["date_dim"]
+    j = (t["store_sales"]
+         .merge(d[(d.d_dow == 1) & d.d_year.isin([1999, 2000, 2001])],
+                left_on="ss_sold_date_sk", right_on="d_date_sk")
+         .merge(st[st.s_number_employees.between(200, 295)],
+                left_on="ss_store_sk", right_on="s_store_sk")
+         .merge(hd[(hd.hd_dep_count == 6) | (hd.hd_vehicle_count > 2)],
+                left_on="ss_hdemo_sk", right_on="hd_demo_sk"))
+    ms = j.groupby(["ss_ticket_number", "ss_customer_sk", "ss_addr_sk",
+                    "s_city"], as_index=False).agg(
+        amt=("ss_coupon_amt", "sum"), profit=("ss_net_profit", "sum"))
+    out = ms.merge(t["customer"], left_on="ss_customer_sk",
+                   right_on="c_customer_sk")
+    out = out.assign(city30=out.s_city.str[:30])
+    out = out[["c_last_name", "c_first_name", "city30",
+               "ss_ticket_number", "amt", "profit"]]
+    out = out.sort_values(["c_last_name", "c_first_name", "city30",
+                           "profit", "ss_ticket_number"])
+    return out.head(100).reset_index(drop=True)
+
+
+
+
+def q28(t):
+    ss = t["store_sales"]
+
+    def bucket(qlo, qhi, lp, cp, wc):
+        d = ss[ss.ss_quantity.between(qlo, qhi)
+               & (ss.ss_list_price.between(*lp)
+                  | ss.ss_coupon_amt.between(*cp)
+                  | ss.ss_wholesale_cost.between(*wc))]
+        n = d.ss_list_price.count()
+        return (d.ss_list_price.mean() if n else np.nan, int(n),
+                int(d.ss_list_price.nunique()))
+
+    b1 = bucket(0, 5, (8, 18), (459, 1459), (57, 77))
+    b2 = bucket(6, 10, (90, 100), (2323, 3323), (31, 51))
+    b3 = bucket(11, 15, (142, 152), (12214, 13214), (79, 99))
+    b4 = bucket(16, 20, (135, 145), (6071, 7071), (38, 58))
+    row = b1 + b2 + b3 + b4
+    cols = []
+    for i in range(1, 5):
+        cols += [f"b{i}_lp", f"b{i}_cnt", f"b{i}_cntd"]
+    return pd.DataFrame([row], columns=cols)
+
+
+def _q33_like(t, keycol, category, year, moy):
+    keep = set(t["item"][t["item"].i_category == category][keycol])
+    parts = []
+    for fact, pfx in (("store_sales", "ss"), ("catalog_sales", "cs"),
+                      ("web_sales", "ws")):
+        j = (t[fact]
+             .merge(t["date_dim"], left_on=f"{pfx}_sold_date_sk",
+                    right_on="d_date_sk")
+             .merge(t["customer_address"], left_on=f"{pfx}_addr_sk",
+                    right_on="ca_address_sk")
+             .merge(t["item"], left_on=f"{pfx}_item_sk",
+                    right_on="i_item_sk"))
+        j = j[(j.d_year == year) & (j.d_moy == moy)
+              & (j.ca_gmt_offset == -5) & j[keycol].isin(keep)]
+        g = j.groupby(keycol, as_index=False)[
+            f"{pfx}_ext_sales_price"].sum()
+        g.columns = [keycol, "total_sales"]
+        parts.append(g)
+    u = pd.concat(parts, ignore_index=True)
+    g = u.groupby(keycol, as_index=False).total_sales.sum()
+    g = g.sort_values(["total_sales", keycol])
+    return g.head(100).reset_index(drop=True)
+
+
+def q33(t):
+    return _q33_like(t, "i_manufact_id", "Electronics", 1998, 5)
+
+
+def q56(t):
+    g = _q33_like(t, "i_item_id", "Music", 2001, 2)
+    return g
+
+
+def q34(t):
+    hd = t["household_demographics"]
+    d = t["date_dim"]
+    st = t["store"]
+    j = (t["store_sales"]
+         .merge(d[(d.d_dom.between(1, 3) | d.d_dom.between(25, 28))
+                  & d.d_year.isin([1999, 2000, 2001])],
+                left_on="ss_sold_date_sk", right_on="d_date_sk")
+         .merge(st[st.s_county.isin(
+             ["Williamson County", "Walker County", "Ziebach County"])],
+             left_on="ss_store_sk", right_on="s_store_sk")
+         .merge(hd[hd.hd_buy_potential.isin([">10000", "Unknown"])
+                   & (hd.hd_vehicle_count > 0)
+                   & (hd.hd_dep_count / hd.hd_vehicle_count > 1.2)],
+                left_on="ss_hdemo_sk", right_on="hd_demo_sk"))
+    dn = j.groupby(["ss_ticket_number", "ss_customer_sk"],
+                   as_index=False).size().rename(columns={"size": "cnt"})
+    dn = dn[dn.cnt.between(15, 20)]
+    out = dn.merge(t["customer"], left_on="ss_customer_sk",
+                   right_on="c_customer_sk")
+    out = out[["c_last_name", "c_first_name", "c_salutation",
+               "c_preferred_cust_flag", "ss_ticket_number", "cnt"]]
+    out = out.sort_values(
+        ["c_last_name", "c_first_name", "c_salutation",
+         "c_preferred_cust_flag", "ss_ticket_number"],
+        ascending=[True, True, True, False, True])
+    return out.reset_index(drop=True)
+
+
+def q38(t):
+    sets = []
+    for fact, pfx in (("store_sales", "ss"), ("catalog_sales", "cs"),
+                      ("web_sales", "ws")):
+        j = (t[fact]
+             .merge(t["date_dim"], left_on=f"{pfx}_sold_date_sk",
+                    right_on="d_date_sk")
+             .merge(t["customer"], left_on=f"{pfx}_customer_sk",
+                    right_on="c_customer_sk"))
+        j = j[j.d_month_seq.between(24, 35)]
+        sets.append(set(map(tuple, j[["c_last_name", "c_first_name",
+                                      "d_date"]].itertuples(index=False))))
+    return pd.DataFrame(
+        {"count(*)": [len(sets[0] & sets[1] & sets[2])]})
+
+
+def q41(t):
+    it = t["item"]
+    counts = it[it.i_category == "Women"].groupby("i_manufact_id").size()
+    keep = set(counts[counts > 0].index)
+    d = it[it.i_manufact_id.between(738, 778)
+           & it.i_manufact_id.isin(keep)]
+    out = pd.DataFrame({"i_product_name":
+                        sorted(d.i_product_name.unique())})
+    return out.head(100).reset_index(drop=True)
+
+
+
+def q45(t):
+    keep_ids = set(t["item"][t["item"].i_item_sk.isin(
+        [2, 3, 5, 7, 11, 13, 17, 19, 23, 29])].i_item_id)
+    j = (t["web_sales"]
+         .merge(t["customer"], left_on="ws_customer_sk",
+                right_on="c_customer_sk")
+         .merge(t["customer_address"], left_on="c_current_addr_sk",
+                right_on="ca_address_sk")
+         .merge(t["date_dim"], left_on="ws_sold_date_sk",
+                right_on="d_date_sk")
+         .merge(t["item"], left_on="ws_item_sk", right_on="i_item_sk"))
+    j = j[(j.d_qoy == 2) & (j.d_year == 2001)]
+    m = (j.ca_zip.str[:5].isin(
+        ["85669", "86197", "88274", "83405", "86475", "85392", "85460",
+         "80348", "81792"]) | j.i_item_id.isin(keep_ids))
+    g = j[m].groupby(["ca_zip", "ca_city"], as_index=False
+                     ).ws_sales_price.sum()
+    g.columns = ["ca_zip", "ca_city", "sum_sales"]
+    g = g.sort_values(["ca_zip", "ca_city"])
+    return g.head(100).reset_index(drop=True)
+
+
+def q46(t):
+    hd = t["household_demographics"]
+    d = t["date_dim"]
+    st = t["store"]
+    j = (t["store_sales"]
+         .merge(d[d.d_dow.isin([6, 0]) & d.d_year.isin([1999, 2000, 2001])],
+                left_on="ss_sold_date_sk", right_on="d_date_sk")
+         .merge(st[st.s_city.isin(
+             ["city1", "city2", "city3", "city4", "city5"])],
+             left_on="ss_store_sk", right_on="s_store_sk")
+         .merge(hd[(hd.hd_dep_count == 4) | (hd.hd_vehicle_count == 3)],
+                left_on="ss_hdemo_sk", right_on="hd_demo_sk")
+         .merge(t["customer_address"], left_on="ss_addr_sk",
+                right_on="ca_address_sk"))
+    dn = j.groupby(["ss_ticket_number", "ss_customer_sk", "ss_addr_sk",
+                    "ca_city"], as_index=False).agg(
+        amt=("ss_coupon_amt", "sum"), profit=("ss_net_profit", "sum"))
+    dn = dn.rename(columns={"ca_city": "bought_city"})
+    out = (dn.merge(t["customer"], left_on="ss_customer_sk",
+                    right_on="c_customer_sk")
+           .merge(t["customer_address"], left_on="c_current_addr_sk",
+                  right_on="ca_address_sk"))
+    out = out[out.ca_city != out.bought_city]
+    out = out[["c_last_name", "c_first_name", "ca_city", "bought_city",
+               "ss_ticket_number", "amt", "profit"]]
+    out = out.sort_values(["c_last_name", "c_first_name", "ca_city",
+                           "bought_city", "ss_ticket_number"])
+    return out.head(100).reset_index(drop=True)
+
+
+def q53(t):
+    d = t["date_dim"]
+    j = (t["store_sales"]
+         .merge(t["item"], left_on="ss_item_sk", right_on="i_item_sk")
+         .merge(d[d.d_month_seq.between(24, 35)],
+                left_on="ss_sold_date_sk", right_on="d_date_sk")
+         .merge(t["store"], left_on="ss_store_sk", right_on="s_store_sk"))
+    j = j[j.i_category.isin(["Books", "Children", "Electronics"])]
+    g = j.groupby(["i_manufact_id", "d_qoy"], as_index=False
+                  ).ss_sales_price.sum()
+    g.columns = ["manufact_id", "d_qoy", "sum_sales"]
+    g["avg_quarterly_sales"] = g.groupby("manufact_id"
+                                         )["sum_sales"].transform("mean")
+    m = np.where(g.avg_quarterly_sales > 0,
+                 np.abs(g.sum_sales - g.avg_quarterly_sales)
+                 / g.avg_quarterly_sales, np.nan) > 0.1
+    out = g[m][["manufact_id", "sum_sales", "avg_quarterly_sales"]]
+    out = out.sort_values(["avg_quarterly_sales", "sum_sales",
+                           "manufact_id"])
+    return out.head(100).reset_index(drop=True)
+
+
+def q6(t):
+    d = t["date_dim"]
+    seq = d[(d.d_year == 2001) & (d.d_moy == 1)].d_month_seq.unique()
+    it = t["item"].copy()
+    cat_avg = it.groupby("i_category").i_current_price.transform("mean")
+    hot = set(it[it.i_current_price > 1.2 * cat_avg].i_item_sk)
+    j = (t["store_sales"]
+         .merge(d[d.d_month_seq.isin(seq)][["d_date_sk"]],
+                left_on="ss_sold_date_sk", right_on="d_date_sk")
+         .merge(t["customer"], left_on="ss_customer_sk",
+                right_on="c_customer_sk")
+         .merge(t["customer_address"], left_on="c_current_addr_sk",
+                right_on="ca_address_sk"))
+    j = j[j.ss_item_sk.isin(hot)]
+    g = j.groupby("ca_state", as_index=False).size()
+    g.columns = ["state", "cnt"]
+    g = g[g.cnt >= 10].sort_values(["cnt", "state"])
+    return g.head(100).reset_index(drop=True)
+
+
+def q9(t):
+    ss = t["store_sales"]
+    thresholds = [25437, 22746, 9387, 10098, 18213]
+    row = {}
+    for i, (lo, hi) in enumerate(
+            [(1, 20), (21, 40), (41, 60), (61, 80), (81, 100)]):
+        d = ss[ss.ss_quantity.between(lo, hi)]
+        v = (d.ss_ext_discount_amt.mean() if len(d) > thresholds[i]
+             else d.ss_net_paid.mean())
+        row[f"bucket{i + 1}"] = v if len(d) else np.nan
+    return pd.DataFrame([row])
+
+
+def _q32_like(t, fact, pfx, manuf):
+    d = t["date_dim"]
+    start = pd.Timestamp("2000-01-27")
+    dd = d[(pd.to_datetime(d.d_date) >= start)
+           & (pd.to_datetime(d.d_date) <= start + pd.Timedelta(days=90))]
+    f = t[fact].merge(dd[["d_date_sk"]],
+                      left_on=f"{pfx}_sold_date_sk", right_on="d_date_sk")
+    avg_by_item = f.groupby(f"{pfx}_item_sk")[
+        f"{pfx}_ext_discount_amt"].transform("mean")
+    keep_items = set(t["item"][t["item"].i_manufact_id == manuf].i_item_sk)
+    m = f[f"{pfx}_item_sk"].isin(keep_items) \
+        & (f[f"{pfx}_ext_discount_amt"] > 1.3 * avg_by_item)
+    s = f[m][f"{pfx}_ext_discount_amt"].sum()
+    return pd.DataFrame({"excess discount amount":
+                         [s if m.any() else np.nan]})
+
+
+def q32(t):
+    return _q32_like(t, "catalog_sales", "cs", 77)
+
+
+def q92(t):
+    return _q32_like(t, "web_sales", "ws", 350)
+
+
+def q60(t):
+    g = _q33_like(t, "i_item_id", "Children", 2000, 9)
+    return g.sort_values(["i_item_id", "total_sales"]).head(100
+        ).reset_index(drop=True)
+
+
+def q61(t):
+    base = (t["store_sales"]
+            .merge(t["store"], left_on="ss_store_sk",
+                   right_on="s_store_sk")
+            .merge(t["date_dim"], left_on="ss_sold_date_sk",
+                   right_on="d_date_sk")
+            .merge(t["customer"], left_on="ss_customer_sk",
+                   right_on="c_customer_sk")
+            .merge(t["customer_address"], left_on="c_current_addr_sk",
+                   right_on="ca_address_sk")
+            .merge(t["item"], left_on="ss_item_sk", right_on="i_item_sk"))
+    base = base[(base.ca_gmt_offset == -5) & (base.s_gmt_offset == -5)
+                & (base.i_category == "Jewelry") & (base.d_year == 1998)
+                & (base.d_moy == 11)]
+    promo = base.merge(t["promotion"], left_on="ss_promo_sk",
+                       right_on="p_promo_sk")
+    promo = promo[(promo.p_channel_email == "Y")
+                  | (promo.p_channel_event == "Y")]
+    # SQL SUM over an empty set is NULL (not pandas' 0.0)
+    p = promo.ss_ext_sales_price.sum() if len(promo) else np.nan
+    tot = base.ss_ext_sales_price.sum() if len(base) else np.nan
+    ratio = p / tot * 100 if tot else np.nan
+    return pd.DataFrame({"promotions": [p], "total": [tot],
+                         "ratio": [ratio]})
+
+
+def q63(t):
+    d = t["date_dim"]
+    j = (t["store_sales"]
+         .merge(t["item"], left_on="ss_item_sk", right_on="i_item_sk")
+         .merge(d[d.d_month_seq.between(24, 35)],
+                left_on="ss_sold_date_sk", right_on="d_date_sk")
+         .merge(t["store"], left_on="ss_store_sk", right_on="s_store_sk"))
+    j = j[j.i_category.isin(["Books", "Children", "Electronics"])]
+    g = j.groupby(["i_manager_id", "d_moy"], as_index=False
+                  ).ss_sales_price.sum()
+    g.columns = ["manager_id", "d_moy", "sum_sales"]
+    g["avg_monthly_sales"] = g.groupby("manager_id"
+                                       )["sum_sales"].transform("mean")
+    m = np.where(g.avg_monthly_sales > 0,
+                 np.abs(g.sum_sales - g.avg_monthly_sales)
+                 / g.avg_monthly_sales, np.nan) > 0.1
+    out = g[m][["manager_id", "sum_sales", "avg_monthly_sales"]]
+    out = out.sort_values(["manager_id", "avg_monthly_sales",
+                           "sum_sales"])
+    return out.head(100).reset_index(drop=True)
+
+
+def q68(t):
+    hd = t["household_demographics"]
+    d = t["date_dim"]
+    st = t["store"]
+    j = (t["store_sales"]
+         .merge(d[d.d_dom.between(1, 2) & d.d_year.isin([1999, 2000, 2001])],
+                left_on="ss_sold_date_sk", right_on="d_date_sk")
+         .merge(st[st.s_city.isin(["city1", "city2"])],
+                left_on="ss_store_sk", right_on="s_store_sk")
+         .merge(hd[(hd.hd_dep_count == 4) | (hd.hd_vehicle_count == 3)],
+                left_on="ss_hdemo_sk", right_on="hd_demo_sk")
+         .merge(t["customer_address"], left_on="ss_addr_sk",
+                right_on="ca_address_sk"))
+    dn = j.groupby(["ss_ticket_number", "ss_customer_sk", "ss_addr_sk",
+                    "ca_city"], as_index=False).agg(
+        extended_price=("ss_ext_sales_price", "sum"),
+        list_price=("ss_ext_list_price", "sum"),
+        extended_tax=("ss_coupon_amt", "sum"))
+    dn = dn.rename(columns={"ca_city": "bought_city"})
+    out = (dn.merge(t["customer"], left_on="ss_customer_sk",
+                    right_on="c_customer_sk")
+           .merge(t["customer_address"], left_on="c_current_addr_sk",
+                  right_on="ca_address_sk"))
+    out = out[out.ca_city != out.bought_city]
+    out = out[["c_last_name", "c_first_name", "ca_city", "bought_city",
+               "ss_ticket_number", "extended_price", "extended_tax",
+               "list_price"]]
+    out = out.sort_values(["c_last_name", "ss_ticket_number"])
+    return out.head(100).reset_index(drop=True)
+
+
+def q88(t):
+    hd = t["household_demographics"]
+    hsel = hd[((hd.hd_dep_count == 4) & (hd.hd_vehicle_count <= 6))
+              | ((hd.hd_dep_count == 2) & (hd.hd_vehicle_count <= 4))
+              | ((hd.hd_dep_count == 0) & (hd.hd_vehicle_count <= 2))]
+    st = t["store"][t["store"].s_store_name == "store a"]
+    td = t["time_dim"]
+    base = (t["store_sales"]
+            .merge(td, left_on="ss_sold_time_sk", right_on="t_time_sk")
+            .merge(hsel[["hd_demo_sk"]], left_on="ss_hdemo_sk",
+                   right_on="hd_demo_sk")
+            .merge(st[["s_store_sk"]], left_on="ss_store_sk",
+                   right_on="s_store_sk"))
+    row = {
+        "h8_30_to_9": int(((base.t_hour == 8)
+                           & (base.t_minute >= 30)).sum()),
+        "h9_to_9_30": int(((base.t_hour == 9)
+                           & (base.t_minute < 30)).sum()),
+        "h9_30_to_10": int(((base.t_hour == 9)
+                            & (base.t_minute >= 30)).sum()),
+        "h10_to_10_30": int(((base.t_hour == 10)
+                             & (base.t_minute < 30)).sum()),
+    }
+    return pd.DataFrame([row])
+
+
+def q89(t):
+    d = t["date_dim"]
+    it = t["item"]
+    m = ((it.i_category.isin(["Books", "Electronics", "Sports"])
+          & it.i_class.isin(["bookclass1", "elecclass2", "sporclass3"]))
+         | (it.i_category.isin(["Men", "Jewelry", "Women"])
+            & it.i_class.isin(["menclass1", "jeweclass2", "womeclass3"])))
+    j = (t["store_sales"]
+         .merge(it[m], left_on="ss_item_sk", right_on="i_item_sk")
+         .merge(d[d.d_year == 1999], left_on="ss_sold_date_sk",
+                right_on="d_date_sk")
+         .merge(t["store"], left_on="ss_store_sk", right_on="s_store_sk"))
+    g = j.groupby(["i_category", "i_class", "i_brand", "s_store_name",
+                   "s_company_name", "d_moy"], as_index=False
+                  ).ss_sales_price.sum()
+    g = g.rename(columns={"ss_sales_price": "sum_sales"})
+    g["avg_monthly_sales"] = g.groupby(
+        ["i_category", "i_brand", "s_store_name", "s_company_name"]
+    )["sum_sales"].transform("mean")
+    sel = np.where(g.avg_monthly_sales != 0,
+                   np.abs(g.sum_sales - g.avg_monthly_sales)
+                   / g.avg_monthly_sales, np.nan) > 0.1
+    out = g[sel]
+    out = out.assign(diff=out.sum_sales - out.avg_monthly_sales)
+    out = out.sort_values(["diff", "s_store_name"]).drop(columns="diff")
+    return out.head(100).reset_index(drop=True)
+
+
+
+def _collect_refs():
+    """qN oracle registry, collected at import end so additions below
+    earlier definitions are picked up automatically."""
+    import re
+    out = {}
+    for k, v in globals().items():
+        m = re.fullmatch(r"q(\d+)", k)
+        if m and callable(v):
+            out[int(m.group(1))] = v
+    return out
+
+
+REFS = _collect_refs()

@@ -306,12 +306,38 @@ def aggregate_vtable(sess, vt: VTable, key_cols: List[str],
             codes = [flat[ix[c]] for c in key_cols]
             knulls = [flat[ix[c] + 1] for c in key_cols]
             rspecs = []
-            for kind, cname in agg_specs:
+            for kind, spec in agg_specs:
                 if kind.startswith("key:"):
                     continue
                 if kind == "count_star":
                     rspecs.append({"kind": kind})
                     continue
+                if not isinstance(spec, str):
+                    # expression aggregate over shipped (decoded) columns
+                    from liquid_tpu.sql.fused_agg import eval_ir
+                    _, ir, colnames = spec
+                    nl = None
+                    for c in colnames:
+                        n = flat[ix[c] + 1]
+                        nl = n if nl is None else (nl | n)
+                    if nl is None:
+                        nl = jnp.zeros_like(live)
+
+                    def colfn(name, dtw):
+                        vv = flat[ix[name]]
+                        if dtw == "f64" and vv.dtype != jnp.float64:
+                            vv = vv.astype(jnp.float64)
+                        return vv
+
+                    v = jnp.asarray(eval_ir(ir, colfn))
+                    if v.ndim == 0:
+                        v = jnp.broadcast_to(v, live.shape)
+                    if kind == "avg" and v.dtype != jnp.float64:
+                        v = v.astype(jnp.float64)
+                    rspecs.append({"kind": kind, "v": v, "mm": v,
+                                   "nulls": nl})
+                    continue
+                cname = spec
                 v = flat[ix[cname]]
                 nl = flat[ix[cname] + 1]
                 sc = vt.origin[cname]
@@ -350,15 +376,16 @@ def scalar_aggregate_vtable(sess, vt: VTable, aggs, names) -> pa.Table:
     out = out.drop_columns(["__one"])
     if out.num_rows == 0:
         # no joined rows at all: SQL still yields one row of neutrals
+        from liquid_tpu.parallel.session import _spec_is_float
         cols = {}
-        for (kind, cname), name in zip(aggs, names):
+        for (kind, spec), name in zip(aggs, names):
             if kind in ("count_star", "count"):
                 cols[name] = pa.array([0], pa.int64())
             elif kind == "avg":
                 cols[name] = pa.array([None], pa.float64())
             else:
-                sc = vt.origin[cname]
-                t = pa.float64() if sc.kind == "float" else pa.int64()
+                t = (pa.float64() if _spec_is_float(spec, vt.origin)
+                     else pa.int64())
                 cols[name] = pa.array([None], t)
         return pa.table(cols)
     return out
@@ -367,28 +394,34 @@ def scalar_aggregate_vtable(sess, vt: VTable, aggs, names) -> pa.Table:
 # -- the SQL entry point ------------------------------------------------------
 
 
-def _flatten_joins(node) -> Tuple[List[str], List[Tuple[str, str, str]]]:
-    """Join tree -> (ordered table names, [(left_col, right_table,
-    right_col)]).  Left-deep inner joins only."""
+def _flatten_joins(node) -> Tuple[List[str], List[Tuple[str, str]]]:
+    """Join tree -> (ordered table names, [(col_a, col_b)] equality
+    edges).  Left-deep INNER/CROSS trees; comma-joins (cross, the
+    unmodified TPC-H q3 shape) contribute no edge here -- their
+    equalities are pulled from WHERE by the caller."""
     if isinstance(node, ast.TableRef):
         return [node.name], []
-    assert isinstance(node, ast.Join) and node.kind == "inner", \
-        "distributed joins: INNER equi-joins"
-    tables, joins = _flatten_joins(node.left)
+    assert isinstance(node, ast.Join) and node.kind in ("inner", "cross"), \
+        "distributed joins: INNER/CROSS equi-joins"
+    tables, edges = _flatten_joins(node.left)
     assert isinstance(node.right, ast.TableRef), \
         "distributed joins: left-deep join trees"
+    tables.append(node.right.name)
     cond = node.on
+    if node.kind == "cross":
+        assert cond is None
+        return tables, edges
     assert isinstance(cond, ast.Binary) and cond.op == "=" \
         and isinstance(cond.left, ast.Column) \
         and isinstance(cond.right, ast.Column), \
         "distributed joins: single-column equality ON"
-    tables.append(node.right.name)
-    joins.append((cond.left.name, node.right.name, cond.right.name))
-    return tables, joins
+    edges.append((cond.left.name, cond.right.name))
+    return tables, edges
 
 
 def execute_dist_join(sess, q) -> pa.Table:
-    tables, joins = _flatten_joins(q.from_)
+    from liquid_tpu.parallel.session import _spec_cols, plan_agg_items
+    tables, edges = _flatten_joins(q.from_)
     for t in tables:
         assert t in sess.tables, f"unregistered table {t}"
     dts = {t: sess.tables[t] for t in tables}
@@ -399,44 +432,63 @@ def execute_dist_join(sess, q) -> pa.Table:
                 return t
         raise KeyError(f"column {col} not found in joined tables")
 
-    # split WHERE into per-table conjunct lists
+    # split WHERE into per-table conjunct lists; two-table equality
+    # conjuncts become join edges (the comma-join / unmodified q3 shape)
     per_table: Dict[str, list] = {t: [] for t in tables}
     for conj in split_conjuncts(q.where):
         cols: set = set()
         from liquid_tpu.sql.physical import collect_columns
         collect_columns(conj, cols)
         owners = {owner(c) for c in cols}
+        if len(owners) == 2:
+            assert isinstance(conj, ast.Binary) and conj.op == "=" \
+                and isinstance(conj.left, ast.Column) \
+                and isinstance(conj.right, ast.Column), \
+                "distributed joins: multi-table WHERE conjuncts must be " \
+                f"equality join conditions, got {render(conj)}"
+            edges.append((conj.left.name, conj.right.name))
+            continue
         assert len(owners) == 1, \
-            "distributed joins: WHERE conjuncts must be single-table"
+            "distributed joins: WHERE conjuncts must be single-table " \
+            "or two-table equality"
         per_table[owners.pop()].append(conj)
 
-    # plan items (same shapes as single-table)
-    key_cols: List[str] = []
-    for g in q.group_by or []:
-        assert isinstance(g, ast.Column), "join GROUP BY: plain columns"
-        key_cols.append(g.name)
-    aggs: List[Tuple[str, Optional[str]]] = []
-    names: List[str] = []
-    for it in q.items:
-        e = it.expr
-        if isinstance(e, ast.Column) and e.name in key_cols:
-            names.append(it.alias or e.name)
-            aggs.append(("key:" + e.name, None))
-            continue
-        assert isinstance(e, ast.Func) and e.name in AGG_FUNCS, render(e)
-        names.append(it.alias or render(e))
-        if e.star or not e.args:
-            aggs.append(("count_star", None))
-        else:
-            assert isinstance(e.args[0], ast.Column) and not e.distinct
-            aggs.append((e.name, e.args[0].name))
+    # left-deep join ORDER: follow edges greedily from the first table
+    merged_cols: Dict[str, object] = {}
+    for t in tables:
+        merged_cols.update(dts[t].columns)
+    joins: List[Tuple[str, str, str]] = []   # (cur_col, right_table, right_col)
+    placed = {tables[0]}
+    pending = list(edges)
+    while len(placed) < len(tables):
+        progress = False
+        for e in list(pending):
+            a, b = e
+            ta, tb = owner(a), owner(b)
+            if ta in placed and tb not in placed:
+                joins.append((a, tb, b))
+                placed.add(tb)
+            elif tb in placed and ta not in placed:
+                joins.append((b, ta, a))
+                placed.add(ta)
+            elif ta in placed and tb in placed:
+                pass  # redundant edge (cycle): ignored
+            else:
+                continue
+            pending.remove(e)
+            progress = True
+        assert progress, \
+            "distributed joins: join graph is disconnected (cross product)"
+
+    # plan items (shared planner: expression aggregates supported)
+    key_cols, aggs, names = plan_agg_items(q, merged_cols)
 
     # columns each table must ship forward
     needed: Dict[str, set] = {t: set() for t in tables}
     for kc in key_cols:
         needed[owner(kc)].add(kc)
-    for kind, c in aggs:
-        if c:
+    for kind, s in aggs:
+        for c in _spec_cols(s):
             needed[owner(c)].add(c)
     for lcol, rt, rcol in joins:
         needed[owner(lcol)].add(lcol)
@@ -495,4 +547,6 @@ def execute_dist_join(sess, q) -> pa.Table:
         out = aggregate_vtable(sess, cur, key_cols, aggs, names)
     else:
         out = scalar_aggregate_vtable(sess, cur, aggs, names)
+    from liquid_tpu.parallel.session import apply_having
+    out = apply_having(q, out, aggs, names)
     return sess._order_limit(q, out, names)

@@ -258,6 +258,91 @@ def _dict_lut(dictionary: List[str], op: str, value) -> np.ndarray:
     return out.astype(bool)
 
 
+def _spec_cols(spec) -> List[str]:
+    """Column names an aggregate spec reads (str column | ("expr", ir,
+    cols) | None for count_star)."""
+    if spec is None:
+        return []
+    if isinstance(spec, str):
+        return [spec]
+    return list(spec[2])
+
+
+def _spec_is_float(spec, columns) -> bool:
+    """Does the sum/avg accumulation domain of `spec` live in f64?"""
+    from liquid_tpu.sql.fused_agg import _ir_dtype
+    if isinstance(spec, str):
+        return columns[spec].kind == "float"
+    return _ir_dtype(spec[1]) == "f64"
+
+
+def plan_agg_items(q, columns):
+    """SELECT-item planner shared by the single-table and join paths.
+    Aggregate inputs may be plain columns OR +,-,*,/ expressions over
+    numeric columns and literals (round 3, VERDICT item 4: TPC-H q1's
+    `sum(l_extendedprice * (1 - l_discount))` runs unmodified); an
+    expression compiles to the same IR the local fused path uses."""
+    from liquid_tpu.sql.fused_agg import _Bail, _compile_expr
+    key_cols: List[str] = []
+    if q.group_by:
+        for g in q.group_by:
+            assert isinstance(g, ast.Column), \
+                "distributed GROUP BY: plain columns"
+            key_cols.append(g.name)
+    kinds = {c: sc.kind for c, sc in columns.items()}
+    aggs: List[Tuple[str, object]] = []
+    names: List[str] = []
+    for it in q.items:
+        e = it.expr
+        if isinstance(e, ast.Column) and e.name in key_cols:
+            names.append(it.alias or e.name)
+            aggs.append(("key:" + e.name, None))
+            continue
+        assert isinstance(e, ast.Func) and e.name in AGG_FUNCS, render(e)
+        names.append(it.alias or render(e))
+        if e.star or not e.args:
+            aggs.append(("count_star", None))
+            continue
+        assert not e.distinct, "distributed DISTINCT unsupported"
+        arg = e.args[0]
+        if isinstance(arg, ast.Column):
+            if e.name in ("sum", "avg", "min", "max"):
+                assert columns[arg.name].kind in ("planes", "float"), \
+                    f"distributed {e.name} over {columns[arg.name].kind}"
+            aggs.append((e.name, arg.name))
+            continue
+        try:
+            ir, cols = _compile_expr(arg, kinds)
+        except _Bail as ex:
+            raise NotImplementedError(
+                f"distributed aggregate input {render(arg)}: {ex}")
+        aggs.append((e.name, ("expr", ir, tuple(sorted(cols)))))
+    return key_cols, aggs, names
+
+
+def apply_having(q, table: pa.Table, aggs, names) -> pa.Table:
+    """HAVING over the finalized (already-aggregated) table: aggregate
+    calls in the predicate resolve to their output columns; key columns
+    resolve by name.  Supports predicates over aggregates that appear
+    in the SELECT list (the common SQL shape)."""
+    if q.having is None or table.num_rows == 0:
+        return table
+    import pyarrow.compute as pc
+    from liquid_tpu.sql.eval import Batch, Evaluator
+    from liquid_tpu.sql.physical import substitute
+    mapping = {}
+    for it, name in zip(q.items, names):
+        mapping[it.expr] = name
+        if it.alias:
+            mapping[ast.Column(it.alias)] = name
+    h = substitute(q.having, mapping)
+    b = Batch({c: table.column(c).combine_chunks()
+               for c in table.column_names}, table.num_rows)
+    m = Evaluator(b).arr(h)
+    keep = pc.fill_null(m.cast(pa.bool_()), False)
+    return table.filter(keep)
+
+
 class DistributedSession:
     """`sql()` over sharded tables; one compiled shard_map program per
     query SHAPE (literals are traced args, so constants don't
@@ -289,7 +374,7 @@ class DistributedSession:
         preds, never = self._plan_where(q.where, dt)
         key_cols, aggs, names = self._plan_items(q, dt)
         scanned = [p.col for p in preds] + key_cols \
-            + [c for _, c in aggs if c]
+            + [c for _, s in aggs for c in _spec_cols(s)]
         self.last_scan_bytes = dt.scan_device_bytes(scanned)
         if never:
             table = self._empty_result(dt, key_cols, aggs, names)
@@ -297,6 +382,7 @@ class DistributedSession:
             table = self._execute_grouped(dt, preds, key_cols, aggs, names)
         else:
             table = self._execute_scalar(dt, preds, aggs, names)
+        table = apply_having(q, table, aggs, names)
         return self._order_limit(q, table, names)
 
     def _plan_where(self, where, dt) -> Tuple[List[_Pred], bool]:
@@ -311,13 +397,23 @@ class DistributedSession:
                 f"distributed mode supports AND of comparisons, got {conj}"
             col, lit = conj.left, conj.right
             op = _CMP[conj.op]
-            if isinstance(lit, ast.Column) and isinstance(col, ast.Literal):
+            if isinstance(col, (ast.Literal, ast.Cast, ast.Binary)) \
+                    and isinstance(lit, ast.Column):
                 col, lit = lit, col
                 op = {"lt": "gt", "le": "ge", "gt": "lt", "ge": "le",
                       "eq": "eq", "ne": "ne"}[op]
-            assert isinstance(col, ast.Column) and isinstance(lit, ast.Literal)
+            assert isinstance(col, ast.Column), conj
+            # constant-fold the literal side: date casts, date +/-
+            # interval, literal arithmetic (same folding as the local
+            # planner -- unmodified TPC-H q1/q6 ship these shapes)
+            from liquid_tpu.sql.planner import _literal_value
+            if isinstance(lit, ast.Literal):
+                v = lit.value
+            else:
+                v = _literal_value(lit)
+                assert v is not None, \
+                    f"distributed WHERE: unfoldable literal {render(lit)}"
             sc = dt.columns[col.name]
-            v = lit.value
             if v is None:
                 never = True  # x <op> NULL matches nothing
                 continue
@@ -360,35 +456,7 @@ class DistributedSession:
         return preds, never
 
     def _plan_items(self, q, dt):
-        key_cols: List[str] = []
-        if q.group_by:
-            for g in q.group_by:
-                assert isinstance(g, ast.Column), \
-                    "distributed GROUP BY: plain columns"
-                key_cols.append(g.name)
-        aggs: List[Tuple[str, Optional[str]]] = []
-        names: List[str] = []
-        for it in q.items:
-            e = it.expr
-            if isinstance(e, ast.Column) and e.name in key_cols:
-                names.append(it.alias or e.name)
-                aggs.append(("key:" + e.name, None))
-                continue
-            assert isinstance(e, ast.Func) and e.name in AGG_FUNCS, render(e)
-            names.append(it.alias or render(e))
-            if e.star or not e.args:
-                aggs.append(("count_star", None))
-            else:
-                assert isinstance(e.args[0], ast.Column), \
-                    "distributed aggregates take plain columns"
-                assert not e.distinct, "distributed DISTINCT unsupported"
-                kind = "count_star" if e.name == "count" and False else e.name
-                aggs.append((kind, e.args[0].name))
-        for kind, c in aggs:
-            if kind in ("sum", "avg", "min", "max") and c:
-                assert dt.columns[c].kind in ("planes", "float"), \
-                    f"distributed {kind} over {dt.columns[c].kind}"
-        return key_cols, aggs, names
+        return plan_agg_items(q, dt.columns)
 
     # -- device programs -----------------------------------------------------
 
@@ -396,7 +464,8 @@ class DistributedSession:
         """Collect device arrays + traced literals for the step program.
         Returns (arrays, specs, lits_i, lits_f, luts, meta)."""
         cols_needed = sorted({p.col for p in preds if p.col}
-                             | set(key_cols) | {c for _, c in aggs if c})
+                             | set(key_cols)
+                             | {c for _, s in aggs for c in _spec_cols(s)})
         arrays: List[object] = []
         specs: List[object] = []
         col_ix: Dict[str, Dict[str, int]] = {}
@@ -519,6 +588,46 @@ class DistributedSession:
             nulls = jnp.zeros(v.shape, jnp.bool_)
         return v, enc, nulls, sc
 
+    def _agg_value_spec(self, cols, col_ix, dt, spec, kind, rows_shape):
+        """Decode one aggregate input (column OR expression IR) inside a
+        shard_map body.
+
+        -> (v, mm, nulls, mm_encoded) where `v` is the sum/avg domain,
+        `mm` the min/max domain, and `mm_encoded` says whether `mm`
+        lives in the order-preserving ENCODED u64 domain (plain int
+        columns) or the decoded i64/f64 domain (floats, expressions)."""
+        if isinstance(spec, str):
+            sc = dt.columns[spec]
+            want_float = kind == "avg" or sc.kind == "float"
+            v, enc, nulls, sc = self._agg_value(
+                cols, col_ix, dt, spec,
+                want_float and kind not in ("min", "max"))
+            mm = v if sc.kind == "float" else enc
+            return v, mm, nulls, sc.kind != "float"
+        from liquid_tpu.sql.fused_agg import _ir_dtype, eval_ir
+        _, ir, colnames = spec
+        vals = {}
+        nulls = None
+        for name in colnames:
+            vv, _e, nl, _sc = self._agg_value(cols, col_ix, dt, name, False)
+            vals[name] = vv
+            nulls = nl if nulls is None else (nulls | nl)
+        if nulls is None:
+            nulls = jnp.zeros(rows_shape, jnp.bool_)
+
+        def colfn(name, dtw):
+            vv = vals[name]
+            if dtw == "f64" and vv.dtype != jnp.float64:
+                vv = vv.astype(jnp.float64)
+            return vv
+
+        v = jnp.asarray(eval_ir(ir, colfn))
+        if v.ndim == 0:
+            v = jnp.broadcast_to(v, rows_shape)
+        if kind == "avg" and v.dtype != jnp.float64:
+            v = v.astype(jnp.float64)
+        return v, v, nulls, False
+
     # -- scalar (no GROUP BY) -------------------------------------------------
 
     def _execute_scalar(self, dt, preds, aggs, names) -> pa.Table:
@@ -536,17 +645,14 @@ class DistributedSession:
                                        li_, lf_, lut_ix, dt)
             selb = mops.unpack_bits(sel)
             outs = []
-            for kind, cname in agg_specs:
+            for kind, spec in agg_specs:
                 if kind == "count_star":
                     outs.append(jax.lax.psum(
                         mops.count(sel).astype(jnp.int64)[None],
                         dist.DATA_AXIS))
                     continue
-                want_float = kind == "avg" or \
-                    dt.columns[cname].kind == "float"
-                v, enc, nulls, sc = self._agg_value(
-                    cols, col_ix, dt, cname, want_float and kind != "min"
-                    and kind != "max")
+                v, mm, nulls, mm_enc = self._agg_value_spec(
+                    cols, col_ix, dt, spec, kind, selb.shape)
                 contrib = selb & ~nulls
                 cnt = jax.lax.psum(
                     contrib.sum(dtype=jnp.int64)[None], dist.DATA_AXIS)
@@ -557,34 +663,31 @@ class DistributedSession:
                     outs.append(jax.lax.psum(
                         z.sum(dtype=v.dtype)[None], dist.DATA_AXIS))
                     outs.append(cnt)
-                else:  # min / max over the ENCODED (order-preserving) domain
-                    if sc.kind == "float":
-                        sent = jnp.inf if kind == "min" else -jnp.inf
-                        z = jnp.where(contrib, v, sent)
-                        red = z.min() if kind == "min" else z.max()
-                        col = jax.lax.pmin if kind == "min" else jax.lax.pmax
-                        outs.append(col(red[None], dist.DATA_AXIS))
-                    else:
+                else:  # min / max (encoded u64 domain for plain int cols)
+                    from liquid_tpu.ops.groupby import _neutral
+                    if mm_enc:
                         sent = _U64(0xFFFFFFFFFFFFFFFF) if kind == "min" \
                             else _U64(0)
-                        z = jnp.where(contrib, enc, sent)
-                        red = z.min() if kind == "min" else z.max()
-                        col = jax.lax.pmin if kind == "min" else jax.lax.pmax
-                        outs.append(col(red[None], dist.DATA_AXIS))
+                    else:
+                        sent = _neutral(mm.dtype, kind)
+                    z = jnp.where(contrib, mm, sent)
+                    red = z.min() if kind == "min" else z.max()
+                    col = jax.lax.pmin if kind == "min" else jax.lax.pmax
+                    outs.append(col(red[None], dist.DATA_AXIS))
                     outs.append(cnt)
             return tuple(outs)
 
         outs = [np.asarray(o) for o in step(*arrays, li, lf)]
         cols: Dict[str, pa.Array] = {}
         oi = 0
-        for (kind, cname), name in zip(aggs, names):
+        for (kind, spec), name in zip(aggs, names):
             if kind == "count_star" or kind == "count":
                 cols[name] = pa.array([int(outs[oi][0])], pa.int64())
                 oi += 1
             elif kind == "sum":
                 v, c = outs[oi][0], int(outs[oi + 1][0])
                 oi += 2
-                cols[name] = self._decode_sum(dt.columns[cname], v, c)
+                cols[name] = self._decode_sum(spec, dt.columns, v, c)
             elif kind == "avg":
                 s, c = float(outs[oi][0]), int(outs[oi + 1][0])
                 oi += 2
@@ -592,7 +695,14 @@ class DistributedSession:
             else:  # min / max
                 v, c = outs[oi][0], int(outs[oi + 1][0])
                 oi += 2
-                sc = dt.columns[cname]
+                if not isinstance(spec, str):
+                    is_f = _spec_is_float(spec, dt.columns)
+                    t = pa.float64() if is_f else pa.int64()
+                    val = None if c == 0 else (
+                        float(v) if is_f else int(v))
+                    cols[name] = pa.array([val], t)
+                    continue
+                sc = dt.columns[spec]
                 if c == 0:
                     cols[name] = pa.array([None], _agg_out_type(sc))
                 elif sc.kind == "float":
@@ -606,12 +716,11 @@ class DistributedSession:
         return pa.table(cols)
 
     @staticmethod
-    def _decode_sum(sc: ShardedColumn, v, count: int) -> pa.Array:
+    def _decode_sum(spec, columns, v, count: int) -> pa.Array:
+        is_f = _spec_is_float(spec, columns)
         if count == 0:
-            return pa.array([None],
-                            pa.float64() if sc.kind == "float"
-                            else pa.int64())
-        if sc.kind == "float":
+            return pa.array([None], pa.float64() if is_f else pa.int64())
+        if is_f:
             return pa.array([float(v)], pa.float64())
         return pa.array([int(v)], pa.int64())
 
@@ -651,20 +760,17 @@ class DistributedSession:
             selb = mops.unpack_bits(sel)
             codes, knulls = self._key_codes(cols, col_ix, key_cols, dt)
             # decode aggregate inputs ONCE (shared across rounds);
-            # min/max ride the ENCODED unsigned domain (order-preserving)
+            # plain int columns ride the ENCODED unsigned min/max domain
+            # (order-preserving); floats/expressions the decoded domain
             rspecs = []
-            for kind, cname in agg_specs:
+            for kind, spec in agg_specs:
                 if kind.startswith("key:"):
                     continue
                 if kind == "count_star":
                     rspecs.append({"kind": kind})
                     continue
-                want_float = kind == "avg" or \
-                    dt.columns[cname].kind == "float"
-                v, enc, nulls, sc = self._agg_value(
-                    cols, col_ix, dt, cname,
-                    want_float and kind not in ("min", "max"))
-                mm = v if sc.kind == "float" else enc
+                v, mm, nulls, _enc = self._agg_value_spec(
+                    cols, col_ix, dt, spec, kind, selb.shape)
                 rspecs.append({"kind": kind, "v": v, "mm": mm,
                                "nulls": nulls})
             return hash_rounds_body(codes, knulls, selb, rspecs,
@@ -702,7 +808,7 @@ class DistributedSession:
                        rest) -> pa.Table:
         cols: Dict[str, pa.Array] = {}
         oi = 0
-        for (kind, cname), name in zip(aggs, names):
+        for (kind, spec), name in zip(aggs, names):
             if kind.startswith("key:"):
                 kc = kind[4:]
                 ki = key_cols.index(kc)
@@ -731,9 +837,8 @@ class DistributedSession:
             elif kind == "sum":
                 v, c = rest[oi][g], rest[oi + 1][g]
                 oi += 2
-                sc = dt.columns[cname]
                 mask = c == 0
-                if sc.kind == "float":
+                if _spec_is_float(spec, dt.columns):
                     cols[name] = pa.array(v, pa.float64(),
                                           mask=mask if mask.any() else None)
                 else:
@@ -751,8 +856,18 @@ class DistributedSession:
             elif kind in ("min", "max"):
                 v, c = rest[oi][g], rest[oi + 1][g]
                 oi += 2
-                sc = dt.columns[cname]
                 mask = c == 0
+                if not isinstance(spec, str):
+                    if _spec_is_float(spec, dt.columns):
+                        cols[name] = pa.array(
+                            v, pa.float64(),
+                            mask=mask if mask.any() else None)
+                    else:
+                        cols[name] = pa.array(
+                            v.astype(np.int64), pa.int64(),
+                            mask=mask if mask.any() else None)
+                    continue
+                sc = dt.columns[spec]
                 if sc.kind == "float":
                     cols[name] = pa.array(
                         v, pa.float64(),
@@ -771,7 +886,7 @@ class DistributedSession:
     def _empty_result(self, dt, key_cols, aggs, names) -> pa.Table:
         cols: Dict[str, pa.Array] = {}
         grouped = bool(key_cols)
-        for (kind, cname), name in zip(aggs, names):
+        for (kind, spec), name in zip(aggs, names):
             if kind.startswith("key:"):
                 sc = dt.columns[kind[4:]]
                 cols[name] = pa.array([], sc.arrow_type)
@@ -781,8 +896,13 @@ class DistributedSession:
             elif kind == "avg":
                 cols[name] = (pa.array([], pa.float64()) if grouped
                               else pa.array([None], pa.float64()))
+            elif not isinstance(spec, str):
+                t = (pa.float64() if _spec_is_float(spec, dt.columns)
+                     else pa.int64())
+                cols[name] = (pa.array([], t) if grouped
+                              else pa.array([None], t))
             else:
-                sc = dt.columns[cname]
+                sc = dt.columns[spec]
                 t = _agg_out_type(sc) if kind != "sum" else (
                     pa.float64() if sc.kind == "float" else pa.int64())
                 cols[name] = (pa.array([], t) if grouped

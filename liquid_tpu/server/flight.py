@@ -30,7 +30,77 @@ from liquid_tpu.common.object_store import (
     ByteCache, LocalStore, MockStore, ObjectStore, StoreFile, sanitize_url,
 )
 from liquid_tpu.io.parquet import ParquetTable
+from liquid_tpu.sql.exec import QueryExecutor
 from liquid_tpu.sql.session import SessionContext
+
+
+class _RowGroupSlice:
+    """View of a ParquetTable restricted to a set of row groups; shares
+    the base table's cache, zone maps and fused-prep state.  This is the
+    unit of partition-parallel plan execution: each server partition
+    scans ONLY its row groups (ref independent per-partition execution,
+    service.rs:158-176)."""
+
+    __slots__ = ("_base", "_rgs")
+
+    def __init__(self, base, rgs):
+        object.__setattr__(self, "_base", base)
+        object.__setattr__(self, "_rgs", frozenset(rgs))
+
+    def prune_row_groups(self, preds):
+        keep = self._base.prune_row_groups(preds)
+        return [rg for rg in keep if rg in self._rgs]
+
+    def __getattr__(self, k):
+        return getattr(self._base, k)
+
+    def __setattr__(self, k, v):
+        setattr(self._base, k, v)
+
+
+def _partitionable_scan(sql: str, tables) -> Optional[str]:
+    """Table name when `sql` is a plain single-table scan whose result
+    is row-group-decomposable (no aggregate/group/order/limit/distinct/
+    join/setop) -- the shape the server executes partition-parallel."""
+    from liquid_tpu.sql import ast
+    from liquid_tpu.sql.parser import parse_statement
+    from liquid_tpu.sql.physical import find_aggs
+    try:
+        stmt = parse_statement(sql)
+        if stmt[0] != "select" or not isinstance(stmt[1], ast.Select):
+            return None
+        q = stmt[1]
+        if (q.ctes or q.group_by or q.having or q.order_by
+                or q.limit is not None or q.offset is not None
+                or q.distinct):
+            return None
+        if not isinstance(q.from_, ast.TableRef) or q.from_.name not in tables:
+            return None
+        aggs: list = []
+        for it in q.items:
+            find_aggs(it.expr, aggs)
+            if _has_window(it.expr):
+                return None
+        if aggs:
+            return None
+        return q.from_.name
+    except Exception:
+        return None
+
+
+def _has_window(e) -> bool:
+    from liquid_tpu.sql import ast
+    if isinstance(e, ast.WindowFunc):
+        return True
+    for f_ in getattr(e, "__dataclass_fields__", {}):
+        v = getattr(e, f_)
+        if isinstance(v, ast.Expr) and _has_window(v):
+            return True
+        if isinstance(v, (list, tuple)):
+            for x in v:
+                if isinstance(x, ast.Expr) and _has_window(x):
+                    return True
+    return False
 
 
 class LiquidCacheServiceInner:
@@ -92,14 +162,55 @@ class LiquidCacheServiceInner:
                       partitions: int = 1) -> None:
         for name, loc in tables.items():
             self._register_table(name, loc)
+        scan_of = _partitionable_scan(sql, self.ctx._tables)
         with self._lock:
             if handle not in self.plans:
                 self.plans[handle] = {"sql": sql, "partitions": partitions,
                                       "result": None, "eval_ms": 0,
+                                      "scan_table": scan_of,
                                       "lock": threading.Lock()}
+
+    def _partition_rgs(self, table, partition: int, n: int):
+        """Contiguous row-group range for one partition (contiguity
+        keeps partition-order concatenation == full-scan order)."""
+        nrg = table.num_row_groups
+        per = (nrg + n - 1) // n
+        return list(range(partition * per, min((partition + 1) * per, nrg)))
+
+    def execute_partition_stream(self, handle: str, partition: int):
+        """Yield result tables INCREMENTALLY.  Partitionable scans
+        execute ONLY their own row groups, one row group at a time
+        (streaming, bounded memory -- ref per-partition plan execution,
+        service.rs:158-176 + client fan-out client_exec.rs:148-179);
+        other plans execute once and slice (aggregate results are tiny).
+        """
+        ent = self.plans[handle]
+        name = ent.get("scan_table")
+        n = ent["partitions"]
+        if name is not None:
+            base = self.ctx._tables[name]
+            t0 = time.perf_counter()
+            produced = False
+            for rg in self._partition_rgs(base, partition, n):
+                ex = QueryExecutor(
+                    {**self.ctx._tables, name: _RowGroupSlice(base, [rg])})
+                out = ex.execute_sql(ent["sql"])
+                produced = True
+                yield out
+            if not produced:
+                # empty partition: still need a typed schema -> zero rgs
+                ex = QueryExecutor(
+                    {**self.ctx._tables, name: _RowGroupSlice(base, [])})
+                yield ex.execute_sql(ent["sql"])
+            ent["eval_ms"] += int((time.perf_counter() - t0) * 1000)
+            return
+        yield self.execute_partition(handle, partition)
 
     def execute_partition(self, handle: str, partition: int) -> pa.Table:
         ent = self.plans[handle]
+        if ent.get("scan_table") is not None:
+            parts = list(self.execute_partition_stream(handle, partition))
+            return pa.concat_tables(parts, promote_options="permissive")
         with ent["lock"]:
             if ent["result"] is None:
                 t0 = time.perf_counter()
@@ -190,9 +301,21 @@ class _FlightServer(__import__("pyarrow.flight", fromlist=["x"]).FlightServerBas
                                 msg.get("traceparent", ""),
                                 handle=msg["handle"],
                                 partition=msg["partition"]):
-            t = self.inner.execute_partition(msg["handle"],
-                                             msg["partition"])
-        return fl.RecordBatchStream(t)
+            gen = self.inner.execute_partition_stream(msg["handle"],
+                                                      msg["partition"])
+            first = next(gen)
+
+        def batches():
+            # batches materialize INCREMENTALLY per row group: the
+            # client sees the first batch before later row groups are
+            # even scanned (streaming, bounded memory)
+            for b in first.to_batches():
+                yield b
+            for t in gen:
+                for b in t.to_batches():
+                    yield b
+
+        return fl.GeneratorStream(first.schema, batches())
 
 
 class LiquidCacheService:

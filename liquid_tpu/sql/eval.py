@@ -415,11 +415,23 @@ def _is_float(v) -> bool:
 
 
 def _divide(l, r):
-    # SQL: int/int is integer division in DataFusion; float/any is float
+    # SQL: int/int is integer division in DataFusion; float/any is float.
+    # Division by zero yields NULL (not an error): vectorized conjunct
+    # evaluation cannot short-circuit `x > 0 AND y / x > c`-shaped
+    # predicates (TPC-DS q34), so a raising kernel would abort queries
+    # that are well-defined under row-at-a-time semantics.
     lt = l.type if isinstance(l, (pa.Array, pa.Scalar)) else None
     rt = r.type if isinstance(r, (pa.Array, pa.Scalar)) else None
     if lt and rt and pa.types.is_integer(lt) and pa.types.is_integer(rt):
-        return pc.divide_checked(l, r)
+        if isinstance(r, pa.Scalar):
+            if not r.is_valid or r.as_py() == 0:
+                return pa.scalar(None, lt)
+            return pc.divide_checked(l, r)
+        zero = pc.equal(r, 0)
+        safe = pc.if_else(pc.fill_null(zero, False), pa.scalar(1, r.type), r)
+        out = pc.divide_checked(l, safe)
+        return pc.if_else(pc.fill_null(zero, False),
+                          pa.scalar(None, out.type), out)
     return pc.divide(l, r)
 
 

@@ -1298,13 +1298,17 @@ def _fix_null_keys(t: pa.Table, keys: List[str],
     at zero rows); arrow joins reject null keys, so cast them to the
     other side's type."""
     for k, ok in zip(keys, other_keys):
-        if k in t.column_names and pa.types.is_null(t.column(k).type):
-            target = (other.column(ok).type
-                      if ok in other.column_names else pa.int64())
+        # index-based lookups: duplicate column names (self-joins of
+        # derived tables, e.g. TPC-DS q44) break name lookups
+        for idx, n in enumerate(t.column_names):
+            if n != k or not pa.types.is_null(t.column(idx).type):
+                continue
+            oidx = (other.column_names.index(ok)
+                    if ok in other.column_names else -1)
+            target = other.column(oidx).type if oidx >= 0 else pa.int64()
             if pa.types.is_null(target):
                 target = pa.int64()
-            idx = t.column_names.index(k)
-            t = t.set_column(idx, k, t.column(k).cast(target))
+            t = t.set_column(idx, k, t.column(idx).cast(target))
     return t
 
 

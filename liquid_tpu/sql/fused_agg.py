@@ -123,6 +123,31 @@ def _compile_expr(e: ast.Expr, col_kinds: Dict[str, str]):
     raise _Bail(f"expression {type(e).__name__}")
 
 
+def eval_ir(ir, col):
+    """Interpret an expression IR inside a traced program.  `col(name,
+    dtype)` supplies decoded column values ("i64" | "f64").  Shared by
+    the local fused path and the distributed session."""
+    tag = ir[0]
+    if tag == "col":
+        return col(ir[1], ir[2])
+    if tag == "lit":
+        return (jnp.float64(ir[1]) if ir[2] == "f64"
+                else jnp.int64(ir[1]))
+    if tag == "cast":
+        return eval_ir(ir[2], col).astype(jnp.float64)
+    if tag == "neg":
+        return -eval_ir(ir[2], col)
+    _, op, _, l, r = ir
+    lv, rv = eval_ir(l, col), eval_ir(r, col)
+    if op == "+":
+        return lv + rv
+    if op == "-":
+        return lv - rv
+    if op == "*":
+        return lv * rv
+    return lv / rv
+
+
 def _ir_dtype(ir) -> str:
     if ir[0] == "col" or ir[0] == "lit":
         return ir[2]
@@ -398,7 +423,20 @@ def _dict_lut(payloads, pred: Predicate, dmax: int):
 # -- traced program -----------------------------------------------------------
 
 def _in_interval_many(planes_stack, lo, hi):
-    """Packed membership masks off in [lo, hi] (inclusive) per block."""
+    """Packed membership masks off in [lo, hi] (inclusive) per block.
+    On real TPUs the per-block-constant Pallas kernel runs the compare
+    at memory speed (787 GB/s measured, PERF_NOTES.md); elsewhere the
+    vmapped XLA chain."""
+    bsz, bucket, w_words = planes_stack.shape
+    if (jax.default_backend() == "tpu" and bucket > 0 and bsz > 1
+            and w_words == _W):
+        from liquid_tpu.ops import bitpack_pallas as bpp
+        lt_lo, _ = bpp.cmp_const_many_pallas(planes_stack, lo,
+                                             interpret=False)
+        lt_hi, eq_hi = bpp.cmp_const_many_pallas(planes_stack, hi,
+                                                 interpret=False)
+        return (~lt_lo) & (lt_hi | eq_hi)
+
     def one(planes, l, h):
         lt_lo, _ = bp.cmp_const(planes, l)
         lt_hi, eq_hi = bp.cmp_const(planes, h)
@@ -487,25 +525,7 @@ def _fused_run(spec, *arrays):
         return v
 
     def ev(ir):
-        tag = ir[0]
-        if tag == "col":
-            return decode(ir[1], ir[2])
-        if tag == "lit":
-            return (jnp.float64(ir[1]) if ir[2] == "f64"
-                    else jnp.int64(ir[1]))
-        if tag == "cast":
-            return ev(ir[2]).astype(jnp.float64)
-        if tag == "neg":
-            return -ev(ir[2])
-        _, op, _, l, r = ir
-        lv, rv = ev(l), ev(r)
-        if op == "+":
-            return lv + rv
-        if op == "-":
-            return lv - rv
-        if op == "*":
-            return lv * rv
-        return lv / rv
+        return eval_ir(ir, decode)
 
     # -- aggregate inputs ---------------------------------------------------
     vals, vnulls, kinds = [], [], []
