@@ -22,6 +22,10 @@ COUNTERS = (
     "transcodes", "squeezes", "evict_to_disk", "removes",
     "hydrations", "cache_hits", "cache_misses",
     "disk_reads", "disk_writes",
+    # runtime (dynamic) filters: batches skipped by TopK thresholds /
+    # join-key bounds published mid-query (ref DynamicFilterPhysicalExpr,
+    # liquid_expr.rs:58 + opener.rs:185)
+    "dynamic_filter_prunes",
 )
 
 

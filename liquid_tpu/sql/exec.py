@@ -461,17 +461,61 @@ class QueryExecutor:
 
         from_ = self._push_on_filters(q.from_, pushed, leaf_cols, owner)
 
+        # dynamic join-key bounds (ref dynamic-filter file pruning,
+        # opener.rs:185): after materializing one side of an INNER
+        # equi-join edge, publish its key min/max as synthetic range
+        # conjuncts on the still-pending side's scan.  Conservative:
+        # rows outside the range can never find a match; unmatched-row
+        # preservation (outer joins) disables the edge.
+        edges: List[Tuple[str, str]] = []
+        for e in conjuncts:
+            eq = (isinstance(e, ast.Binary) and e.op == "="
+                  and isinstance(e.left, ast.Column)
+                  and isinstance(e.right, ast.Column))
+            if eq:
+                edges.append((e.left.name, e.right.name))
+        self._collect_inner_on_edges(q.from_, edges)
+        bounds: Dict[int, List[ast.Expr]] = {id(l): [] for l in leaves}
+        done: set = set()
+
         tables: Dict[int, pa.Table] = {}
         for l in leaves:
-            where = _and_all(pushed[id(l)])
+            where = _and_all(pushed[id(l)] + bounds[id(l)])
             need = sorted((needed_all & leaf_cols[id(l)]))
-            tables[id(l)] = self._materialize_relation(l, where, need)
+            t = self._materialize_relation(l, where, need)
+            tables[id(l)] = t
+            done.add(id(l))
+            if id(l) in protected:
+                continue
+            for c1, c2 in edges:
+                for a, b in ((c1, c2), (c2, c1)):
+                    la, lb = owner({a}), owner({b})
+                    if la is not l or lb is None or id(lb) in done \
+                            or id(lb) in protected:
+                        continue
+                    for conj in _key_bounds(t, a, b):
+                        bounds[id(lb)].append(conj)
 
         joined = self._fold_join(from_, tables, residual)
         # remaining residual (cross-leaf non-equi predicates, decorrelated
         # lookups) evaluates on the joined table
         joined = self._filter_table(joined, _and_all(residual))
         return joined, None
+
+    def _collect_inner_on_edges(self, rel, out: List) -> None:
+        """Equality edges from INNER join ON conditions (outer joins
+        excluded: their null-extended rows must survive)."""
+        if not isinstance(rel, ast.Join):
+            return
+        self._collect_inner_on_edges(rel.left, out)
+        self._collect_inner_on_edges(rel.right, out)
+        if rel.kind != "inner" or rel.on is None:
+            return
+        for c in split_conjuncts(rel.on):
+            if (isinstance(c, ast.Binary) and c.op == "="
+                    and isinstance(c.left, ast.Column)
+                    and isinstance(c.right, ast.Column)):
+                out.append((c.left.name, c.right.name))
 
     def _collect_protected(self, rel, out: set, under_outer: bool = False
                            ) -> None:
@@ -1010,12 +1054,31 @@ class QueryExecutor:
             total = 0
             early_limit = (q.limit is not None and not q.order_by
                            and not q.distinct)
-            for block in scan_blocks(table, plan, hints, need):
+            # TopK dynamic filter (ref DynamicFilterPhysicalExpr /
+            # dynamic-filter pruning): ORDER BY col LIMIT k publishes a
+            # running k-th-best threshold that prunes later blocks
+            track = None
+            if q.limit is not None and q.order_by and not q.distinct:
+                o0 = q.order_by[0]
+                if isinstance(o0.expr, ast.Column) \
+                        and o0.expr.name in table.column_names:
+                    t0 = table.field(o0.expr.name).type
+                    if (pa.types.is_integer(t0) or pa.types.is_floating(t0)
+                            or pa.types.is_date32(t0)):
+                        from liquid_tpu.sql.physical import TopKTracker
+                        track = TopKTracker(
+                            o0.expr.name, bool(o0.desc),
+                            q.limit + (q.offset or 0), t0)
+            for block in scan_blocks(table, plan, hints, need,
+                                     dynamic=track.current if track
+                                     else None):
                 cols = {c: block.col(c, hints.get(c)) for c in need}
                 batch = Batch(cols, block.num_selected)
                 parts.append(self._project(q, batch, table, star))
                 if extras:
                     iparts.append(self._project_extras(extras, batch))
+                if track is not None:
+                    track.update(cols[track.col])
                 total += block.num_selected
                 if early_limit and total >= q.limit + (q.offset or 0):
                     break
@@ -1310,6 +1373,29 @@ def _fix_null_keys(t: pa.Table, keys: List[str],
                 target = pa.int64()
             t = t.set_column(idx, k, t.column(idx).cast(target))
     return t
+
+
+def _key_bounds(t: pa.Table, src_col: str, dst_col: str) -> List[ast.Expr]:
+    """Range conjuncts `dst_col between min(src) and max(src)` derived
+    from a materialized join side; an EMPTY side yields an impossible
+    range (the inner join can produce nothing, so the pending scan is
+    pruned away entirely by row-group stats)."""
+    if src_col not in t.column_names:
+        return []
+    col = t.column(src_col)
+    typ = col.type
+    if not (pa.types.is_integer(typ) or pa.types.is_floating(typ)
+            or pa.types.is_date32(typ)):
+        return []
+    if t.num_rows == 0:
+        return [ast.Binary(">=", ast.Column(dst_col), ast.Literal(1)),
+                ast.Binary("<=", ast.Column(dst_col), ast.Literal(0))]
+    mm = pc.min_max(col)
+    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+    if lo is None or hi is None:
+        return []
+    return [ast.Binary(">=", ast.Column(dst_col), ast.Literal(lo)),
+            ast.Binary("<=", ast.Column(dst_col), ast.Literal(hi))]
 
 
 def _and_all(exprs: List[ast.Expr]) -> Optional[ast.Expr]:

@@ -179,8 +179,17 @@ def _pred_to_expr_mask(block_cols: Batch, conj: ast.Expr) -> pa.Array:
 
 
 def scan_blocks(table, plan: ScanPlan, hints: Dict[str, object],
-                needed_cols: List[str], observer=None):
+                needed_cols: List[str], observer=None, dynamic=None):
     """Yield ScanBlocks with selections applied.
+
+    `dynamic`, when given, is a zero-arg callable returning the current
+    [(column, Predicate)] runtime filters (TopK thresholds, join-key
+    bounds -- ref DynamicFilterPhysicalExpr unwrapping, liquid-cache
+    liquid_expr.rs:58 + dynamic-filter file pruning opener.rs:185).  It
+    is consulted at every ROW GROUP start, so filters that tighten
+    mid-query prune later row groups; application is best-effort
+    (encoded-eval only, no fallback) since dynamic filters are always
+    conservative refinements of the static plan.
 
     Mirrors LiquidCacheReader::poll_next (encoded predicate chain, then
     residual expressions on materialized data, early-exit on empty) --
@@ -243,6 +252,34 @@ def scan_blocks(table, plan: ScanPlan, hints: Dict[str, object],
                 if counts[j] == 0:
                     alive[b] = False
 
+        # runtime filters (consulted per row group: later groups see
+        # thresholds tightened by earlier ones)
+        for col, pred in (dynamic() if dynamic is not None else ()):
+            live = [b for b in range(n_b) if alive[b]]
+            if not live:
+                break
+            if may is not None:
+                for b in live:
+                    if not may(rg, col, b, pred):
+                        alive[b] = False
+                        _bump_dynamic(table)
+                live = [b for b in range(n_b) if alive[b]]
+                if not live:
+                    break
+            if many is None:
+                continue
+            masks = many(rg, col, pred, hints.get(col), batches=live)
+            if any(masks.get(b) is None for b in live):
+                continue  # best-effort: encoded path only
+            for b in live:
+                sels[b] = sels[b] & masks[b].to_selection()
+            counts = np.asarray(mops.count_many(
+                jnp.stack([sels[b] for b in live])))
+            for j, b in enumerate(live):
+                if counts[j] == 0:
+                    alive[b] = False
+                    _bump_dynamic(table)
+
         survivors = [b for b in range(n_b) if alive[b]]
         if not survivors:
             continue
@@ -298,6 +335,70 @@ def scan_blocks(table, plan: ScanPlan, hints: Dict[str, object],
                 if idx.size == 0:
                     continue
             yield ScanBlock(table, rg, b, lengths[b], idx, mats.get(b, {}))
+
+
+class TopKTracker:
+    """Running ORDER BY col LIMIT k threshold (ref: the reference's
+    TopK dynamic filter flowing through DynamicFilterPhysicalExpr).
+
+    Once k non-null key values are seen, `current()` publishes a
+    NON-STRICT threshold predicate (ties kept; secondary sort keys
+    unaffected): rows strictly worse than the current k-th best can
+    never reach the top k, so later blocks/row groups prune them
+    before materialization."""
+
+    def __init__(self, col: str, desc: bool, k: int, typ: pa.DataType):
+        self.col = col
+        self.desc = desc
+        self.k = k
+        self._typ = typ
+        self._vals = np.empty(0, np.float64 if pa.types.is_floating(typ)
+                              else np.int64)
+
+    def update(self, arr: pa.Array) -> None:
+        arr = _dedict(arr)
+        if arr.null_count:
+            arr = arr.drop_null()
+        if len(arr) == 0:
+            return
+        if pa.types.is_date32(arr.type):
+            v = np.asarray(arr.cast(pa.int32())).astype(np.int64)
+        elif pa.types.is_floating(arr.type):
+            v = np.asarray(arr.cast(pa.float64()))
+        else:
+            v = np.asarray(arr.cast(pa.int64(), safe=False))
+        self._vals = np.concatenate([self._vals, v.astype(self._vals.dtype)])
+        if len(self._vals) > 4 * self.k:
+            self._shrink()
+
+    def _shrink(self) -> None:
+        k = self.k
+        if self.desc:
+            part = np.partition(self._vals, len(self._vals) - k)
+            self._vals = part[len(self._vals) - k:]
+        else:
+            self._vals = np.partition(self._vals, k - 1)[:k]
+
+    def current(self):
+        if len(self._vals) < self.k:
+            return ()
+        self._shrink()
+        if self.desc:
+            thresh = self._vals.min()
+            op = "gt_eq"
+        else:
+            thresh = self._vals.max()
+            op = "lt_eq"
+        lit = float(thresh) if self._vals.dtype == np.float64 else int(thresh)
+        return ((self.col, Predicate(op, lit)),)
+
+
+def _bump_dynamic(table) -> None:
+    """Count a batch skipped by a runtime filter (observer metric; the
+    reference exposes pruning counters via plan metrics)."""
+    cache = getattr(table, "cache", None)
+    if cache is not None:
+        cache.observer.stats.bump("dynamic_filter_prunes")
 
 
 def _full(table, rg, b, col, cache_dict, hints):
