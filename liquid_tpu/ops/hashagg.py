@@ -53,6 +53,126 @@ def _mix(h: jax.Array, v: jax.Array) -> jax.Array:
 PACK_CAP = 1 << 16
 
 
+@partial(jax.jit, static_argnames=("kinds", "n_slots", "salt", "rounds"))
+def hash_rounds_reduce_packed(codes, knulls, valid, vals, vnulls, kinds,
+                              n_slots, salt, rounds=3):
+    """Multi-round collision-resolved grouped reduction with the packed
+    single-fetch output of hash_group_reduce_packed.
+
+    The single-shot table is clean only while distinct^2 << 2*slots
+    (birthday bound) -- a 9k-cardinality GROUP BY defeats even 2^20
+    slots.  Rounds fix that (same idea as the distributed session's
+    hash_rounds_body): rows whose slot got two distinct key tuples
+    re-scatter with a fresh salt next round, so the dirty population
+    shrinks geometrically; each key tuple resolves in EXACTLY one round
+    (all its rows share a slot).  `clean` False means `rounds` rounds
+    did not converge: retry with a bigger table.
+    """
+    n = valid.shape[0]
+    live = valid
+    occs, kreps_r, nreps_r, outs_r, cnts_r = [], [], [], [], []
+    for r in range(rounds):
+        rsalt = (salt + r * 0x9E3779B97F4A7C15) % (1 << 64)
+        h = jnp.full((n,), jnp.uint64(rsalt))
+        for c, nl in zip(codes, knulls):
+            h = _mix(h, c.astype(jnp.uint64))
+            h = _mix(h, nl.astype(jnp.uint64))
+        if not codes:
+            h = jnp.zeros((n,), jnp.uint64)
+        slot = (h & jnp.uint64(n_slots - 1)).astype(jnp.int32)
+        slot = jnp.where(live, slot, n_slots)  # OOB -> dropped
+
+        occ = jnp.zeros((n_slots,), jnp.bool_).at[slot].set(True,
+                                                            mode="drop")
+        dirty = jnp.zeros((n_slots,), jnp.bool_)
+        kreps, nreps = [], []
+        for c, nl in zip(codes, knulls):
+            cmin = jnp.full((n_slots,), _neutral(c.dtype, "min"), c.dtype
+                            ).at[slot].min(c, mode="drop")
+            cmax = jnp.full((n_slots,), _neutral(c.dtype, "max"), c.dtype
+                            ).at[slot].max(c, mode="drop")
+            nl32 = nl.astype(jnp.int32)
+            nmin = jnp.full((n_slots,), 2, jnp.int32).at[slot].min(
+                nl32, mode="drop")
+            nmax = jnp.full((n_slots,), -1, jnp.int32).at[slot].max(
+                nl32, mode="drop")
+            dirty = dirty | (occ & ((cmin != cmax) | (nmin != nmax)))
+            kreps.append(cmin)
+            nreps.append(nmin == 1)
+        clean_slot = occ & ~dirty
+        occs.append(clean_slot)
+        kreps_r.append(kreps)
+        nreps_r.append(nreps)
+        outs_k, cnts_k = [], []
+        for v, vn, kind in zip(vals, vnulls, kinds):
+            contrib = live & ~vn
+            cslot = jnp.where(contrib, slot, n_slots)
+            cnt = jnp.zeros((n_slots,), jnp.int64).at[cslot].add(
+                jnp.ones((n,), jnp.int64), mode="drop")
+            if kind == "sum":
+                acc = jnp.zeros((n_slots,), v.dtype).at[cslot].add(
+                    v, mode="drop")
+            elif kind == "min":
+                acc = jnp.full((n_slots,), _neutral(v.dtype, "min"),
+                               v.dtype).at[cslot].min(v, mode="drop")
+            else:
+                acc = jnp.full((n_slots,), _neutral(v.dtype, "max"),
+                               v.dtype).at[cslot].max(v, mode="drop")
+            outs_k.append(acc)
+            cnts_k.append(cnt)
+        outs_r.append(outs_k)
+        cnts_r.append(cnts_k)
+        live = live & dirty[jnp.clip(slot, 0, n_slots - 1)]
+
+    clean = live.sum(dtype=jnp.int64) == 0
+    # concatenate rounds and prefix-pack clean groups
+    m = rounds * n_slots
+    occ_all = jnp.concatenate(occs)
+    pos = jnp.cumsum(occ_all.astype(jnp.int32)) - 1
+    n_groups = occ_all.sum(dtype=jnp.int32)
+    dest = jnp.where(occ_all, pos, m)
+    nk = len(codes)
+    ukeys = tuple(
+        jnp.zeros((m,), codes[i].dtype).at[dest].set(
+            jnp.concatenate([kreps_r[r][i] for r in range(rounds)]),
+            mode="drop") for i in range(nk))
+    uknulls = tuple(
+        jnp.zeros((m,), jnp.bool_).at[dest].set(
+            jnp.concatenate([nreps_r[r][i] for r in range(rounds)]),
+            mode="drop") for i in range(nk))
+    outs = tuple(
+        jnp.zeros((m,), vals[j].dtype).at[dest].set(
+            jnp.concatenate([outs_r[r][j] for r in range(rounds)]),
+            mode="drop") for j in range(len(vals)))
+    vcounts = tuple(
+        jnp.zeros((m,), jnp.int64).at[dest].set(
+            jnp.concatenate([cnts_r[r][j] for r in range(rounds)]),
+            mode="drop") for j in range(len(vals)))
+    w = min(m, PACK_CAP)
+    mat = _pack_outputs(clean, n_groups, ukeys, uknulls, outs, vcounts, w)
+    return (mat, clean, n_groups, ukeys, uknulls, outs, vcounts)
+
+
+def _pack_outputs(clean, ng, ukeys, uknulls, outs, vcounts, w):
+    """Bit-pack every output into ONE int64 matrix for a single bounded
+    device->host transfer (row 0 header [clean, n_groups, ...])."""
+    hdr = jnp.zeros((w,), jnp.int64)
+    hdr = hdr.at[0].set(clean.astype(jnp.int64))
+    hdr = hdr.at[1].set(ng.astype(jnp.int64))
+
+    def as_i64(x):
+        if x.dtype == jnp.float64:
+            x = floatbits.f64_bits(x)
+        elif x.dtype != jnp.int64:
+            x = x.astype(jnp.int64)
+        return x[:w]
+
+    rows = [hdr] + [as_i64(k) for k in ukeys] \
+        + [as_i64(n) for n in uknulls] \
+        + [as_i64(o) for o in outs] + [as_i64(c) for c in vcounts]
+    return jnp.stack(rows)
+
+
 @partial(jax.jit, static_argnames=("kinds", "n_slots", "salt"))
 def hash_group_reduce_packed(codes, knulls, valid, vals, vnulls, kinds,
                              n_slots, salt):

@@ -581,7 +581,7 @@ def _fused_run(spec, *arrays):
         codes_l.append(jnp.where(nl, jnp.int64(0), code))
         knulls_l.append(nl)
 
-    return hops.hash_group_reduce_packed(
+    return hops.hash_rounds_reduce_packed(
         tuple(codes_l), tuple(knulls_l), selb, tuple(vals), tuple(vnulls),
         tuple(kinds), n_slots, salt)
 
@@ -600,6 +600,7 @@ class _Plan:
         self.rslots: List[tuple] = []
         self.rv_ix = -1
         self.key_decoders: List[object] = []
+        self.key_payloads: Dict[str, list] = {}  # planes keys: span bound
         self.slot_map: List[tuple] = []   # per AggSlot: (kind, rslot indices)
         self.slot_types: Dict[str, pa.DataType] = {}
 
@@ -809,6 +810,8 @@ def _plan_query(table, plan_scan, hints, group, key_names, slots,
                 p.key_decoders.append(("vocab", pr.vocab_list, vt))
         else:
             p.key_decoders.append(("codec", KeyCodec(table.field(c).type)))
+            if not empty and prep_of(c).kind == "planes":
+                p.key_payloads[c] = prep_of(c).payloads
 
     needed |= expr_cols
 
@@ -1016,6 +1019,16 @@ def try_fused_aggregate(table, plan_scan, hints, group, key_names, slots,
     STATS["fused_grouped"] += 1
     hint_key = ("stage", keys)
     start = getattr(table, "_fused_stage_hint", {}).get(hint_key, 0)
+    # static cardinality bound (dict vocab size / int domain span) picks
+    # a table the multi-round scatter converges in without a retry
+    bound = _cardinality_bound(p)
+    if bound is not None:
+        for si, (ns, _s) in enumerate(_STAGES):
+            if ns >= 2 * bound:
+                start = max(start, si)
+                break
+        else:
+            start = max(start, len(_STAGES) - 1)
     result = None
     for si in range(start, len(_STAGES)):
         n_slots, salt = _STAGES[si]
@@ -1041,6 +1054,35 @@ def try_fused_aggregate(table, plan_scan, hints, group, key_names, slots,
         STATS["fused_bailouts"] += 1
         return None
     return result
+
+
+def _cardinality_bound(p: _Plan) -> Optional[int]:
+    """Upper bound on distinct key tuples, from dictionary sizes and
+    integer domain spans; None when any key is unbounded (floats)."""
+    total = 1
+    for name, dec in zip(p.keys, p.key_decoders):
+        if dec[0] == "vocab":
+            b = max(len(dec[1]), 1)
+        else:
+            pr = None
+            for c, ix in p.spec_cols:
+                if c == name:
+                    pr = dict(ix)
+                    break
+            if pr is None or pr.get("kind") != "planes":
+                return None
+            b = None
+        if b is None:
+            # int domain span from per-block refs + widths
+            payloads = p.key_payloads.get(name)
+            if not payloads:
+                return None
+            lo = min(pp.reference_value for pp in payloads)
+            hi = max(pp.reference_value + (1 << min(pp.width, 62)) - 1
+                     for pp in payloads)
+            b = max(min(hi - lo + 1, 1 << 62), 1)
+        total = min(total * b, 1 << 62)
+    return total
 
 
 def _parse_packed(p: _Plan, slots, mat: np.ndarray, g: int) -> pa.Table:

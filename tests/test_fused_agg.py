@@ -223,3 +223,21 @@ def test_prep_invalidated_after_reset():
     cache.reset()
     r2 = ctx.sql("SELECT sum(i) FROM t").to_arrow()
     assert r1.column(0).to_pylist() == r2.column(0).to_pylist()
+
+
+def test_high_cardinality_group_by_fuses(ctxs):
+    """~11k distinct keys defeat single-shot hash collision detection
+    (birthday bound); the multi-round scatter (hash_rounds_reduce)
+    must converge WITHOUT falling back to the classic path."""
+    sql = "SELECT hc, count(*) c, sum(i) s FROM t GROUP BY hc " \
+          "ORDER BY c DESC, hc LIMIT 20"
+    bail_before = fused_agg.STATS["fused_bailouts"]
+    grouped_before = fused_agg.STATS["fused_grouped"]
+    a, b = run_both(ctxs, sql)
+    assert_same(a, b)
+    # the fused run must have taken the grouped path and NOT bailed
+    # (LIQUID_FUSED=0 runs return before any counter; ladder exhaustion
+    # would bump fused_bailouts)
+    assert fused_agg.STATS["fused_grouped"] == grouped_before + 1
+    assert fused_agg.STATS["fused_bailouts"] == bail_before, \
+        fused_agg.STATS
