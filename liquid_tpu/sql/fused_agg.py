@@ -89,7 +89,7 @@ def _compile_expr(e: ast.Expr, col_kinds: Dict[str, str]):
     """-> (ir, cols_used:set).  Raises _Bail on unsupported shapes."""
     if isinstance(e, ast.Column):
         k = col_kinds.get(e.name)
-        if k == "planes":
+        if k in ("planes", "linear"):
             return ("col", e.name, "i64"), {e.name}
         if k == "float":
             return ("col", e.name, "f64"), {e.name}
@@ -221,10 +221,23 @@ def _stack_validity(payloads) -> Optional[jax.Array]:
 
 def _prep_column(payloads, arrow_type) -> _ColPrep:
     from liquid_tpu.arrays.decimal import LiquidDecimalArray
+    from liquid_tpu.arrays.linear import LiquidLinearArray
     prep = _ColPrep()
     prep.arrow_type = arrow_type
     prep.payloads = list(payloads)
     p0 = payloads[0]
+    if isinstance(p0, LiquidLinearArray):
+        # value[i] = round(slope*i) + residual[i]: decode adds the
+        # per-block linear term on device; predicates bail (values are
+        # not monotone in residual offsets, so no interval form)
+        if any(not isinstance(p, LiquidLinearArray) for p in payloads):
+            raise _Bail("mixed payload classes")
+        prep.kind = "linear"
+        res = [p.residuals for p in payloads]
+        prep.planes_stack, prep.refs = _stack_planes(res)
+        prep.valid_stack = _stack_validity(res)
+        prep.inv = np.array([p.slope for p in payloads], np.float64)
+        return prep
     if isinstance(p0, LiquidDecimalArray):
         # subclasses LiquidPrimitiveArray but holds UNSCALED values:
         # raw-literal intervals / i64 sums would be silently wrong
@@ -519,6 +532,18 @@ def _fused_run(spec, *arrays):
             if "patch_rows" in cix:
                 v = v.at[arrays[cix["patch_rows"]]].set(
                     arrays[cix["patch_vals"]], mode="drop")
+        elif kind == "linear":
+            off = bp.unpack_bitplanes_many(
+                arrays[cix["planes"]],
+                jnp.uint64 if arrays[cix["planes"]].shape[1] > 32
+                else jnp.uint32)
+            resid = off.astype(jnp.int64) + arrays[cix["refs"]][:, None]
+            iota = jnp.arange(BLOCK_ROWS, dtype=jnp.float64)[None, :]
+            lin = jnp.round(arrays[cix["inv"]][:, None] * iota
+                            ).astype(jnp.int64)
+            v = (resid + lin).reshape(-1)
+            if dt == "f64":
+                v = v.astype(jnp.float64)
         else:  # dict codes (COUNT / key use only)
             v = arrays[cix["codes"]].reshape(-1).astype(jnp.int64)
         dec_cache[(name, dt)] = v
@@ -565,7 +590,7 @@ def _fused_run(spec, *arrays):
     for name in keys:
         cix = colmap[name]
         kind = cix["kind"]
-        if kind == "planes":
+        if kind in ("planes", "linear"):
             code = decode(name, "i64")
         elif kind == "float":
             # canonical IEEE bit image (-0.0 -> +0.0 via +0.0)
@@ -825,14 +850,14 @@ def _plan_query(table, plan_scan, hints, group, key_names, slots,
     for c in sorted(needed):
         pr = prep_of(c)
         ix: Dict[str, int] = {"kind": pr.kind}
-        if pr.kind in ("planes", "float"):
+        if pr.kind in ("planes", "float", "linear"):
             ix["planes"] = _add(p, pr.planes_stack)
             ix["refs"] = _add(p, jnp.asarray(pr.refs))
-            if pr.kind == "float":
+            if pr.kind in ("float", "linear"):
                 ix["inv"] = _add(p, jnp.asarray(pr.inv))
-                if pr.patch_rows is not None:
-                    ix["patch_rows"] = _add(p, jnp.asarray(pr.patch_rows))
-                    ix["patch_vals"] = _add(p, jnp.asarray(pr.patch_vals))
+            if pr.kind == "float" and pr.patch_rows is not None:
+                ix["patch_rows"] = _add(p, jnp.asarray(pr.patch_rows))
+                ix["patch_vals"] = _add(p, jnp.asarray(pr.patch_vals))
         else:
             ix["codes"] = _add(p, pr.codes_stack)
             if c in key_cols:
@@ -846,6 +871,8 @@ def _plan_query(table, plan_scan, hints, group, key_names, slots,
         alts = []
         for c, pred in g.alternatives:
             pr = preps[c]
+            if pr.kind == "linear":
+                raise _Bail(f"predicate on linear-coded column {c}")
             if pr.kind == "planes":
                 iv = _primitive_interval(pr.payloads, pred)
                 if iv is None:

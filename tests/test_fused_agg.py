@@ -241,3 +241,39 @@ def test_high_cardinality_group_by_fuses(ctxs):
     assert fused_agg.STATS["fused_grouped"] == grouped_before + 1
     assert fused_agg.STATS["fused_bailouts"] == bail_before, \
         fused_agg.STATS
+
+
+def test_linear_coded_column_fuses():
+    """Near-monotonic int columns transcode to LiquidLinearArray; the
+    fused path decodes them on device (residual + round(slope*i))."""
+    n = 40_000
+    rng = np.random.default_rng(9)
+    t = pa.table({
+        "oid": np.arange(n, dtype=np.int64) * 4
+        + rng.integers(0, 3, n),                      # linear-codable
+        "grp": rng.integers(0, 50, n),
+        "v": rng.integers(0, 1000, n),
+    })
+    path = os.path.join(tempfile.mkdtemp(), "lin.parquet")
+    pq.write_table(t, path, row_group_size=16_384)
+    from liquid_tpu.arrays.linear import LiquidLinearArray
+    ctx, cache = make_session("liquid", 1 << 30, tempfile.mkdtemp())
+    ctx.register_parquet("t", path)
+    pt = ctx._tables["t"]
+    pt.ensure_cached(0, "oid")
+    eid = pt.entry_id(0, "oid", 0)
+    with cache._lock:
+        assert isinstance(cache._entries[eid].payload, LiquidLinearArray)
+    before = fused_agg.STATS["fused_grouped"]
+    os.environ["LIQUID_FUSED_STRICT"] = "1"
+    try:
+        out = ctx.sql("SELECT grp, sum(oid) s, max(oid) m FROM t "
+                      "GROUP BY grp ORDER BY grp").to_arrow().to_pandas()
+    finally:
+        os.environ.pop("LIQUID_FUSED_STRICT", None)
+    assert fused_agg.STATS["fused_grouped"] == before + 1, \
+        fused_agg.STATS.get("last_bail")
+    g = t.to_pandas().groupby("grp").agg(
+        s=("oid", "sum"), m=("oid", "max")).reset_index()
+    assert out["s"].tolist() == g["s"].tolist()
+    assert out["m"].tolist() == g["m"].tolist()
