@@ -82,44 +82,83 @@ def hash_rounds_reduce_packed(codes, knulls, valid, vals, vnulls, kinds,
         slot = (h & jnp.uint64(n_slots - 1)).astype(jnp.int32)
         slot = jnp.where(live, slot, n_slots)  # OOB -> dropped
 
-        occ = jnp.zeros((n_slots,), jnp.bool_).at[slot].set(True,
-                                                            mode="drop")
+        # scatter BATCHING: columns sharing (op, dtype) ride ONE 2D
+        # scatter with a shared index vector -- the random-access cost
+        # of a scatter is paid per PASS, not per column (null masks fold
+        # into the payload: 0 for adds, the neutral for min/max)
+        add_cols = {}   # dtype -> [(tag, values)]
+        min_cols = {}   # dtype -> [(tag, values)]
+        max_cols = {}
+        for i, (c, nl) in enumerate(zip(codes, knulls)):
+            min_cols.setdefault(c.dtype, []).append((("kmin", i), c))
+            max_cols.setdefault(c.dtype, []).append((("kmax", i), c))
+            valid_flag = (~nl).astype(jnp.int64)
+            min_cols.setdefault(jnp.int64, []).append(
+                (("nmin", i), valid_flag))
+            max_cols.setdefault(jnp.int64, []).append(
+                (("nmax", i), valid_flag))
+        add_cols.setdefault(jnp.int64, []).append(
+            (("occ", 0), jnp.ones((n,), jnp.int64)))
+        for j, (v, vn, kind) in enumerate(zip(vals, vnulls, kinds)):
+            contrib = live & ~vn
+            add_cols.setdefault(jnp.int64, []).append(
+                (("cnt", j), contrib.astype(jnp.int64)))
+            if kind == "sum":
+                z = jnp.where(contrib, v, jnp.zeros((), v.dtype))
+                add_cols.setdefault(v.dtype, []).append((("acc", j), z))
+            elif kind == "min":
+                z = jnp.where(contrib, v, _neutral(v.dtype, "min"))
+                min_cols.setdefault(v.dtype, []).append((("acc", j), z))
+            else:
+                z = jnp.where(contrib, v, _neutral(v.dtype, "max"))
+                max_cols.setdefault(v.dtype, []).append((("acc", j), z))
+
+        got = {}
+
+        def run_batch(groups, op):
+            for dt, cols in groups.items():
+                stackv = jnp.stack([v for _, v in cols], axis=1)  # [n, K]
+                if op == "add":
+                    tbl = jnp.zeros((n_slots, len(cols)), dt
+                                    ).at[slot].add(stackv, mode="drop")
+                elif op == "min":
+                    tbl = jnp.full((n_slots, len(cols)),
+                                   _neutral(dt, "min"), dt
+                                   ).at[slot].min(stackv, mode="drop")
+                else:
+                    tbl = jnp.full((n_slots, len(cols)),
+                                   _neutral(dt, "max"), dt
+                                   ).at[slot].max(stackv, mode="drop")
+                for k, (tag, _) in enumerate(cols):
+                    got[(op,) + tag] = tbl[:, k]
+
+        run_batch(add_cols, "add")
+        run_batch(min_cols, "min")
+        run_batch(max_cols, "max")
+
+        occ = got[("add", "occ", 0)] > 0
         dirty = jnp.zeros((n_slots,), jnp.bool_)
         kreps, nreps = [], []
-        for c, nl in zip(codes, knulls):
-            cmin = jnp.full((n_slots,), _neutral(c.dtype, "min"), c.dtype
-                            ).at[slot].min(c, mode="drop")
-            cmax = jnp.full((n_slots,), _neutral(c.dtype, "max"), c.dtype
-                            ).at[slot].max(c, mode="drop")
-            nl32 = nl.astype(jnp.int32)
-            nmin = jnp.full((n_slots,), 2, jnp.int32).at[slot].min(
-                nl32, mode="drop")
-            nmax = jnp.full((n_slots,), -1, jnp.int32).at[slot].max(
-                nl32, mode="drop")
+        for i in range(len(codes)):
+            cmin = got[("min", "kmin", i)]
+            cmax = got[("max", "kmax", i)]
+            nmin = got[("min", "nmin", i)]
+            nmax = got[("max", "nmax", i)]
             dirty = dirty | (occ & ((cmin != cmax) | (nmin != nmax)))
             kreps.append(cmin)
-            nreps.append(nmin == 1)
+            # nl valid-flag min==0 means some row was NULL; a clean slot
+            # has nmin==nmax, so nmin==0 <-> the key is NULL there
+            nreps.append(nmin == 0)
         clean_slot = occ & ~dirty
         occs.append(clean_slot)
         kreps_r.append(kreps)
         nreps_r.append(nreps)
-        outs_k, cnts_k = [], []
-        for v, vn, kind in zip(vals, vnulls, kinds):
-            contrib = live & ~vn
-            cslot = jnp.where(contrib, slot, n_slots)
-            cnt = jnp.zeros((n_slots,), jnp.int64).at[cslot].add(
-                jnp.ones((n,), jnp.int64), mode="drop")
-            if kind == "sum":
-                acc = jnp.zeros((n_slots,), v.dtype).at[cslot].add(
-                    v, mode="drop")
-            elif kind == "min":
-                acc = jnp.full((n_slots,), _neutral(v.dtype, "min"),
-                               v.dtype).at[cslot].min(v, mode="drop")
-            else:
-                acc = jnp.full((n_slots,), _neutral(v.dtype, "max"),
-                               v.dtype).at[cslot].max(v, mode="drop")
-            outs_k.append(acc)
-            cnts_k.append(cnt)
+        outs_k = []
+        cnts_k = []
+        for j, (v, vn, kind) in enumerate(zip(vals, vnulls, kinds)):
+            op = "add" if kind == "sum" else kind
+            outs_k.append(got[(op, "acc", j)])
+            cnts_k.append(got[("add", "cnt", j)])
         outs_r.append(outs_k)
         cnts_r.append(cnts_k)
         live = live & dirty[jnp.clip(slot, 0, n_slots - 1)]

@@ -464,7 +464,7 @@ def _pack_bools_2d(bools):
 
 @partial(jax.jit, static_argnums=(0,))
 def _fused_run(spec, *arrays):
-    (mode, cols, pred_groups, keys, rslots, rv_ix, n_slots, salt) = spec
+    (mode, cols, pred_groups, keys, rslots, rv_ix, n_slots, salt) = spec[:8]
     colmap = {c[0]: dict(c[1]) for c in cols}
 
     # -- selection ----------------------------------------------------------
@@ -608,7 +608,7 @@ def _fused_run(spec, *arrays):
 
     return hops.hash_rounds_reduce_packed(
         tuple(codes_l), tuple(knulls_l), selb, tuple(vals), tuple(vnulls),
-        tuple(kinds), n_slots, salt)
+        tuple(kinds), n_slots, salt, rounds=spec[8])
 
 
 # -- planning + host driver ---------------------------------------------------
@@ -1036,7 +1036,7 @@ def try_fused_aggregate(table, plan_scan, hints, group, key_names, slots,
     if mode == "scalar":
         STATS["fused_scalar"] += 1
         spec = ("scalar", spec_cols, pred_groups, keys, rslots,
-                p.rv_ix, 0, 0)
+                p.rv_ix, 0, 0, 0)
         packed = np.asarray(_fused_run(spec, *p.arrays))
         ns = len(p.rslots)
         outs = packed[:ns]
@@ -1059,8 +1059,12 @@ def try_fused_aggregate(table, plan_scan, hints, group, key_names, slots,
     result = None
     for si in range(start, len(_STAGES)):
         n_slots, salt = _STAGES[si]
+        # a birthday-safe table needs only ONE scatter round; dead
+        # rounds would still pay full-row scatter passes
+        rounds = 1 if (bound is not None and bound * bound <= n_slots) \
+            else 3
         spec = ("grouped", spec_cols, pred_groups, keys, rslots,
-                p.rv_ix, n_slots, salt)
+                p.rv_ix, n_slots, salt, rounds)
         out = _fused_run(spec, *p.arrays)
         mat = np.asarray(out[0])
         if mat[0, 0]:
