@@ -464,7 +464,8 @@ def _pack_bools_2d(bools):
 
 @partial(jax.jit, static_argnums=(0,))
 def _fused_run(spec, *arrays):
-    (mode, cols, pred_groups, keys, rslots, rv_ix, n_slots, salt) = spec[:8]
+    (mode, cols, pred_groups, keys, rslots, rv_ix, n_slots, salt,
+     rounds) = spec
     colmap = {c[0]: dict(c[1]) for c in cols}
 
     # -- selection ----------------------------------------------------------
@@ -608,7 +609,7 @@ def _fused_run(spec, *arrays):
 
     return hops.hash_rounds_reduce_packed(
         tuple(codes_l), tuple(knulls_l), selb, tuple(vals), tuple(vnulls),
-        tuple(kinds), n_slots, salt, rounds=spec[8])
+        tuple(kinds), n_slots, salt, rounds=rounds)
 
 
 # -- planning + host driver ---------------------------------------------------
