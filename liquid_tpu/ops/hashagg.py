@@ -53,6 +53,131 @@ def _mix(h: jax.Array, v: jax.Array) -> jax.Array:
 PACK_CAP = 1 << 16
 
 
+#: direct-address table cap (slots x columns x 8B HBM)
+DIRECT_CAP = 1 << 21
+
+
+@partial(jax.jit, static_argnames=("kinds", "spans"))
+def direct_reduce_packed(codes, knulls, valid, vals, vnulls, kinds,
+                         los, spans):
+    """Grouped reduction by DIRECT ADDRESSING: when every key column's
+    value domain is densely boundable (int domain span, dictionary
+    size, date range), slot = mixed-radix index of (code - lo) -- the
+    slot<->key-tuple map is bijective, so collisions are IMPOSSIBLE:
+    no rounds, no key-min/max scatter passes, no retry ladder.  An XLA
+    TPU scatter pass costs ~100ns/row regardless of payload width
+    (latency-bound), so cutting the pass count is the whole game: this
+    runs ONE add pass per payload dtype (plus min/max passes only when
+    the query has min/max aggregates).
+
+    `los` traced int64[nk]; `spans` static tuple (span_i = max-min; a
+    NULL key maps to the extra index span_i+1-1... i.e. index span_i).
+    Output contract matches hash_rounds_reduce_packed (clean always
+    True).
+    """
+    n = valid.shape[0]
+    nk = len(codes)
+    strides = []
+    m = 1
+    for s in reversed(spans):
+        strides.append(m)
+        m *= s + 2  # +1 for the domain, +1 for the NULL index
+    strides = list(reversed(strides))
+    slot = jnp.zeros((n,), jnp.int64)
+    for i, (c, nl) in enumerate(zip(codes, knulls)):
+        idx = jnp.where(nl, jnp.int64(spans[i] + 1), c - los[i])
+        slot = slot + idx * jnp.int64(strides[i])
+    slot = jnp.where(valid, slot, jnp.int64(m)).astype(jnp.int32)
+
+    add_cols = {}
+    min_cols = {}
+    max_cols = {}
+    add_cols.setdefault(jnp.int64, []).append(
+        (("occ", 0), jnp.ones((n,), jnp.int64)))
+    for j, (v, vn, kind) in enumerate(zip(vals, vnulls, kinds)):
+        contrib = valid & ~vn
+        add_cols.setdefault(jnp.int64, []).append(
+            (("cnt", j), contrib.astype(jnp.int64)))
+        if kind == "sum":
+            z = jnp.where(contrib, v, jnp.zeros((), v.dtype))
+            add_cols.setdefault(v.dtype, []).append((("acc", j), z))
+        elif kind == "min":
+            z = jnp.where(contrib, v, _neutral(v.dtype, "min"))
+            min_cols.setdefault(v.dtype, []).append((("acc", j), z))
+        else:
+            z = jnp.where(contrib, v, _neutral(v.dtype, "max"))
+            max_cols.setdefault(v.dtype, []).append((("acc", j), z))
+
+    got = {}
+    #: below this table size, masked streaming reductions beat scatter:
+    #: an XLA TPU scatter is latency-bound (~100ns/row) while a masked
+    #: full-array reduce runs at HBM bandwidth -- m passes over the
+    #: payloads cost m*n*8B of streamed traffic, a win while m is tiny
+    #: (the GROUP BY l_returnflag, l_linestatus shape)
+    SMALL = 64
+
+    def run_batch(groups, op):
+        for dt, cols in groups.items():
+            stackv = jnp.stack([v for _, v in cols], axis=1)
+            if m <= SMALL:
+                rows = []
+                for s in range(m):
+                    sel = (slot == s)[:, None]
+                    if op == "add":
+                        rows.append(jnp.where(
+                            sel, stackv, jnp.zeros((), dt)).sum(axis=0))
+                    elif op == "min":
+                        rows.append(jnp.where(
+                            sel, stackv, _neutral(dt, "min")).min(axis=0))
+                    else:
+                        rows.append(jnp.where(
+                            sel, stackv, _neutral(dt, "max")).max(axis=0))
+                tbl = jnp.stack(rows)
+            elif op == "add":
+                tbl = jnp.zeros((m, len(cols)), dt
+                                ).at[slot].add(stackv, mode="drop")
+            elif op == "min":
+                tbl = jnp.full((m, len(cols)), _neutral(dt, "min"), dt
+                               ).at[slot].min(stackv, mode="drop")
+            else:
+                tbl = jnp.full((m, len(cols)), _neutral(dt, "max"), dt
+                               ).at[slot].max(stackv, mode="drop")
+            for k, (tag, _) in enumerate(cols):
+                got[(op,) + tag] = tbl[:, k]
+
+    run_batch(add_cols, "add")
+    run_batch(min_cols, "min")
+    run_batch(max_cols, "max")
+
+    occ = got[("add", "occ", 0)] > 0
+    # keys decode from the slot INDEX (bijective): pure iota math,
+    # no scatter passes
+    iota = jnp.arange(m, dtype=jnp.int64)
+    kreps, nreps = [], []
+    for i in range(nk):
+        idx = (iota // jnp.int64(strides[i])) % jnp.int64(spans[i] + 2)
+        isnull = idx == jnp.int64(spans[i] + 1)
+        kreps.append(jnp.where(isnull, jnp.int64(0), idx + los[i]))
+        nreps.append(isnull)
+
+    pos = jnp.cumsum(occ.astype(jnp.int32)) - 1
+    n_groups = occ.sum(dtype=jnp.int32)
+    dest = jnp.where(occ, pos, m)
+    ukeys = tuple(jnp.zeros((m,), jnp.int64).at[dest].set(
+        kreps[i], mode="drop") for i in range(nk))
+    uknulls = tuple(jnp.zeros((m,), jnp.bool_).at[dest].set(
+        nreps[i], mode="drop") for i in range(nk))
+    outs = tuple(jnp.zeros((m,), vals[j].dtype).at[dest].set(
+        got[("add" if kinds[j] == "sum" else kinds[j], "acc", j)],
+        mode="drop") for j in range(len(vals)))
+    vcounts = tuple(jnp.zeros((m,), jnp.int64).at[dest].set(
+        got[("add", "cnt", j)], mode="drop") for j in range(len(vals)))
+    w = min(m, PACK_CAP)
+    mat = _pack_outputs(jnp.bool_(True), n_groups, ukeys, uknulls, outs,
+                        vcounts, w)
+    return (mat, jnp.bool_(True), n_groups, ukeys, uknulls, outs, vcounts)
+
+
 @partial(jax.jit, static_argnames=("kinds", "n_slots", "salt", "rounds"))
 def hash_rounds_reduce_packed(codes, knulls, valid, vals, vnulls, kinds,
                               n_slots, salt, rounds=3):

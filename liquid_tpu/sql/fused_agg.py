@@ -465,7 +465,7 @@ def _pack_bools_2d(bools):
 @partial(jax.jit, static_argnums=(0,))
 def _fused_run(spec, *arrays):
     (mode, cols, pred_groups, keys, rslots, rv_ix, n_slots, salt,
-     rounds) = spec
+     extra) = spec
     colmap = {c[0]: dict(c[1]) for c in cols}
 
     # -- selection ----------------------------------------------------------
@@ -607,9 +607,14 @@ def _fused_run(spec, *arrays):
         codes_l.append(jnp.where(nl, jnp.int64(0), code))
         knulls_l.append(nl)
 
+    if mode == "direct":
+        # bijective dense-domain slots: no collision machinery at all
+        return hops.direct_reduce_packed(
+            tuple(codes_l), tuple(knulls_l), selb, tuple(vals),
+            tuple(vnulls), tuple(kinds), arrays[-1], spans=extra)
     return hops.hash_rounds_reduce_packed(
         tuple(codes_l), tuple(knulls_l), selb, tuple(vals), tuple(vnulls),
-        tuple(kinds), n_slots, salt, rounds=rounds)
+        tuple(kinds), n_slots, salt, rounds=extra)
 
 
 # -- planning + host driver ---------------------------------------------------
@@ -1045,6 +1050,25 @@ def try_fused_aggregate(table, plan_scan, hints, group, key_names, slots,
         return _finalize_scalar(p, slots, outs, counts)
 
     STATS["fused_grouped"] += 1
+    domains = _key_domains(p)
+    if domains is not None:
+        m = 1
+        for _, span in domains:
+            m *= span + 2
+        if 0 < m <= hops.DIRECT_CAP:
+            spec = ("direct", spec_cols, pred_groups, keys, rslots,
+                    p.rv_ix, 0, 0,
+                    tuple(span for _, span in domains))
+            los = jnp.asarray(
+                np.array([lo for lo, _ in domains], np.int64))
+            out = _fused_run(spec, *p.arrays, los)
+            mat = np.asarray(out[0])
+            g = int(mat[0, 1])
+            if g <= mat.shape[1]:
+                return _parse_packed(p, slots, mat, g)
+            _, _, ng, ukeys, uknulls, outs, vcounts = out
+            return _parse_full(p, slots, g, ukeys, uknulls, outs,
+                               vcounts)
     hint_key = ("stage", keys)
     start = getattr(table, "_fused_stage_hint", {}).get(hint_key, 0)
     # static cardinality bound (dict vocab size / int domain span) picks
@@ -1086,6 +1110,27 @@ def try_fused_aggregate(table, plan_scan, hints, group, key_names, slots,
         STATS["fused_bailouts"] += 1
         return None
     return result
+
+
+def _key_domains(p: _Plan):
+    """Per-key (lo, span) when the value domain is densely boundable
+    (int refs+widths, dictionary size); None when any key is unbounded.
+    Enables DIRECT ADDRESSING: bijective slots, zero collision passes."""
+    out = []
+    for name, dec in zip(p.keys, p.key_decoders):
+        if dec[0] == "vocab":
+            out.append((0, max(len(dec[1]), 1) - 1))
+            continue
+        payloads = p.key_payloads.get(name)
+        if not payloads:
+            return None
+        if any(pp.width > 44 for pp in payloads):
+            return None  # spans beyond ~17T: never direct-addressable
+        lo = min(pp.reference_value for pp in payloads)
+        hi = max(pp.reference_value + (1 << pp.width) - 1
+                 for pp in payloads)
+        out.append((lo, hi - lo))
+    return out
 
 
 def _cardinality_bound(p: _Plan) -> Optional[int]:
