@@ -224,6 +224,23 @@ def generate(sf: float = 0.01, seed: int = 20030101) -> Dict[str, pa.Table]:
     catalog_sales = sales(n_cs, "cs", seed_off=1)
     web_sales = sales(n_ws, "ws", seed_off=2)
 
+    # nullable FK columns (dsdgen leaves a few percent of FKs NULL;
+    # q76 counts sales with NULL channel keys)
+    r76 = np.random.default_rng(seed + 76)
+    st = np.asarray(store_sales.column("ss_sold_time_sk"))
+    store_sales = store_sales.set_column(
+        store_sales.column_names.index("ss_sold_time_sk"),
+        "ss_sold_time_sk",
+        pa.array(st, pa.int64(), mask=r76.random(n_ss) < 0.04))
+    web_sales = web_sales.append_column(
+        "ws_ship_customer_sk",
+        pa.array(r76.integers(1, n_cust + 1, n_ws), pa.int64(),
+                 mask=r76.random(n_ws) < 0.04))
+    catalog_sales = catalog_sales.append_column(
+        "cs_ship_addr_sk",
+        pa.array(r76.integers(1, n_ca + 1, n_cs), pa.int64(),
+                 mask=r76.random(n_cs) < 0.04))
+
     # store_returns: ~10% of store_sales tickets
     r = np.random.default_rng(seed + 99)
     n_sr = n_ss // 10

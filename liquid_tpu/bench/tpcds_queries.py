@@ -1187,4 +1187,170 @@ where i_manufact_id = 350
 order by sum(ws_ext_discount_amt)
 limit 100
 """,
+    17: """
+select i_item_id, i_item_desc, s_state,
+    count(ss_quantity) as store_sales_quantitycount,
+    avg(ss_quantity) as store_sales_quantityave,
+    stddev(ss_quantity) as store_sales_quantitystdev,
+    stddev(ss_quantity) / avg(ss_quantity) as store_sales_quantitycov,
+    count(sr_return_quantity) as store_returns_quantitycount,
+    avg(sr_return_quantity) as store_returns_quantityave,
+    stddev(sr_return_quantity) as store_returns_quantitystdev,
+    stddev(sr_return_quantity) / avg(sr_return_quantity)
+        as store_returns_quantitycov,
+    count(cs_quantity) as catalog_sales_quantitycount,
+    avg(cs_quantity) as catalog_sales_quantityave,
+    stddev(cs_quantity) / avg(cs_quantity) as catalog_sales_quantitycov
+from store_sales, store_returns, catalog_sales, date_dim d1,
+    date_dim d2, date_dim d3, store, item
+where d1.d_qoy = 1 and d1.d_year = 2001
+    and d1.d_date_sk = ss_sold_date_sk
+    and i_item_sk = ss_item_sk
+    and s_store_sk = ss_store_sk
+    and ss_customer_sk = sr_customer_sk
+    and ss_item_sk = sr_item_sk
+    and ss_ticket_number = sr_ticket_number
+    and sr_returned_date_sk = d2.d_date_sk
+    and d2.d_qoy between 1 and 3 and d2.d_year = 2001
+    and sr_customer_sk = cs_customer_sk
+    and sr_item_sk = cs_item_sk
+    and cs_sold_date_sk = d3.d_date_sk
+    and d3.d_qoy between 1 and 3 and d3.d_year = 2001
+group by i_item_id, i_item_desc, s_state
+order by i_item_id, i_item_desc, s_state
+limit 100
+""",
+    69: """
+select cd_gender, cd_marital_status, cd_education_status,
+    count(*) cnt1, cd_credit_rating, count(*) cnt2
+from customer c, customer_address ca, customer_demographics
+where c.c_current_addr_sk = ca.ca_address_sk
+    and ca_state in ('KY', 'GA', 'NM')
+    and cd_demo_sk = c.c_current_cdemo_sk
+    and exists (select * from store_sales, date_dim
+                where c.c_customer_sk = ss_customer_sk
+                    and ss_sold_date_sk = d_date_sk
+                    and d_year = 2001 and d_moy between 4 and 6)
+    and not exists (select * from web_sales, date_dim
+                    where c.c_customer_sk = ws_customer_sk
+                        and ws_sold_date_sk = d_date_sk
+                        and d_year = 2001 and d_moy between 4 and 6)
+group by cd_gender, cd_marital_status, cd_education_status,
+    cd_credit_rating
+order by cd_gender, cd_marital_status, cd_education_status,
+    cd_credit_rating
+limit 100
+""",
+    70: """
+select sum(ss_net_profit) as total_sum, s_state, s_county,
+    grouping(s_state) + grouping(s_county) as lochierarchy,
+    rank() over (partition by grouping(s_state) + grouping(s_county),
+        case when grouping(s_county) = 0 then s_state end
+        order by sum(ss_net_profit) desc) as rank_within_parent
+from store_sales, date_dim d1, store
+where d1.d_month_seq between 24 and 35
+    and d1.d_date_sk = ss_sold_date_sk
+    and s_store_sk = ss_store_sk
+group by rollup(s_state, s_county)
+order by lochierarchy desc,
+    case when lochierarchy = 0 then s_state end nulls first,
+    rank_within_parent
+limit 100
+""",
+    76: """
+select channel, col_name, d_year, d_qoy, i_category,
+    count(*) sales_cnt, sum(ext_sales_price) sales_amt
+from (
+    select 'store' as channel, 'ss_sold_time_sk' col_name, d_year, d_qoy,
+        i_category, ss_ext_sales_price ext_sales_price
+    from store_sales, item, date_dim
+    where ss_sold_time_sk is null
+        and ss_sold_date_sk = d_date_sk
+        and ss_item_sk = i_item_sk
+    union all
+    select 'web' as channel, 'ws_ship_customer_sk' col_name, d_year, d_qoy,
+        i_category, ws_ext_sales_price ext_sales_price
+    from web_sales, item, date_dim
+    where ws_ship_customer_sk is null
+        and ws_sold_date_sk = d_date_sk
+        and ws_item_sk = i_item_sk
+    union all
+    select 'catalog' as channel, 'cs_ship_addr_sk' col_name, d_year, d_qoy,
+        i_category, cs_ext_sales_price ext_sales_price
+    from catalog_sales, item, date_dim
+    where cs_ship_addr_sk is null
+        and cs_sold_date_sk = d_date_sk
+        and cs_item_sk = i_item_sk) foo
+group by channel, col_name, d_year, d_qoy, i_category
+order by channel, col_name, d_year, d_qoy, i_category
+limit 100
+""",
+    87: """
+select count(*) from (
+    select distinct c_last_name, c_first_name, d_date
+    from store_sales, date_dim, customer
+    where store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        and store_sales.ss_customer_sk = customer.c_customer_sk
+        and d_month_seq between 24 and 35
+    except
+    select distinct c_last_name, c_first_name, d_date
+    from catalog_sales, date_dim, customer
+    where catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+        and catalog_sales.cs_customer_sk = customer.c_customer_sk
+        and d_month_seq between 24 and 35
+    except
+    select distinct c_last_name, c_first_name, d_date
+    from web_sales, date_dim, customer
+    where web_sales.ws_sold_date_sk = date_dim.d_date_sk
+        and web_sales.ws_customer_sk = customer.c_customer_sk
+        and d_month_seq between 24 and 35
+) cool_cust
+""",
+    58: """
+with ss_items as (
+    select i_item_id ss_it, sum(ss_ext_sales_price) ss_item_rev
+    from store_sales, item, date_dim
+    where ss_item_sk = i_item_sk
+        and d_date between '2001-06-01' and
+            (cast('2001-06-01' as date) + interval '14' day)
+        and d_date_sk = ss_sold_date_sk
+    group by i_item_id),
+cs_items as (
+    select i_item_id cs_it, sum(cs_ext_sales_price) cs_item_rev
+    from catalog_sales, item, date_dim
+    where cs_item_sk = i_item_sk
+        and d_date between '2001-06-01' and
+            (cast('2001-06-01' as date) + interval '14' day)
+        and d_date_sk = cs_sold_date_sk
+    group by i_item_id),
+ws_items as (
+    select i_item_id ws_it, sum(ws_ext_sales_price) ws_item_rev
+    from web_sales, item, date_dim
+    where ws_item_sk = i_item_sk
+        and d_date between '2001-06-01' and
+            (cast('2001-06-01' as date) + interval '14' day)
+        and d_date_sk = ws_sold_date_sk
+    group by i_item_id)
+select ss_it item_id, ss_item_rev,
+    ss_item_rev / ((ss_item_rev + cs_item_rev + ws_item_rev) / 3) * 100
+        ss_dev,
+    cs_item_rev,
+    cs_item_rev / ((ss_item_rev + cs_item_rev + ws_item_rev) / 3) * 100
+        cs_dev,
+    ws_item_rev,
+    ws_item_rev / ((ss_item_rev + cs_item_rev + ws_item_rev) / 3) * 100
+        ws_dev,
+    (ss_item_rev + cs_item_rev + ws_item_rev) / 3 average
+from ss_items, cs_items, ws_items
+where ss_it = cs_it
+    and ss_it = ws_it
+    and ss_item_rev between 0.9 * cs_item_rev and 1.1 * cs_item_rev
+    and ss_item_rev between 0.9 * ws_item_rev and 1.1 * ws_item_rev
+    and cs_item_rev between 0.9 * ss_item_rev and 1.1 * ss_item_rev
+    and cs_item_rev between 0.9 * ws_item_rev and 1.1 * ws_item_rev
+    and ws_item_rev between 0.9 * ss_item_rev and 1.1 * ss_item_rev
+    and ws_item_rev between 0.9 * cs_item_rev and 1.1 * cs_item_rev
+order by item_id, ss_item_rev
+limit 100
+""",
 }

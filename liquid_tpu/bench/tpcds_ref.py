@@ -1054,7 +1054,9 @@ def q88(t):
               | ((hd.hd_dep_count == 0) & (hd.hd_vehicle_count <= 2))]
     st = t["store"][t["store"].s_store_name == "store a"]
     td = t["time_dim"]
-    base = (t["store_sales"]
+    ss88 = t["store_sales"].dropna(subset=["ss_sold_time_sk"]).astype(
+        {"ss_sold_time_sk": "int64"})
+    base = (ss88
             .merge(td, left_on="ss_sold_time_sk", right_on="t_time_sk")
             .merge(hsel[["hd_demo_sk"]], left_on="ss_hdemo_sk",
                    right_on="hd_demo_sk")
@@ -1099,6 +1101,203 @@ def q89(t):
     out = out.assign(diff=out.sum_sales - out.avg_monthly_sales)
     out = out.sort_values(["diff", "s_store_name"]).drop(columns="diff")
     return out.head(100).reset_index(drop=True)
+
+
+def q17(t):
+    d = t["date_dim"]
+    ss = t["store_sales"].merge(
+        d[(d.d_qoy == 1) & (d.d_year == 2001)][["d_date_sk"]],
+        left_on="ss_sold_date_sk", right_on="d_date_sk")
+    sr = t["store_returns"].merge(
+        d[d.d_qoy.between(1, 3) & (d.d_year == 2001)][["d_date_sk"]],
+        left_on="sr_returned_date_sk", right_on="d_date_sk")
+    cs = t["catalog_sales"].merge(
+        d[d.d_qoy.between(1, 3) & (d.d_year == 2001)][["d_date_sk"]],
+        left_on="cs_sold_date_sk", right_on="d_date_sk")
+    j = (ss.merge(sr[["sr_customer_sk", "sr_item_sk", "sr_ticket_number",
+                      "sr_return_quantity"]],
+                  left_on=["ss_customer_sk", "ss_item_sk",
+                           "ss_ticket_number"],
+                  right_on=["sr_customer_sk", "sr_item_sk",
+                            "sr_ticket_number"])
+         .merge(cs[["cs_customer_sk", "cs_item_sk", "cs_quantity"]],
+                left_on=["sr_customer_sk", "sr_item_sk"],
+                right_on=["cs_customer_sk", "cs_item_sk"])
+         .merge(t["store"], left_on="ss_store_sk", right_on="s_store_sk")
+         .merge(t["item"], left_on="ss_item_sk", right_on="i_item_sk"))
+    g = j.groupby(["i_item_id", "i_item_desc", "s_state"],
+                  as_index=False).agg(
+        store_sales_quantitycount=("ss_quantity", "count"),
+        store_sales_quantityave=("ss_quantity", "mean"),
+        store_sales_quantitystdev=("ss_quantity", "std"),
+        store_returns_quantitycount=("sr_return_quantity", "count"),
+        store_returns_quantityave=("sr_return_quantity", "mean"),
+        store_returns_quantitystdev=("sr_return_quantity", "std"),
+        catalog_sales_quantitycount=("cs_quantity", "count"),
+        catalog_sales_quantityave=("cs_quantity", "mean"),
+        catalog_sales_quantitystdev=("cs_quantity", "std"))
+    g["store_sales_quantitycov"] = (g.store_sales_quantitystdev
+                                    / g.store_sales_quantityave)
+    g["store_returns_quantitycov"] = (g.store_returns_quantitystdev
+                                      / g.store_returns_quantityave)
+    g["catalog_sales_quantitycov"] = (g.catalog_sales_quantitystdev
+                                      / g.catalog_sales_quantityave)
+    g = g[["i_item_id", "i_item_desc", "s_state",
+           "store_sales_quantitycount", "store_sales_quantityave",
+           "store_sales_quantitystdev", "store_sales_quantitycov",
+           "store_returns_quantitycount", "store_returns_quantityave",
+           "store_returns_quantitystdev", "store_returns_quantitycov",
+           "catalog_sales_quantitycount", "catalog_sales_quantityave",
+           "catalog_sales_quantitycov"]]
+    g = g.sort_values(["i_item_id", "i_item_desc", "s_state"])
+    return g.head(100).reset_index(drop=True)
+
+
+def q58(t):
+    d = t["date_dim"]
+    start = pd.Timestamp("2001-06-01")
+    dd = d[(pd.to_datetime(d.d_date) >= start)
+           & (pd.to_datetime(d.d_date) <= start + pd.Timedelta(days=14))]
+    revs = {}
+    for fact, pfx in (("store_sales", "ss"), ("catalog_sales", "cs"),
+                      ("web_sales", "ws")):
+        j = (t[fact]
+             .merge(dd[["d_date_sk"]], left_on=f"{pfx}_sold_date_sk",
+                    right_on="d_date_sk")
+             .merge(t["item"], left_on=f"{pfx}_item_sk",
+                    right_on="i_item_sk"))
+        g = j.groupby("i_item_id", as_index=False)[
+            f"{pfx}_ext_sales_price"].sum()
+        g.columns = ["item_id", f"{pfx}_item_rev"]
+        revs[pfx] = g
+    j = revs["ss"].merge(revs["cs"], on="item_id").merge(
+        revs["ws"], on="item_id")
+    m = (j.ss_item_rev.between(0.9 * j.cs_item_rev, 1.1 * j.cs_item_rev)
+         & j.ss_item_rev.between(0.9 * j.ws_item_rev, 1.1 * j.ws_item_rev)
+         & j.cs_item_rev.between(0.9 * j.ss_item_rev, 1.1 * j.ss_item_rev)
+         & j.cs_item_rev.between(0.9 * j.ws_item_rev, 1.1 * j.ws_item_rev)
+         & j.ws_item_rev.between(0.9 * j.ss_item_rev, 1.1 * j.ss_item_rev)
+         & j.ws_item_rev.between(0.9 * j.cs_item_rev, 1.1 * j.cs_item_rev))
+    j = j[m]
+    avg3 = (j.ss_item_rev + j.cs_item_rev + j.ws_item_rev) / 3
+    out = pd.DataFrame({
+        "item_id": j.item_id, "ss_item_rev": j.ss_item_rev,
+        "ss_dev": j.ss_item_rev / avg3 * 100,
+        "cs_item_rev": j.cs_item_rev,
+        "cs_dev": j.cs_item_rev / avg3 * 100,
+        "ws_item_rev": j.ws_item_rev,
+        "ws_dev": j.ws_item_rev / avg3 * 100,
+        "average": avg3})
+    out = out.sort_values(["item_id", "ss_item_rev"])
+    return out.head(100).reset_index(drop=True)
+
+
+def q69(t):
+    d = t["date_dim"]
+    win = d[(d.d_year == 2001) & d.d_moy.between(4, 6)][["d_date_sk"]]
+    ss_c = set(t["store_sales"].merge(
+        win, left_on="ss_sold_date_sk",
+        right_on="d_date_sk").ss_customer_sk)
+    ws_c = set(t["web_sales"].merge(
+        win, left_on="ws_sold_date_sk",
+        right_on="d_date_sk").ws_customer_sk)
+    c = t["customer"].merge(t["customer_address"],
+                            left_on="c_current_addr_sk",
+                            right_on="ca_address_sk")
+    c = c[c.ca_state.isin(["KY", "GA", "NM"])]
+    c = c[c.c_customer_sk.isin(ss_c) & ~c.c_customer_sk.isin(ws_c)]
+    j = c.merge(t["customer_demographics"], left_on="c_current_cdemo_sk",
+                right_on="cd_demo_sk")
+    g = j.groupby(["cd_gender", "cd_marital_status",
+                   "cd_education_status", "cd_credit_rating"],
+                  as_index=False).size()
+    g["cnt1"] = g["size"]
+    g["cnt2"] = g["size"]
+    g = g[["cd_gender", "cd_marital_status", "cd_education_status",
+           "cnt1", "cd_credit_rating", "cnt2"]]
+    g = g.sort_values(["cd_gender", "cd_marital_status",
+                       "cd_education_status", "cd_credit_rating"])
+    return g.head(100).reset_index(drop=True)
+
+
+def q70(t):
+    d = t["date_dim"]
+    j = (t["store_sales"]
+         .merge(d[d.d_month_seq.between(24, 35)][["d_date_sk"]],
+                left_on="ss_sold_date_sk", right_on="d_date_sk")
+         .merge(t["store"], left_on="ss_store_sk", right_on="s_store_sk"))
+    pieces = []
+    g2 = j.groupby(["s_state", "s_county"], as_index=False
+                   ).ss_net_profit.sum()
+    g2["lochierarchy"] = 0
+    pieces.append(g2)
+    g1 = j.groupby(["s_state"], as_index=False).ss_net_profit.sum()
+    g1["s_county"] = None
+    g1["lochierarchy"] = 1
+    pieces.append(g1)
+    g0 = pd.DataFrame({"s_state": [None], "s_county": [None],
+                       "ss_net_profit": [j.ss_net_profit.sum()],
+                       "lochierarchy": [2]})
+    pieces.append(g0)
+    u = pd.concat(pieces, ignore_index=True)
+    u = u.rename(columns={"ss_net_profit": "total_sum"})
+    u["_pk"] = np.where(u.lochierarchy == 0, u.s_state, None)
+
+    def rnk(grp):
+        return grp.total_sum.rank(method="min", ascending=False)
+    u["rank_within_parent"] = u.groupby(
+        ["lochierarchy", "_pk"], dropna=False).total_sum.rank(
+        method="min", ascending=False).astype(int)
+    u = u[["total_sum", "s_state", "s_county", "lochierarchy",
+           "rank_within_parent", "_pk"]]
+    u = u.sort_values(
+        ["lochierarchy", "_pk", "rank_within_parent"],
+        ascending=[False, True, True], na_position="first")
+    u = u.drop(columns=["_pk"], errors="ignore")
+    return u.head(100).reset_index(drop=True)
+
+
+def q76(t):
+    parts = []
+    for fact, pfx, ncol in (("store_sales", "ss", "ss_sold_time_sk"),
+                            ("web_sales", "ws", "ws_ship_customer_sk"),
+                            ("catalog_sales", "cs", "cs_ship_addr_sk")):
+        f = t[fact]
+        f = f[f[ncol].isna()]
+        j = (f.merge(t["date_dim"], left_on=f"{pfx}_sold_date_sk",
+                     right_on="d_date_sk")
+             .merge(t["item"], left_on=f"{pfx}_item_sk",
+                    right_on="i_item_sk"))
+        chan = {"ss": "store", "ws": "web", "cs": "catalog"}[pfx]
+        g = j.groupby(["d_year", "d_qoy", "i_category"],
+                      as_index=False).agg(
+            sales_cnt=(f"{pfx}_ext_sales_price", "size"),
+            sales_amt=(f"{pfx}_ext_sales_price", "sum"))
+        g.insert(0, "channel", chan)
+        g.insert(1, "col_name", ncol)
+        parts.append(g)
+    u = pd.concat(parts, ignore_index=True)
+    u = u[["channel", "col_name", "d_year", "d_qoy", "i_category",
+           "sales_cnt", "sales_amt"]]
+    u = u.sort_values(["channel", "col_name", "d_year", "d_qoy",
+                       "i_category"])
+    return u.head(100).reset_index(drop=True)
+
+
+def q87(t):
+    sets = []
+    for fact, pfx in (("store_sales", "ss"), ("catalog_sales", "cs"),
+                      ("web_sales", "ws")):
+        j = (t[fact]
+             .merge(t["date_dim"], left_on=f"{pfx}_sold_date_sk",
+                    right_on="d_date_sk")
+             .merge(t["customer"], left_on=f"{pfx}_customer_sk",
+                    right_on="c_customer_sk"))
+        j = j[j.d_month_seq.between(24, 35)]
+        sets.append(set(map(tuple, j[["c_last_name", "c_first_name",
+                                      "d_date"]].itertuples(index=False))))
+    return pd.DataFrame(
+        {"count(*)": [len(sets[0] - sets[1] - sets[2])]})
 
 
 
