@@ -733,6 +733,17 @@ class DistributedSession:
     ROUNDS = 3
 
     def _execute_grouped(self, dt, preds, key_cols, aggs, names) -> pa.Table:
+        domains = self._key_domains(dt, key_cols)
+        if domains is not None:
+            from liquid_tpu.ops.hashagg import DIRECT_CAP
+            m = 1
+            for _, span in domains:
+                m *= span + 2
+            if 0 < m <= DIRECT_CAP:
+                res = self._direct_step(dt, preds, key_cols, aggs,
+                                        domains)
+                return self._finalize_grouped(dt, key_cols, aggs, names,
+                                              res, m, rounds=1)
         for n_slots, salt in _HASH_STAGES:
             res = self._grouped_step(dt, preds, key_cols, aggs,
                                      n_slots, salt)
@@ -742,6 +753,118 @@ class DistributedSession:
         raise NotImplementedError(
             "distributed GROUP BY: cardinality exceeds the hash schedule "
             f"({_HASH_STAGES[-1][0]} slots x {self.ROUNDS} rounds)")
+
+    def _key_domains(self, dt, key_cols):
+        """Per-key (lo, span) for DIRECT mesh addressing: bijective
+        slots, no collision machinery, psum-mergeable tables (round 3;
+        same idea as the local fused path's direct mode)."""
+        out = []
+        for c in key_cols:
+            sc = dt.columns[c]
+            if sc.kind == "dict":
+                out.append((0, max(len(sc.dictionary), 1) - 1))
+            elif sc.kind == "planes":
+                if sc.width > 44:
+                    return None
+                # wrapped-i64 lo: code - lo == offset exactly, even for
+                # uint64 refs (mod-2^64 arithmetic)
+                out.append((_ref_i64(sc.ref), (1 << sc.width) - 1))
+            else:
+                return None
+        return out
+
+    def _direct_step(self, dt, preds, key_cols, aggs, domains):
+        mesh = self.mesh
+        (arrays, specs, li, lf, lut_ix, col_ix, rv_ix) = \
+            self._gather_inputs(dt, preds, key_cols, aggs)
+        agg_specs = tuple(aggs)
+        strides = []
+        m = 1
+        for _, span in reversed(domains):
+            strides.append(m)
+            m *= span + 2
+        strides = list(reversed(strides))
+        spans = [s for _, s in domains]
+        los = [lo for lo, _ in domains]
+
+        @partial(shard_map, mesh=mesh,
+                 in_specs=tuple(specs) + (P(), P()),
+                 out_specs=P())
+        def step(*args):
+            *cols, li_, lf_ = args
+            sel = self._selection_body(cols, col_ix, rv_ix, preds,
+                                       li_, lf_, lut_ix, dt)
+            selb = mops.unpack_bits(sel)
+            codes, knulls = self._key_codes(cols, col_ix, key_cols, dt)
+            slot = jnp.zeros(selb.shape, jnp.int64)
+            for i, (c, nl) in enumerate(zip(codes, knulls)):
+                idx = jnp.where(nl, jnp.int64(spans[i] + 1),
+                                c - jnp.int64(los[i]))
+                slot = slot + idx * jnp.int64(strides[i])
+            slot = jnp.where(selb, slot, jnp.int64(m)).astype(jnp.int32)
+
+            occ_cnt = jax.lax.psum(
+                jnp.zeros((m,), jnp.int64).at[slot].add(
+                    jnp.ones(selb.shape, jnp.int64), mode="drop"),
+                dist.DATA_AXIS)
+            outs = [occ_cnt > 0]
+            # keys from the slot index (replicated iota math)
+            iota = jnp.arange(m, dtype=jnp.int64)
+            kreps, nreps = [], []
+            for i in range(len(key_cols)):
+                idx = (iota // jnp.int64(strides[i])) \
+                    % jnp.int64(spans[i] + 2)
+                isnull = idx == jnp.int64(spans[i] + 1)
+                kreps.append(jnp.where(isnull, jnp.int64(0),
+                                       idx + jnp.int64(los[i])))
+                nreps.append(isnull)
+            outs.extend(kreps)
+            outs.extend(nreps)
+            for kind, spec in agg_specs:
+                if kind.startswith("key:"):
+                    continue
+                if kind == "count_star":
+                    outs.append(occ_cnt)
+                    continue
+                v, mm, nulls, mm_enc = self._agg_value_spec(
+                    cols, col_ix, dt, spec, kind, selb.shape)
+                contrib = selb & ~nulls
+                cslot = jnp.where(contrib, slot, jnp.int32(m))
+                cnt = jax.lax.psum(
+                    jnp.zeros((m,), jnp.int64).at[cslot].add(
+                        jnp.ones(selb.shape, jnp.int64), mode="drop"),
+                    dist.DATA_AXIS)
+                if kind == "count":
+                    outs.append(cnt)
+                elif kind in ("sum", "avg"):
+                    z = jnp.where(contrib, v, jnp.zeros((), v.dtype))
+                    outs.append(jax.lax.psum(
+                        jnp.zeros((m,), v.dtype).at[cslot].add(
+                            z, mode="drop"), dist.DATA_AXIS))
+                    outs.append(cnt)
+                else:  # min / max
+                    from liquid_tpu.ops.groupby import _neutral
+                    if mm_enc:
+                        sent = _U64(0xFFFFFFFFFFFFFFFF) if kind == "min" \
+                            else _U64(0)
+                        zz = jnp.where(contrib, mm, sent)
+                    else:
+                        zz = jnp.where(contrib, mm,
+                                       _neutral(mm.dtype, kind))
+                    if kind == "min":
+                        tb = jnp.full((m,), _neutral(zz.dtype, "min"),
+                                      zz.dtype).at[cslot].min(
+                            zz, mode="drop")
+                        outs.append(jax.lax.pmin(tb, dist.DATA_AXIS))
+                    else:
+                        tb = jnp.full((m,), _neutral(zz.dtype, "max"),
+                                      zz.dtype).at[cslot].max(
+                            zz, mode="drop")
+                        outs.append(jax.lax.pmax(tb, dist.DATA_AXIS))
+                    outs.append(cnt)
+            return (jnp.bool_(True),) + tuple(outs)
+
+        return step(*arrays, li, lf)
 
     def _grouped_step(self, dt, preds, key_cols, aggs, n_slots, salt):
         mesh = self.mesh
@@ -779,7 +902,7 @@ class DistributedSession:
         return step(*arrays, li, lf)
 
     def _finalize_grouped(self, dt, key_cols, aggs, names, res,
-                          n_slots) -> pa.Table:
+                          n_slots, rounds=None) -> pa.Table:
         nkeys = len(key_cols)
         naggout = 0
         for kind, _ in aggs:
@@ -789,7 +912,7 @@ class DistributedSession:
         per_round = 1 + 2 * nkeys + naggout
         pieces: List[pa.Table] = []
         flat = list(res[1:])
-        for r in range(self.ROUNDS):
+        for r in range(rounds if rounds is not None else self.ROUNDS):
             chunk = flat[r * per_round: (r + 1) * per_round]
             occ = np.asarray(chunk[0])
             g = np.flatnonzero(occ)
