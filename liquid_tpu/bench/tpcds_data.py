@@ -76,6 +76,9 @@ def generate(sf: float = 0.01, seed: int = 20030101) -> Dict[str, pa.Table]:
         "d_dow": pa.array(dow.astype(np.int64)),
         "d_qoy": pa.array(qoy.astype(np.int64)),
         "d_month_seq": pa.array(((yy - 1998) * 12 + mm - 1).astype(np.int64)),
+        "d_week_seq": pa.array(
+            ((d_date.view("int64") - d_date.view("int64")[0] + 4) // 7
+             ).astype(np.int64)),
         "d_day_name": pa.array(np.array(
             ["Sunday", "Monday", "Tuesday", "Wednesday", "Thursday",
              "Friday", "Saturday"])[dow.astype(int)]),
@@ -83,6 +86,7 @@ def generate(sf: float = 0.01, seed: int = 20030101) -> Dict[str, pa.Table]:
 
     time_dim = pa.table({
         "t_time_sk": pa.array(np.arange(86400, dtype=np.int64)),
+        "t_time": pa.array(np.arange(86400, dtype=np.int64)),
         "t_hour": pa.array((np.arange(86400) // 3600).astype(np.int64)),
         "t_minute": pa.array((np.arange(86400) % 3600 // 60).astype(np.int64)),
     })
@@ -129,6 +133,8 @@ def generate(sf: float = 0.01, seed: int = 20030101) -> Dict[str, pa.Table]:
 
     household_demographics = pa.table({
         "hd_demo_sk": pa.array(np.arange(1, n_hd + 1), pa.int64()),
+        "hd_income_band_sk": pa.array(
+            rng.integers(1, 21, n_hd), pa.int64()),
         "hd_buy_potential": pa.array(rng.choice(BUY_POTENTIAL, n_hd)),
         "hd_dep_count": pa.array(rng.integers(0, 10, n_hd), pa.int64()),
         "hd_vehicle_count": pa.array(rng.integers(-1, 5, n_hd), pa.int64()),
@@ -164,6 +170,8 @@ def generate(sf: float = 0.01, seed: int = 20030101) -> Dict[str, pa.Table]:
         "s_city": pa.array([f"city{i}" for i in range(1, n_store + 1)]),
         "s_number_employees": pa.array(rng.integers(200, 301, n_store), pa.int64()),
         "s_gmt_offset": pa.array(rng.choice([-5.0, -6.0], n_store)),
+        "s_zip": pa.array([f"{rng.integers(10000, 99999)}"
+                           for _ in range(n_store)]),
     })
 
     def sales(n, prefix, with_store=False, seed_off=0):
@@ -241,6 +249,37 @@ def generate(sf: float = 0.01, seed: int = 20030101) -> Dict[str, pa.Table]:
         pa.array(r76.integers(1, n_ca + 1, n_cs), pa.int64(),
                  mask=r76.random(n_cs) < 0.04))
 
+    # shipping-side FKs (q16/q62/q94/q99 shapes): ship date trails the
+    # sold date by up to ~4 months
+    rsh = np.random.default_rng(seed + 77)
+    cs_sold = np.asarray(catalog_sales.column("cs_sold_date_sk"))
+    catalog_sales = catalog_sales.append_column(
+        "cs_ship_date_sk", pa.array(
+            np.minimum(cs_sold + rsh.integers(1, 121, n_cs), nd),
+            pa.int64()))
+    catalog_sales = catalog_sales.append_column(
+        "cs_ship_mode_sk", pa.array(rsh.integers(1, 21, n_cs), pa.int64()))
+    catalog_sales = catalog_sales.append_column(
+        "cs_call_center_sk", pa.array(rsh.integers(1, 5, n_cs), pa.int64()))
+    catalog_sales = catalog_sales.append_column(
+        "cs_warehouse_sk", pa.array(rsh.integers(1, 6, n_cs), pa.int64()))
+    ws_sold = np.asarray(web_sales.column("ws_sold_date_sk"))
+    web_sales = web_sales.append_column(
+        "ws_ship_date_sk", pa.array(
+            np.minimum(ws_sold + rsh.integers(1, 121, n_ws), nd),
+            pa.int64()))
+    web_sales = web_sales.append_column(
+        "ws_ship_mode_sk", pa.array(rsh.integers(1, 21, n_ws), pa.int64()))
+    web_sales = web_sales.append_column(
+        "ws_web_site_sk", pa.array(rsh.integers(1, 5, n_ws), pa.int64()))
+    web_sales = web_sales.append_column(
+        "ws_warehouse_sk", pa.array(rsh.integers(1, 6, n_ws), pa.int64()))
+    web_sales = web_sales.append_column(
+        "ws_web_page_sk", pa.array(rsh.integers(1, 61, n_ws), pa.int64()))
+    web_sales = web_sales.append_column(
+        "ws_ship_addr_sk", pa.array(
+            rsh.integers(1, n_ca + 1, n_ws), pa.int64()))
+
     # store_returns: ~10% of store_sales tickets
     r = np.random.default_rng(seed + 99)
     n_sr = n_ss // 10
@@ -248,6 +287,7 @@ def generate(sf: float = 0.01, seed: int = 20030101) -> Dict[str, pa.Table]:
     ss_item = np.asarray(store_sales.column("ss_item_sk"))
     ss_cust = np.asarray(store_sales.column("ss_customer_sk"))
     ss_ticket = np.asarray(store_sales.column("ss_ticket_number"))
+    ss_store = np.asarray(store_sales.column("ss_store_sk"))
     r2 = np.random.default_rng(seed + 100)
     store_returns = pa.table({
         "sr_returned_date_sk": pa.array(r.integers(1, nd + 1, n_sr), pa.int64()),
@@ -259,12 +299,113 @@ def generate(sf: float = 0.01, seed: int = 20030101) -> Dict[str, pa.Table]:
         "sr_net_loss": pa.array(_money(r2, n_sr, 0.5, 1000.0)),
         "sr_cdemo_sk": pa.array(r2.integers(1, n_cd + 1, n_sr), pa.int64()),
         "sr_reason_sk": pa.array(r2.integers(1, 36, n_sr), pa.int64()),
+        "sr_store_sk": pa.array(ss_store[ret_idx], pa.int64()),
+    })
+
+    warehouse = pa.table({
+        "w_warehouse_sk": pa.array(np.arange(1, 7), pa.int64()),
+        "w_warehouse_name": pa.array([f"Warehouse {i}" for i in range(1, 7)]),
+        "w_warehouse_sq_ft": pa.array(
+            rng.integers(50_000, 1_000_000, 6), pa.int64()),
+        "w_state": pa.array(rng.choice(STATES[:6], 6)),
+        "w_county": pa.array([COUNTIES[i % len(COUNTIES)] for i in range(6)]),
+        "w_city": pa.array([f"city{i}" for i in range(1, 7)]),
+        "w_country": pa.array(np.full(6, "United States")),
+    })
+
+    SHIP_TYPES = ["EXPRESS", "NEXT DAY", "OVERNIGHT", "REGULAR", "TWO DAY"]
+    ship_mode = pa.table({
+        "sm_ship_mode_sk": pa.array(np.arange(1, 21), pa.int64()),
+        "sm_ship_mode_id": pa.array([f"SM{i:04d}" for i in range(1, 21)]),
+        "sm_type": pa.array([SHIP_TYPES[i % 5] for i in range(20)]),
+        "sm_carrier": pa.array([f"CARRIER{i % 7}" for i in range(20)]),
+        "sm_code": pa.array(["AIR", "SURFACE", "SEA", "LIBRARY"] * 5),
+    })
+
+    call_center = pa.table({
+        "cc_call_center_sk": pa.array(np.arange(1, 5), pa.int64()),
+        "cc_call_center_id": pa.array([f"CC{i:04d}" for i in range(1, 5)]),
+        "cc_name": pa.array([f"call center {i}" for i in range(1, 5)]),
+        "cc_county": pa.array([COUNTIES[i % 3] for i in range(4)]),
+        "cc_manager": pa.array([f"Manager{i}" for i in range(1, 5)]),
+    })
+
+    web_site = pa.table({
+        "web_site_sk": pa.array(np.arange(1, 5), pa.int64()),
+        "web_site_id": pa.array([f"WEB{i:04d}" for i in range(1, 5)]),
+        "web_name": pa.array([f"site_{i}" for i in range(4)]),
+        "web_company_name": pa.array(["pri", "unto", "ese", "anti"]),
+    })
+
+    web_page = pa.table({
+        "wp_web_page_sk": pa.array(np.arange(1, 61), pa.int64()),
+        "wp_web_page_id": pa.array([f"WP{i:05d}" for i in range(1, 61)]),
+        "wp_char_count": pa.array(
+            rng.integers(100, 8000, 60), pa.int64()),
+    })
+
+    income_band = pa.table({
+        "ib_income_band_sk": pa.array(np.arange(1, 21), pa.int64()),
+        "ib_lower_bound": pa.array(
+            (np.arange(20) * 10_000).astype(np.int64)),
+        "ib_upper_bound": pa.array(
+            ((np.arange(20) + 1) * 10_000).astype(np.int64)),
     })
 
     reason = pa.table({
         "r_reason_sk": pa.array(np.arange(1, 36), pa.int64()),
         "r_reason_id": pa.array([f"RSN{i:05d}" for i in range(1, 36)]),
         "r_reason_desc": pa.array([f"reason {i}" for i in range(1, 36)]),
+    })
+
+    # catalog_returns / web_returns: ~8%% / ~6%% of orders
+    rcr = np.random.default_rng(seed + 200)
+    n_cr = n_cs // 12
+    cr_idx = rcr.choice(n_cs, n_cr, replace=False)
+    cs_item = np.asarray(catalog_sales.column("cs_item_sk"))
+    cs_cust = np.asarray(catalog_sales.column("cs_customer_sk"))
+    cs_ord = np.asarray(catalog_sales.column("cs_order_number"))
+    catalog_returns = pa.table({
+        "cr_returned_date_sk": pa.array(
+            rcr.integers(1, nd + 1, n_cr), pa.int64()),
+        "cr_item_sk": pa.array(cs_item[cr_idx], pa.int64()),
+        "cr_order_number": pa.array(cs_ord[cr_idx], pa.int64()),
+        "cr_returning_customer_sk": pa.array(cs_cust[cr_idx], pa.int64()),
+        "cr_return_quantity": pa.array(
+            rcr.integers(1, 40, n_cr), pa.int64()),
+        "cr_return_amount": pa.array(_money(rcr, n_cr, 1.0, 1500.0)),
+        "cr_net_loss": pa.array(_money(rcr, n_cr, 0.5, 800.0)),
+        "cr_call_center_sk": pa.array(
+            rcr.integers(1, 5, n_cr), pa.int64()),
+        "cr_returning_addr_sk": pa.array(
+            rcr.integers(1, n_ca + 1, n_cr), pa.int64()),
+    })
+    rwr = np.random.default_rng(seed + 201)
+    n_wr = n_ws // 16
+    wr_idx = rwr.choice(n_ws, n_wr, replace=False)
+    ws_item = np.asarray(web_sales.column("ws_item_sk"))
+    ws_cust = np.asarray(web_sales.column("ws_customer_sk"))
+    ws_ord = np.asarray(web_sales.column("ws_order_number"))
+    web_returns = pa.table({
+        "wr_returned_date_sk": pa.array(
+            rwr.integers(1, nd + 1, n_wr), pa.int64()),
+        "wr_item_sk": pa.array(ws_item[wr_idx], pa.int64()),
+        "wr_order_number": pa.array(ws_ord[wr_idx], pa.int64()),
+        "wr_returning_customer_sk": pa.array(ws_cust[wr_idx], pa.int64()),
+        "wr_refunded_cdemo_sk": pa.array(
+            rwr.integers(1, n_cd + 1, n_wr), pa.int64()),
+        "wr_returning_addr_sk": pa.array(
+            rwr.integers(1, n_ca + 1, n_wr), pa.int64()),
+        "wr_refunded_addr_sk": pa.array(
+            rwr.integers(1, n_ca + 1, n_wr), pa.int64()),
+        "wr_return_quantity": pa.array(
+            rwr.integers(1, 40, n_wr), pa.int64()),
+        "wr_return_amt": pa.array(_money(rwr, n_wr, 1.0, 1500.0)),
+        "wr_refunded_cash": pa.array(_money(rwr, n_wr, 0.5, 1200.0)),
+        "wr_fee": pa.array(_money(rwr, n_wr, 0.5, 100.0)),
+        "wr_net_loss": pa.array(_money(rwr, n_wr, 0.5, 800.0)),
+        "wr_reason_sk": pa.array(rwr.integers(1, 36, n_wr), pa.int64()),
+        "wr_web_page_sk": pa.array(rwr.integers(1, 61, n_wr), pa.int64()),
     })
 
     # inventory: weekly snapshots of a random item subset (q22)
@@ -288,8 +429,12 @@ def generate(sf: float = 0.01, seed: int = 20030101) -> Dict[str, pa.Table]:
         "customer_demographics": customer_demographics,
         "household_demographics": household_demographics, "store": store,
         "promotion": promotion, "reason": reason,
+        "warehouse": warehouse, "ship_mode": ship_mode,
+        "call_center": call_center, "web_site": web_site,
+        "web_page": web_page, "income_band": income_band,
         "store_sales": store_sales, "catalog_sales": catalog_sales,
         "web_sales": web_sales, "store_returns": store_returns,
+        "catalog_returns": catalog_returns, "web_returns": web_returns,
     }
 
 

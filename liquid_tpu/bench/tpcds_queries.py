@@ -1353,4 +1353,999 @@ where ss_it = cs_it
 order by item_id, ss_item_rev
 limit 100
 """,
+    16: """
+select count(distinct cs_order_number) as "order count",
+    sum(cs_ext_sales_price) as "total shipping cost",
+    sum(cs_net_profit) as "total net profit"
+from catalog_sales cs1, date_dim, customer_address, call_center
+where d_date between '2000-02-01' and
+        (cast('2000-02-01' as date) + interval '60' day)
+    and cs1.cs_ship_date_sk = d_date_sk
+    and cs1.cs_ship_addr_sk = ca_address_sk
+    and ca_state = 'GA'
+    and cs1.cs_call_center_sk = cc_call_center_sk
+    and cc_county in ('Ziebach County', 'Walker County',
+                      'Williamson County')
+    and exists (select * from catalog_sales cs2
+                where cs1.cs_order_number = cs2.cs_order_number
+                    and cs1.cs_warehouse_sk <> cs2.cs_warehouse_sk)
+    and not exists (select * from catalog_returns cr1
+                    where cs1.cs_order_number = cr1.cr_order_number)
+order by count(distinct cs_order_number)
+limit 100
+""",
+    21: """
+select *
+from (select w_warehouse_name, i_item_id,
+          sum(case when cast(d_date as date) <
+                  cast('2000-03-11' as date)
+              then inv_quantity_on_hand else 0 end) as inv_before,
+          sum(case when cast(d_date as date) >=
+                  cast('2000-03-11' as date)
+              then inv_quantity_on_hand else 0 end) as inv_after
+      from inventory, warehouse, item, date_dim
+      where i_current_price between 0.99 and 1.49
+          and i_item_sk = inv_item_sk
+          and inv_warehouse_sk = w_warehouse_sk
+          and inv_date_sk = d_date_sk
+          and d_date between (cast('2000-03-11' as date)
+                              - interval '30' day)
+              and (cast('2000-03-11' as date) + interval '30' day)
+      group by w_warehouse_name, i_item_id) x
+where (case when inv_before > 0 then
+           cast(inv_after as decimal) / cast(inv_before as decimal)
+       else null end) between 2.0 / 3.0 and 3.0 / 2.0
+order by w_warehouse_name, i_item_id
+limit 100
+""",
+    30: """
+with customer_total_return as (
+    select wr_returning_customer_sk as ctr_customer_sk,
+        ca_state as ctr_state,
+        sum(wr_return_amt) as ctr_total_return
+    from web_returns, date_dim, customer_address
+    where wr_returned_date_sk = d_date_sk
+        and d_year = 2000
+        and wr_returning_addr_sk = ca_address_sk
+    group by wr_returning_customer_sk, ca_state)
+select c_customer_id, c_salutation, c_first_name, c_last_name,
+    c_preferred_cust_flag, c_birth_month, c_birth_year,
+    c_birth_country, ctr_total_return
+from customer_total_return ctr1, customer_address, customer
+where ctr1.ctr_total_return > (
+        select avg(ctr_total_return) * 1.2
+        from customer_total_return ctr2
+        where ctr1.ctr_state = ctr2.ctr_state)
+    and ca_address_sk = c_current_addr_sk
+    and ca_state = 'GA'
+    and ctr1.ctr_customer_sk = c_customer_sk
+order by c_customer_id, c_salutation, c_first_name, c_last_name,
+    c_preferred_cust_flag, c_birth_month, c_birth_year,
+    c_birth_country, ctr_total_return
+limit 100
+""",
+    39: """
+with inv as (
+    select w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy, stdev,
+        mean, case mean when 0 then null else stdev / mean end cov
+    from (select w_warehouse_name, w_warehouse_sk, i_item_sk, d_moy,
+              stddev(inv_quantity_on_hand) stdev,
+              avg(inv_quantity_on_hand) mean
+          from inventory, item, warehouse, date_dim
+          where inv_item_sk = i_item_sk
+              and inv_warehouse_sk = w_warehouse_sk
+              and inv_date_sk = d_date_sk
+              and d_year = 2000
+          group by w_warehouse_name, w_warehouse_sk, i_item_sk,
+              d_moy) foo
+    where case mean when 0 then 0 else stdev / mean end > 1)
+select inv1.w_warehouse_sk wsk1, inv1.i_item_sk isk1, inv1.d_moy moy1,
+    inv1.mean mean1, inv1.cov cov1,
+    inv2.w_warehouse_sk wsk2, inv2.i_item_sk isk2, inv2.d_moy moy2,
+    inv2.mean mean2, inv2.cov cov2
+from inv inv1, inv inv2
+where inv1.i_item_sk = inv2.i_item_sk
+    and inv1.w_warehouse_sk = inv2.w_warehouse_sk
+    and inv1.d_moy = 1
+    and inv2.d_moy = 2
+order by wsk1, isk1, moy1, mean1, cov1
+limit 100
+""",
+    40: """
+select w_state, i_item_id,
+    sum(case when cast(d_date as date) < cast('2000-03-11' as date)
+        then cs_sales_price - coalesce(cr_return_amount, 0)
+        else 0 end) as sales_before,
+    sum(case when cast(d_date as date) >= cast('2000-03-11' as date)
+        then cs_sales_price - coalesce(cr_return_amount, 0)
+        else 0 end) as sales_after
+from catalog_sales
+    left outer join catalog_returns
+        on (cs_order_number = cr_order_number
+            and cs_item_sk = cr_item_sk),
+    warehouse, item, date_dim
+where i_current_price between 0.99 and 1.49
+    and i_item_sk = cs_item_sk
+    and cs_warehouse_sk = w_warehouse_sk
+    and cs_sold_date_sk = d_date_sk
+    and d_date between (cast('2000-03-11' as date) - interval '30' day)
+        and (cast('2000-03-11' as date) + interval '30' day)
+group by w_state, i_item_id
+order by w_state, i_item_id
+limit 100
+""",
+    62: """
+select substr(w_warehouse_name, 1, 20) wname, sm_type, web_name,
+    sum(case when (ws_ship_date_sk - ws_sold_date_sk <= 30)
+        then 1 else 0 end) as "30 days",
+    sum(case when (ws_ship_date_sk - ws_sold_date_sk > 30)
+        and (ws_ship_date_sk - ws_sold_date_sk <= 60)
+        then 1 else 0 end) as "31-60 days",
+    sum(case when (ws_ship_date_sk - ws_sold_date_sk > 60)
+        and (ws_ship_date_sk - ws_sold_date_sk <= 90)
+        then 1 else 0 end) as "61-90 days",
+    sum(case when (ws_ship_date_sk - ws_sold_date_sk > 90)
+        and (ws_ship_date_sk - ws_sold_date_sk <= 120)
+        then 1 else 0 end) as "91-120 days",
+    sum(case when (ws_ship_date_sk - ws_sold_date_sk > 120)
+        then 1 else 0 end) as ">120 days"
+from web_sales, warehouse, ship_mode, web_site, date_dim
+where d_month_seq between 24 and 35
+    and ws_ship_date_sk = d_date_sk
+    and ws_warehouse_sk = w_warehouse_sk
+    and ws_ship_mode_sk = sm_ship_mode_sk
+    and ws_web_site_sk = web_site_sk
+group by substr(w_warehouse_name, 1, 20), sm_type, web_name
+order by wname, sm_type, web_name
+limit 100
+""",
+    85: """
+select substr(r_reason_desc, 1, 20) rdesc, avg(ws_quantity) aq,
+    avg(wr_refunded_cash) arc, avg(wr_fee) af
+from web_sales, web_returns, web_page, customer_demographics cd1,
+    customer_demographics cd2, customer_address, date_dim, reason
+where ws_web_page_sk = wp_web_page_sk
+    and ws_item_sk = wr_item_sk
+    and ws_order_number = wr_order_number
+    and ws_sold_date_sk = d_date_sk and d_year = 2000
+    and cd1.cd_demo_sk = wr_refunded_cdemo_sk
+    and ca_address_sk = wr_refunded_addr_sk
+    and r_reason_sk = wr_reason_sk
+    and cd2.cd_demo_sk = cd1.cd_demo_sk
+    and ((cd1.cd_marital_status = 'M'
+          and cd1.cd_education_status = 'Advanced Degree'
+          and ws_sales_price between 100.00 and 150.00)
+         or (cd1.cd_marital_status = 'S'
+             and cd1.cd_education_status = 'College'
+             and ws_sales_price between 50.00 and 100.00)
+         or (cd1.cd_marital_status = 'W'
+             and cd1.cd_education_status = '2 yr Degree'
+             and ws_sales_price between 150.00 and 200.00))
+    and ((ca_country = 'United States'
+          and ca_state in ('IN', 'OH', 'NJ')
+          and ws_net_profit between 100 and 200)
+         or (ca_country = 'United States'
+             and ca_state in ('WI', 'CT', 'KY')
+             and ws_net_profit between 150 and 300)
+         or (ca_country = 'United States'
+             and ca_state in ('LA', 'IA', 'AR')
+             and ws_net_profit between 50 and 250))
+group by r_reason_desc
+order by rdesc, aq, arc, af
+limit 100
+""",
+    91: """
+select cc_call_center_id call_center, cc_name call_center_name,
+    cc_manager manager, sum(cr_net_loss) returns_loss
+from call_center, catalog_returns, date_dim, customer,
+    customer_address, customer_demographics, household_demographics
+where cr_call_center_sk = cc_call_center_sk
+    and cr_returned_date_sk = d_date_sk
+    and cr_returning_customer_sk = c_customer_sk
+    and cd_demo_sk = c_current_cdemo_sk
+    and hd_demo_sk = c_current_hdemo_sk
+    and ca_address_sk = c_current_addr_sk
+    and d_year = 1998 and d_moy = 11
+    and ((cd_marital_status = 'M'
+          and cd_education_status = 'Unknown')
+         or (cd_marital_status = 'W'
+             and cd_education_status = 'Advanced Degree'))
+    and hd_buy_potential like '0-500%'
+    and ca_gmt_offset = -7
+group by cc_call_center_id, cc_name, cc_manager, cd_marital_status,
+    cd_education_status
+order by returns_loss desc
+""",
+    94: """
+select count(distinct ws_order_number) as "order count",
+    sum(ws_ext_sales_price) as "total shipping cost",
+    sum(ws_net_profit) as "total net profit"
+from web_sales ws1, date_dim, customer_address, web_site
+where d_date between '2001-02-01' and
+        (cast('2001-02-01' as date) + interval '60' day)
+    and ws1.ws_ship_date_sk = d_date_sk
+    and ws1.ws_ship_addr_sk = ca_address_sk
+    and ca_state = 'IL'
+    and ws1.ws_web_site_sk = web_site_sk
+    and web_company_name = 'pri'
+    and exists (select * from web_sales ws2
+                where ws1.ws_order_number = ws2.ws_order_number
+                    and ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+    and not exists (select * from web_returns wr1
+                    where ws1.ws_order_number = wr1.wr_order_number)
+order by count(distinct ws_order_number)
+limit 100
+""",
+    99: """
+select substr(w_warehouse_name, 1, 20) wname, sm_type, cc_name,
+    sum(case when (cs_ship_date_sk - cs_sold_date_sk <= 30)
+        then 1 else 0 end) as "30 days",
+    sum(case when (cs_ship_date_sk - cs_sold_date_sk > 30)
+        and (cs_ship_date_sk - cs_sold_date_sk <= 60)
+        then 1 else 0 end) as "31-60 days",
+    sum(case when (cs_ship_date_sk - cs_sold_date_sk > 60)
+        and (cs_ship_date_sk - cs_sold_date_sk <= 90)
+        then 1 else 0 end) as "61-90 days",
+    sum(case when (cs_ship_date_sk - cs_sold_date_sk > 90)
+        and (cs_ship_date_sk - cs_sold_date_sk <= 120)
+        then 1 else 0 end) as "91-120 days",
+    sum(case when (cs_ship_date_sk - cs_sold_date_sk > 120)
+        then 1 else 0 end) as ">120 days"
+from catalog_sales, warehouse, ship_mode, call_center, date_dim
+where d_month_seq between 24 and 35
+    and cs_ship_date_sk = d_date_sk
+    and cs_warehouse_sk = w_warehouse_sk
+    and cs_ship_mode_sk = sm_ship_mode_sk
+    and cs_call_center_sk = cc_call_center_sk
+group by substr(w_warehouse_name, 1, 20), sm_type, cc_name
+order by wname, sm_type, cc_name
+limit 100
+""",
+    1: """
+with customer_total_return as (
+    select sr_customer_sk as ctr_customer_sk,
+        sr_store_sk as ctr_store_sk,
+        sum(sr_return_amt) as ctr_total_return
+    from store_returns, date_dim
+    where sr_returned_date_sk = d_date_sk and d_year = 2000
+    group by sr_customer_sk, sr_store_sk)
+select c_customer_id
+from customer_total_return ctr1, store, customer
+where ctr1.ctr_total_return > (
+        select avg(ctr_total_return) * 1.2
+        from customer_total_return ctr2
+        where ctr1.ctr_store_sk = ctr2.ctr_store_sk)
+    and s_store_sk = ctr1.ctr_store_sk
+    and s_state = 'AL'
+    and ctr1.ctr_customer_sk = c_customer_sk
+order by c_customer_id
+limit 100
+""",
+    11: """
+with year_total as (
+    select c_customer_id customer_id, c_first_name customer_first_name,
+        c_last_name customer_last_name, d_year as dyear,
+        sum(ss_ext_list_price - ss_ext_discount_amt) year_total,
+        's' sale_type
+    from customer, store_sales, date_dim
+    where c_customer_sk = ss_customer_sk
+        and ss_sold_date_sk = d_date_sk
+    group by c_customer_id, c_first_name, c_last_name, d_year
+    union all
+    select c_customer_id customer_id, c_first_name customer_first_name,
+        c_last_name customer_last_name, d_year as dyear,
+        sum(ws_ext_list_price - ws_ext_discount_amt) year_total,
+        'w' sale_type
+    from customer, web_sales, date_dim
+    where c_customer_sk = ws_customer_sk
+        and ws_sold_date_sk = d_date_sk
+    group by c_customer_id, c_first_name, c_last_name, d_year)
+select t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+    t_s_secyear.customer_last_name
+from year_total t_s_firstyear, year_total t_s_secyear,
+    year_total t_w_firstyear, year_total t_w_secyear
+where t_s_secyear.customer_id = t_s_firstyear.customer_id
+    and t_s_firstyear.customer_id = t_w_secyear.customer_id
+    and t_s_firstyear.customer_id = t_w_firstyear.customer_id
+    and t_s_firstyear.sale_type = 's'
+    and t_w_firstyear.sale_type = 'w'
+    and t_s_secyear.sale_type = 's'
+    and t_w_secyear.sale_type = 'w'
+    and t_s_firstyear.dyear = 2001
+    and t_s_secyear.dyear = 2002
+    and t_w_firstyear.dyear = 2001
+    and t_w_secyear.dyear = 2002
+    and t_s_firstyear.year_total > 0
+    and t_w_firstyear.year_total > 0
+    and case when t_w_firstyear.year_total > 0
+        then t_w_secyear.year_total / t_w_firstyear.year_total
+        else null end
+      > case when t_s_firstyear.year_total > 0
+        then t_s_secyear.year_total / t_s_firstyear.year_total
+        else null end
+order by t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+    t_s_secyear.customer_last_name
+limit 100
+""",
+    31: """
+with ss as (
+    select ca_county, d_qoy, d_year, sum(ss_ext_sales_price)
+        as store_sales
+    from store_sales, date_dim, customer_address
+    where ss_sold_date_sk = d_date_sk
+        and ss_addr_sk = ca_address_sk
+    group by ca_county, d_qoy, d_year),
+ws as (
+    select ca_county, d_qoy, d_year, sum(ws_ext_sales_price)
+        as web_sales
+    from web_sales, date_dim, customer_address
+    where ws_sold_date_sk = d_date_sk
+        and ws_addr_sk = ca_address_sk
+    group by ca_county, d_qoy, d_year)
+select ss1.ca_county, ss1.d_year,
+    ws2.web_sales / ws1.web_sales web_q1_q2_increase,
+    ss2.store_sales / ss1.store_sales store_q1_q2_increase,
+    ws3.web_sales / ws2.web_sales web_q2_q3_increase,
+    ss3.store_sales / ss2.store_sales store_q2_q3_increase
+from ss ss1, ss ss2, ss ss3, ws ws1, ws ws2, ws ws3
+where ss1.d_qoy = 1 and ss1.d_year = 2000
+    and ss1.ca_county = ss2.ca_county
+    and ss2.d_qoy = 2 and ss2.d_year = 2000
+    and ss2.ca_county = ss3.ca_county
+    and ss3.d_qoy = 3 and ss3.d_year = 2000
+    and ss1.ca_county = ws1.ca_county
+    and ws1.d_qoy = 1 and ws1.d_year = 2000
+    and ws1.ca_county = ws2.ca_county
+    and ws2.d_qoy = 2 and ws2.d_year = 2000
+    and ws1.ca_county = ws3.ca_county
+    and ws3.d_qoy = 3 and ws3.d_year = 2000
+    and case when ws1.web_sales > 0
+        then ws2.web_sales / ws1.web_sales else null end
+      > case when ss1.store_sales > 0
+        then ss2.store_sales / ss1.store_sales else null end
+    and case when ws2.web_sales > 0
+        then ws3.web_sales / ws2.web_sales else null end
+      > case when ss2.store_sales > 0
+        then ss3.store_sales / ss2.store_sales else null end
+order by ss1.ca_county
+""",
+    35: """
+select ca_state, cd_gender, cd_marital_status, cd_dep_count,
+    count(*) cnt1, avg(cd_dep_count) a1, max(cd_dep_count) m1,
+    sum(cd_dep_count) s1
+from customer c, customer_address ca, customer_demographics
+where c.c_current_addr_sk = ca.ca_address_sk
+    and cd_demo_sk = c.c_current_cdemo_sk
+    and exists (select * from store_sales, date_dim
+                where c.c_customer_sk = ss_customer_sk
+                    and ss_sold_date_sk = d_date_sk
+                    and d_year = 2002 and d_qoy < 4)
+    and (exists (select * from web_sales, date_dim
+                 where c.c_customer_sk = ws_customer_sk
+                     and ws_sold_date_sk = d_date_sk
+                     and d_year = 2002 and d_qoy < 4)
+         or exists (select * from catalog_sales, date_dim
+                    where c.c_customer_sk = cs_customer_sk
+                        and cs_sold_date_sk = d_date_sk
+                        and d_year = 2002 and d_qoy < 4))
+group by ca_state, cd_gender, cd_marital_status, cd_dep_count
+order by ca_state, cd_gender, cd_marital_status, cd_dep_count
+limit 100
+""",
+    81: """
+with customer_total_return as (
+    select cr_returning_customer_sk as ctr_customer_sk,
+        ca_state as ctr_state,
+        sum(cr_return_amount) as ctr_total_return
+    from catalog_returns, date_dim, customer_address
+    where cr_returned_date_sk = d_date_sk
+        and d_year = 2000
+        and cr_returning_addr_sk = ca_address_sk
+    group by cr_returning_customer_sk, ca_state)
+select c_customer_id, c_salutation, c_first_name, c_last_name,
+    ca_state, ctr_total_return
+from customer_total_return ctr1, customer_address, customer
+where ctr1.ctr_total_return > (
+        select avg(ctr_total_return) * 1.2
+        from customer_total_return ctr2
+        where ctr1.ctr_state = ctr2.ctr_state)
+    and ca_address_sk = c_current_addr_sk
+    and ca_state = 'GA'
+    and ctr1.ctr_customer_sk = c_customer_sk
+order by c_customer_id, c_salutation, c_first_name, c_last_name,
+    ca_state, ctr_total_return
+limit 100
+""",
+    83: """
+with sr_items as (
+    select i_item_id item_id, sum(sr_return_quantity) sr_item_qty
+    from store_returns, item, date_dim
+    where sr_item_sk = i_item_sk
+        and d_date in (select d_date from date_dim
+                       where d_week_seq in
+                           (select d_week_seq from date_dim
+                            where d_date in ('2000-06-30', '2000-09-27',
+                                             '2000-11-17')))
+        and sr_returned_date_sk = d_date_sk
+    group by i_item_id),
+cr_items as (
+    select i_item_id item_id, sum(cr_return_quantity) cr_item_qty
+    from catalog_returns, item, date_dim
+    where cr_item_sk = i_item_sk
+        and d_date in (select d_date from date_dim
+                       where d_week_seq in
+                           (select d_week_seq from date_dim
+                            where d_date in ('2000-06-30', '2000-09-27',
+                                             '2000-11-17')))
+        and cr_returned_date_sk = d_date_sk
+    group by i_item_id),
+wr_items as (
+    select i_item_id item_id, sum(wr_return_quantity) wr_item_qty
+    from web_returns, item, date_dim
+    where wr_item_sk = i_item_sk
+        and d_date in (select d_date from date_dim
+                       where d_week_seq in
+                           (select d_week_seq from date_dim
+                            where d_date in ('2000-06-30', '2000-09-27',
+                                             '2000-11-17')))
+        and wr_returned_date_sk = d_date_sk
+    group by i_item_id)
+select sr_items.item_id, sr_item_qty,
+    sr_item_qty / (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0 * 100
+        sr_dev,
+    cr_item_qty,
+    cr_item_qty / (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0 * 100
+        cr_dev,
+    wr_item_qty,
+    wr_item_qty / (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0 * 100
+        wr_dev,
+    (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0 average
+from sr_items, cr_items, wr_items
+where sr_items.item_id = cr_items.item_id
+    and sr_items.item_id = wr_items.item_id
+order by sr_items.item_id, sr_item_qty
+limit 100
+""",
+    84: """
+select c_customer_id as customer_id,
+    c_last_name || ', ' || c_first_name as customername
+from customer, customer_address, customer_demographics,
+    household_demographics, income_band, store_returns
+where ca_city = 'city42'
+    and c_current_addr_sk = ca_address_sk
+    and ib_lower_bound >= 38128
+    and ib_upper_bound <= 88128
+    and ib_income_band_sk = hd_income_band_sk
+    and cd_demo_sk = c_current_cdemo_sk
+    and hd_demo_sk = c_current_hdemo_sk
+    and sr_cdemo_sk = cd_demo_sk
+order by c_customer_id
+limit 100
+""",
+    4: """
+with year_total as (
+    select c_customer_id customer_id, c_first_name customer_first_name,
+        c_last_name customer_last_name, d_year as dyear,
+        sum(((ss_ext_list_price - ss_ext_wholesale_cost
+              - ss_ext_discount_amt) + ss_ext_sales_price) / 2)
+            year_total,
+        's' sale_type
+    from customer, store_sales, date_dim
+    where c_customer_sk = ss_customer_sk
+        and ss_sold_date_sk = d_date_sk
+    group by c_customer_id, c_first_name, c_last_name, d_year
+    union all
+    select c_customer_id customer_id, c_first_name customer_first_name,
+        c_last_name customer_last_name, d_year as dyear,
+        sum(((cs_ext_list_price - cs_ext_wholesale_cost
+              - cs_ext_discount_amt) + cs_ext_sales_price) / 2)
+            year_total,
+        'c' sale_type
+    from customer, catalog_sales, date_dim
+    where c_customer_sk = cs_customer_sk
+        and cs_sold_date_sk = d_date_sk
+    group by c_customer_id, c_first_name, c_last_name, d_year
+    union all
+    select c_customer_id customer_id, c_first_name customer_first_name,
+        c_last_name customer_last_name, d_year as dyear,
+        sum(((ws_ext_list_price - ws_ext_wholesale_cost
+              - ws_ext_discount_amt) + ws_ext_sales_price) / 2)
+            year_total,
+        'w' sale_type
+    from customer, web_sales, date_dim
+    where c_customer_sk = ws_customer_sk
+        and ws_sold_date_sk = d_date_sk
+    group by c_customer_id, c_first_name, c_last_name, d_year)
+select t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+    t_s_secyear.customer_last_name
+from year_total t_s_firstyear, year_total t_s_secyear,
+    year_total t_c_firstyear, year_total t_c_secyear,
+    year_total t_w_firstyear, year_total t_w_secyear
+where t_s_secyear.customer_id = t_s_firstyear.customer_id
+    and t_s_firstyear.customer_id = t_c_secyear.customer_id
+    and t_s_firstyear.customer_id = t_c_firstyear.customer_id
+    and t_s_firstyear.customer_id = t_w_firstyear.customer_id
+    and t_s_firstyear.customer_id = t_w_secyear.customer_id
+    and t_s_firstyear.sale_type = 's'
+    and t_c_firstyear.sale_type = 'c'
+    and t_w_firstyear.sale_type = 'w'
+    and t_s_secyear.sale_type = 's'
+    and t_c_secyear.sale_type = 'c'
+    and t_w_secyear.sale_type = 'w'
+    and t_s_firstyear.dyear = 2001
+    and t_s_secyear.dyear = 2002
+    and t_c_firstyear.dyear = 2001
+    and t_c_secyear.dyear = 2002
+    and t_w_firstyear.dyear = 2001
+    and t_w_secyear.dyear = 2002
+    and t_s_firstyear.year_total > 0
+    and t_c_firstyear.year_total > 0
+    and t_w_firstyear.year_total > 0
+    and case when t_c_firstyear.year_total > 0
+        then t_c_secyear.year_total / t_c_firstyear.year_total
+        else null end
+      > case when t_s_firstyear.year_total > 0
+        then t_s_secyear.year_total / t_s_firstyear.year_total
+        else null end
+    and case when t_c_firstyear.year_total > 0
+        then t_c_secyear.year_total / t_c_firstyear.year_total
+        else null end
+      > case when t_w_firstyear.year_total > 0
+        then t_w_secyear.year_total / t_w_firstyear.year_total
+        else null end
+order by t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+    t_s_secyear.customer_last_name
+limit 100
+""",
+    10: """
+select cd_gender, cd_marital_status, cd_education_status,
+    count(*) cnt1, cd_credit_rating, count(*) cnt2, cd_dep_count,
+    count(*) cnt3
+from customer c, customer_address ca, customer_demographics
+where c.c_current_addr_sk = ca.ca_address_sk
+    and ca_county in ('Ziebach County', 'Walker County',
+                      'Williamson County', 'Franklin County',
+                      'Fairfield County')
+    and cd_demo_sk = c.c_current_cdemo_sk
+    and exists (select * from store_sales, date_dim
+                where c.c_customer_sk = ss_customer_sk
+                    and ss_sold_date_sk = d_date_sk
+                    and d_year = 2002 and d_moy between 1 and 4)
+    and (exists (select * from web_sales, date_dim
+                 where c.c_customer_sk = ws_customer_sk
+                     and ws_sold_date_sk = d_date_sk
+                     and d_year = 2002 and d_moy between 1 and 4)
+         or exists (select * from catalog_sales, date_dim
+                    where c.c_customer_sk = cs_customer_sk
+                        and cs_sold_date_sk = d_date_sk
+                        and d_year = 2002 and d_moy between 1 and 4))
+group by cd_gender, cd_marital_status, cd_education_status,
+    cd_credit_rating, cd_dep_count
+order by cd_gender, cd_marital_status, cd_education_status,
+    cd_credit_rating, cd_dep_count
+limit 100
+""",
+    57: """
+with v1 as (
+    select i_category, i_brand, cc_name, d_year, d_moy,
+        sum(cs_sales_price) sum_sales,
+        avg(sum(cs_sales_price)) over (partition by i_category,
+            i_brand, cc_name, d_year) avg_monthly_sales,
+        rank() over (partition by i_category, i_brand, cc_name
+            order by d_year, d_moy) rn
+    from item, catalog_sales, date_dim, call_center
+    where cs_item_sk = i_item_sk
+        and cs_sold_date_sk = d_date_sk
+        and cc_call_center_sk = cs_call_center_sk
+        and (d_year = 2000
+             or (d_year = 1999 and d_moy = 12)
+             or (d_year = 2001 and d_moy = 1))
+    group by i_category, i_brand, cc_name, d_year, d_moy),
+v2 as (
+    select v1.i_category i_category, v1.i_brand i_brand,
+        v1.cc_name cc_name, v1.d_year d_year,
+        v1.avg_monthly_sales avg_monthly_sales,
+        v1.sum_sales sum_sales,
+        v1_lag.sum_sales psum, v1_lead.sum_sales nsum
+    from v1, v1 v1_lag, v1 v1_lead
+    where v1.i_category = v1_lag.i_category
+        and v1.i_category = v1_lead.i_category
+        and v1.i_brand = v1_lag.i_brand
+        and v1.i_brand = v1_lead.i_brand
+        and v1.cc_name = v1_lag.cc_name
+        and v1.cc_name = v1_lead.cc_name
+        and v1.rn = v1_lag.rn + 1
+        and v1.rn = v1_lead.rn - 1)
+select *
+from v2
+where d_year = 2000
+    and avg_monthly_sales > 0
+    and case when avg_monthly_sales > 0
+        then abs(sum_sales - avg_monthly_sales) / avg_monthly_sales
+        else null end > 0.1
+order by sum_sales - avg_monthly_sales, cc_name
+limit 100
+""",
+    74: """
+with year_total as (
+    select c_customer_id customer_id, c_first_name customer_first_name,
+        c_last_name customer_last_name, d_year as year1,
+        sum(ss_net_paid) year_total, 's' sale_type
+    from customer, store_sales, date_dim
+    where c_customer_sk = ss_customer_sk
+        and ss_sold_date_sk = d_date_sk
+        and d_year in (2001, 2002)
+    group by c_customer_id, c_first_name, c_last_name, d_year
+    union all
+    select c_customer_id customer_id, c_first_name customer_first_name,
+        c_last_name customer_last_name, d_year as year1,
+        sum(ws_net_paid) year_total, 'w' sale_type
+    from customer, web_sales, date_dim
+    where c_customer_sk = ws_customer_sk
+        and ws_sold_date_sk = d_date_sk
+        and d_year in (2001, 2002)
+    group by c_customer_id, c_first_name, c_last_name, d_year)
+select t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+    t_s_secyear.customer_last_name
+from year_total t_s_firstyear, year_total t_s_secyear,
+    year_total t_w_firstyear, year_total t_w_secyear
+where t_s_secyear.customer_id = t_s_firstyear.customer_id
+    and t_s_firstyear.customer_id = t_w_secyear.customer_id
+    and t_s_firstyear.customer_id = t_w_firstyear.customer_id
+    and t_s_firstyear.sale_type = 's'
+    and t_w_firstyear.sale_type = 'w'
+    and t_s_secyear.sale_type = 's'
+    and t_w_secyear.sale_type = 'w'
+    and t_s_firstyear.year1 = 2001
+    and t_s_secyear.year1 = 2002
+    and t_w_firstyear.year1 = 2001
+    and t_w_secyear.year1 = 2002
+    and t_s_firstyear.year_total > 0
+    and t_w_firstyear.year_total > 0
+    and case when t_w_firstyear.year_total > 0
+        then t_w_secyear.year_total / t_w_firstyear.year_total
+        else null end
+      > case when t_s_firstyear.year_total > 0
+        then t_s_secyear.year_total / t_s_firstyear.year_total
+        else null end
+order by t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+    t_s_secyear.customer_last_name
+limit 100
+""",
+    2: """
+with wscs as (
+    select sold_date_sk, sales_price
+    from (select ws_sold_date_sk sold_date_sk,
+              ws_ext_sales_price sales_price
+          from web_sales
+          union all
+          select cs_sold_date_sk sold_date_sk,
+              cs_ext_sales_price sales_price
+          from catalog_sales) sc),
+wswscs as (
+    select d_week_seq,
+        sum(case when d_day_name = 'Sunday' then sales_price
+            else null end) sun_sales,
+        sum(case when d_day_name = 'Monday' then sales_price
+            else null end) mon_sales,
+        sum(case when d_day_name = 'Tuesday' then sales_price
+            else null end) tue_sales,
+        sum(case when d_day_name = 'Wednesday' then sales_price
+            else null end) wed_sales,
+        sum(case when d_day_name = 'Thursday' then sales_price
+            else null end) thu_sales,
+        sum(case when d_day_name = 'Friday' then sales_price
+            else null end) fri_sales,
+        sum(case when d_day_name = 'Saturday' then sales_price
+            else null end) sat_sales
+    from wscs, date_dim
+    where d_date_sk = sold_date_sk
+    group by d_week_seq)
+select d_week_seq1, round(sun_sales1 / sun_sales2, 2) r1,
+    round(mon_sales1 / mon_sales2, 2) r2,
+    round(tue_sales1 / tue_sales2, 2) r3,
+    round(wed_sales1 / wed_sales2, 2) r4,
+    round(thu_sales1 / thu_sales2, 2) r5,
+    round(fri_sales1 / fri_sales2, 2) r6,
+    round(sat_sales1 / sat_sales2, 2) r7
+from (select wswscs.d_week_seq d_week_seq1, sun_sales sun_sales1,
+          mon_sales mon_sales1, tue_sales tue_sales1,
+          wed_sales wed_sales1, thu_sales thu_sales1,
+          fri_sales fri_sales1, sat_sales sat_sales1
+      from wswscs, date_dim
+      where date_dim.d_week_seq = wswscs.d_week_seq
+          and d_year = 2001 and d_moy = 1 and d_dom = 1) y,
+    (select wswscs.d_week_seq d_week_seq2, sun_sales sun_sales2,
+         mon_sales mon_sales2, tue_sales tue_sales2,
+         wed_sales wed_sales2, thu_sales thu_sales2,
+         fri_sales fri_sales2, sat_sales sat_sales2
+     from wswscs, date_dim
+     where date_dim.d_week_seq = wswscs.d_week_seq
+         and d_year = 2002 and d_moy = 1 and d_dom = 1) z
+where d_week_seq1 = d_week_seq2 - 52
+order by d_week_seq1
+""",
+    59: """
+with wss as (
+    select d_week_seq, ss_store_sk,
+        sum(case when d_day_name = 'Sunday' then ss_sales_price
+            else null end) sun_sales,
+        sum(case when d_day_name = 'Monday' then ss_sales_price
+            else null end) mon_sales,
+        sum(case when d_day_name = 'Tuesday' then ss_sales_price
+            else null end) tue_sales,
+        sum(case when d_day_name = 'Wednesday' then ss_sales_price
+            else null end) wed_sales,
+        sum(case when d_day_name = 'Thursday' then ss_sales_price
+            else null end) thu_sales,
+        sum(case when d_day_name = 'Friday' then ss_sales_price
+            else null end) fri_sales,
+        sum(case when d_day_name = 'Saturday' then ss_sales_price
+            else null end) sat_sales
+    from store_sales, date_dim
+    where d_date_sk = ss_sold_date_sk
+    group by d_week_seq, ss_store_sk)
+select s_store_name1, s_store_id1, d_week_seq1,
+    sun_sales1 / sun_sales2 q1, mon_sales1 / mon_sales2 q2,
+    tue_sales1 / tue_sales2 q3, wed_sales1 / wed_sales2 q4,
+    thu_sales1 / thu_sales2 q5, fri_sales1 / fri_sales2 q6,
+    sat_sales1 / sat_sales2 q7
+from (select s_store_name s_store_name1, wss.d_week_seq d_week_seq1,
+          s_store_id s_store_id1, sun_sales sun_sales1,
+          mon_sales mon_sales1, tue_sales tue_sales1,
+          wed_sales wed_sales1, thu_sales thu_sales1,
+          fri_sales fri_sales1, sat_sales sat_sales1
+      from wss, store, date_dim d
+      where d.d_week_seq = wss.d_week_seq
+          and ss_store_sk = s_store_sk
+          and d_month_seq between 24 and 35) y,
+    (select s_store_name s_store_name2, wss.d_week_seq d_week_seq2,
+         s_store_id s_store_id2, sun_sales sun_sales2,
+         mon_sales mon_sales2, tue_sales tue_sales2,
+         wed_sales wed_sales2, thu_sales thu_sales2,
+         fri_sales fri_sales2, sat_sales sat_sales2
+     from wss, store, date_dim d
+     where d.d_week_seq = wss.d_week_seq
+         and ss_store_sk = s_store_sk
+         and d_month_seq between 36 and 47) x
+where s_store_id1 = s_store_id2
+    and d_week_seq1 = d_week_seq2 - 52
+order by s_store_name1, s_store_id1, d_week_seq1
+limit 100
+""",
+    77: """
+with ss as (
+    select s_store_sk, sum(ss_ext_sales_price) as sales,
+        sum(ss_net_profit) as profit
+    from store_sales, date_dim, store
+    where ss_sold_date_sk = d_date_sk
+        and d_date between cast('2000-08-03' as date)
+            and (cast('2000-08-03' as date) + interval '30' day)
+        and ss_store_sk = s_store_sk
+    group by s_store_sk),
+sr as (
+    select s_store_sk, sum(sr_return_amt) as returns_amt,
+        sum(sr_net_loss) as profit_loss
+    from store_returns, date_dim, store
+    where sr_returned_date_sk = d_date_sk
+        and d_date between cast('2000-08-03' as date)
+            and (cast('2000-08-03' as date) + interval '30' day)
+        and sr_store_sk = s_store_sk
+    group by s_store_sk),
+cs as (
+    select cs_call_center_sk, sum(cs_ext_sales_price) as sales,
+        sum(cs_net_profit) as profit
+    from catalog_sales, date_dim
+    where cs_sold_date_sk = d_date_sk
+        and d_date between cast('2000-08-03' as date)
+            and (cast('2000-08-03' as date) + interval '30' day)
+    group by cs_call_center_sk),
+cr as (
+    select cr_call_center_sk, sum(cr_return_amount) as returns_amt,
+        sum(cr_net_loss) as profit_loss
+    from catalog_returns, date_dim
+    where cr_returned_date_sk = d_date_sk
+        and d_date between cast('2000-08-03' as date)
+            and (cast('2000-08-03' as date) + interval '30' day)
+    group by cr_call_center_sk),
+ws as (
+    select wp_web_page_sk, sum(ws_ext_sales_price) as sales,
+        sum(ws_net_profit) as profit
+    from web_sales, date_dim, web_page
+    where ws_sold_date_sk = d_date_sk
+        and d_date between cast('2000-08-03' as date)
+            and (cast('2000-08-03' as date) + interval '30' day)
+        and ws_web_page_sk = wp_web_page_sk
+    group by wp_web_page_sk),
+wr as (
+    select wp_web_page_sk, sum(wr_return_amt) as returns_amt,
+        sum(wr_net_loss) as profit_loss
+    from web_returns, date_dim, web_page
+    where wr_returned_date_sk = d_date_sk
+        and d_date between cast('2000-08-03' as date)
+            and (cast('2000-08-03' as date) + interval '30' day)
+        and wr_web_page_sk = wp_web_page_sk
+    group by wp_web_page_sk)
+select channel, id, sum(sales) as sales,
+    sum(returns_amt) as returns_amt, sum(profit) as profit
+from (select 'store channel' as channel, ss.s_store_sk as id,
+          ss.sales sales, coalesce(sr.returns_amt, 0) returns_amt,
+          (ss.profit - coalesce(sr.profit_loss, 0)) as profit
+      from ss left join sr on ss.s_store_sk = sr.s_store_sk
+      union all
+      select 'catalog channel' as channel,
+          cs.cs_call_center_sk as id, cs.sales sales,
+          coalesce(cr.returns_amt, 0) returns_amt,
+          (cs.profit - coalesce(cr.profit_loss, 0)) as profit
+      from cs left join cr
+          on cs.cs_call_center_sk = cr.cr_call_center_sk
+      union all
+      select 'web channel' as channel, ws.wp_web_page_sk as id,
+          ws.sales sales, coalesce(wr.returns_amt, 0) returns_amt,
+          (ws.profit - coalesce(wr.profit_loss, 0)) as profit
+      from ws left join wr
+          on ws.wp_web_page_sk = wr.wp_web_page_sk) x
+group by rollup(channel, id)
+order by channel nulls first, id nulls first, sales
+limit 100
+""",
+    8: """
+select s_store_name, sum(ss_net_profit)
+from store_sales, date_dim, store,
+    (select ca_zip from (
+        select substr(ca_zip, 1, 5) ca_zip
+        from customer_address
+        where substr(ca_zip, 1, 5) in ('47602', '16704', '35863',
+                                       '28577', '83910', '36201')
+        intersect
+        select ca_zip from (
+            select substr(ca_zip, 1, 5) ca_zip, count(*) cnt
+            from customer_address, customer
+            where ca_address_sk = c_current_addr_sk
+                and c_preferred_cust_flag = 'Y'
+            group by ca_zip
+            having count(*) > 10) a1) a2) v1
+where ss_store_sk = s_store_sk
+    and ss_sold_date_sk = d_date_sk
+    and d_qoy = 2 and d_year = 1998
+    and substr(s_zip, 1, 2) = substr(v1.ca_zip, 1, 2)
+group by s_store_name
+order by s_store_name
+limit 100
+""",
+    66: """
+select w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+    w_country, ship_carriers, year1,
+    sum(jan_sales) as jan_sales, sum(feb_sales) as feb_sales,
+    sum(mar_sales) as mar_sales, sum(apr_sales) as apr_sales,
+    sum(may_sales) as may_sales, sum(jun_sales) as jun_sales,
+    sum(jul_sales) as jul_sales, sum(aug_sales) as aug_sales,
+    sum(sep_sales) as sep_sales, sum(oct_sales) as oct_sales,
+    sum(nov_sales) as nov_sales, sum(dec_sales) as dec_sales
+from (
+    select w_warehouse_name, w_warehouse_sq_ft, w_city, w_county,
+        w_state, w_country,
+        'CARRIER0' || ',' || 'CARRIER1' as ship_carriers,
+        d_year as year1,
+        sum(case when d_moy = 1 then ws_ext_sales_price * ws_quantity
+            else 0 end) as jan_sales,
+        sum(case when d_moy = 2 then ws_ext_sales_price * ws_quantity
+            else 0 end) as feb_sales,
+        sum(case when d_moy = 3 then ws_ext_sales_price * ws_quantity
+            else 0 end) as mar_sales,
+        sum(case when d_moy = 4 then ws_ext_sales_price * ws_quantity
+            else 0 end) as apr_sales,
+        sum(case when d_moy = 5 then ws_ext_sales_price * ws_quantity
+            else 0 end) as may_sales,
+        sum(case when d_moy = 6 then ws_ext_sales_price * ws_quantity
+            else 0 end) as jun_sales,
+        sum(case when d_moy = 7 then ws_ext_sales_price * ws_quantity
+            else 0 end) as jul_sales,
+        sum(case when d_moy = 8 then ws_ext_sales_price * ws_quantity
+            else 0 end) as aug_sales,
+        sum(case when d_moy = 9 then ws_ext_sales_price * ws_quantity
+            else 0 end) as sep_sales,
+        sum(case when d_moy = 10 then ws_ext_sales_price * ws_quantity
+            else 0 end) as oct_sales,
+        sum(case when d_moy = 11 then ws_ext_sales_price * ws_quantity
+            else 0 end) as nov_sales,
+        sum(case when d_moy = 12 then ws_ext_sales_price * ws_quantity
+            else 0 end) as dec_sales
+    from web_sales, warehouse, date_dim, time_dim, ship_mode
+    where ws_warehouse_sk = w_warehouse_sk
+        and ws_sold_date_sk = d_date_sk
+        and ws_sold_time_sk = t_time_sk
+        and ws_ship_mode_sk = sm_ship_mode_sk
+        and d_year = 2001
+        and t_time between 30838 and 30838 + 28800
+        and sm_carrier in ('CARRIER0', 'CARRIER1')
+    group by w_warehouse_name, w_warehouse_sq_ft, w_city, w_county,
+        w_state, w_country, d_year
+    union all
+    select w_warehouse_name, w_warehouse_sq_ft, w_city, w_county,
+        w_state, w_country,
+        'CARRIER0' || ',' || 'CARRIER1' as ship_carriers,
+        d_year as year1,
+        sum(case when d_moy = 1 then cs_ext_sales_price * cs_quantity
+            else 0 end) as jan_sales,
+        sum(case when d_moy = 2 then cs_ext_sales_price * cs_quantity
+            else 0 end) as feb_sales,
+        sum(case when d_moy = 3 then cs_ext_sales_price * cs_quantity
+            else 0 end) as mar_sales,
+        sum(case when d_moy = 4 then cs_ext_sales_price * cs_quantity
+            else 0 end) as apr_sales,
+        sum(case when d_moy = 5 then cs_ext_sales_price * cs_quantity
+            else 0 end) as may_sales,
+        sum(case when d_moy = 6 then cs_ext_sales_price * cs_quantity
+            else 0 end) as jun_sales,
+        sum(case when d_moy = 7 then cs_ext_sales_price * cs_quantity
+            else 0 end) as jul_sales,
+        sum(case when d_moy = 8 then cs_ext_sales_price * cs_quantity
+            else 0 end) as aug_sales,
+        sum(case when d_moy = 9 then cs_ext_sales_price * cs_quantity
+            else 0 end) as sep_sales,
+        sum(case when d_moy = 10 then cs_ext_sales_price * cs_quantity
+            else 0 end) as oct_sales,
+        sum(case when d_moy = 11 then cs_ext_sales_price * cs_quantity
+            else 0 end) as nov_sales,
+        sum(case when d_moy = 12 then cs_ext_sales_price * cs_quantity
+            else 0 end) as dec_sales
+    from catalog_sales, warehouse, date_dim, time_dim, ship_mode
+    where cs_warehouse_sk = w_warehouse_sk
+        and cs_sold_date_sk = d_date_sk
+        and cs_sold_time_sk = t_time_sk
+        and cs_ship_mode_sk = sm_ship_mode_sk
+        and d_year = 2001
+        and t_time between 30838 and 30838 + 28800
+        and sm_carrier in ('CARRIER0', 'CARRIER1')
+    group by w_warehouse_name, w_warehouse_sq_ft, w_city, w_county,
+        w_state, w_country, d_year) x
+group by w_warehouse_name, w_warehouse_sq_ft, w_city, w_county,
+    w_state, w_country, ship_carriers, year1
+order by w_warehouse_name
+limit 100
+""",
+    78: """
+with ws as (
+    select d_year as ws_sold_year, ws_item_sk,
+        ws_customer_sk ws_customer_sk,
+        sum(ws_quantity) ws_qty,
+        sum(ws_wholesale_cost) ws_wc,
+        sum(ws_sales_price) ws_sp
+    from web_sales
+    left join web_returns on wr_order_number = ws_order_number
+        and ws_item_sk = wr_item_sk
+    join date_dim on ws_sold_date_sk = d_date_sk
+    where wr_order_number is null
+    group by d_year, ws_item_sk, ws_customer_sk),
+ss as (
+    select d_year as ss_sold_year, ss_item_sk,
+        ss_customer_sk ss_customer_sk,
+        sum(ss_quantity) ss_qty,
+        sum(ss_wholesale_cost) ss_wc,
+        sum(ss_sales_price) ss_sp
+    from store_sales
+    left join store_returns on sr_ticket_number = ss_ticket_number
+        and ss_item_sk = sr_item_sk
+    join date_dim on ss_sold_date_sk = d_date_sk
+    where sr_ticket_number is null
+    group by d_year, ss_item_sk, ss_customer_sk)
+select ss_sold_year, ss_item_sk, ss_customer_sk,
+    round(ss_qty / (coalesce(ws_qty, 1)), 2) ratio,
+    ss_qty store_qty, ss_wc store_wholesale_cost,
+    ss_sp store_sales_price,
+    coalesce(ws_qty, 0) other_chan_qty,
+    coalesce(ws_wc, 0) other_chan_wholesale_cost,
+    coalesce(ws_sp, 0) other_chan_sales_price
+from ss
+left join ws on ws_sold_year = ss_sold_year
+    and ws_item_sk = ss_item_sk
+    and ws_customer_sk = ss_customer_sk
+where coalesce(ws_qty, 0) > 0 and ss_sold_year = 2000
+order by ss_sold_year, ss_item_sk, ss_customer_sk, store_qty desc,
+    store_wholesale_cost desc, store_sales_price desc,
+    other_chan_qty, other_chan_wholesale_cost,
+    other_chan_sales_price, ratio
+limit 100
+""",
 }

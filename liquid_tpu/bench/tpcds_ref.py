@@ -1300,6 +1300,944 @@ def q87(t):
         {"count(*)": [len(sets[0] - sets[1] - sets[2])]})
 
 
+def _date_win(t, start, days):
+    d = t["date_dim"]
+    s = pd.Timestamp(start)
+    return d[(pd.to_datetime(d.d_date) >= s)
+             & (pd.to_datetime(d.d_date) <= s + pd.Timedelta(days=days))]
+
+
+def q16(t):
+    cs = t["catalog_sales"]
+    multi_wh = cs.groupby("cs_order_number")["cs_warehouse_sk"].nunique()
+    multi = set(multi_wh[multi_wh > 1].index)
+    returned = set(t["catalog_returns"].cr_order_number)
+    cc = t["call_center"]
+    cc = cc[cc.cc_county.isin(["Ziebach County", "Walker County",
+                               "Williamson County"])]
+    j = (cs.merge(_date_win(t, "2000-02-01", 60)[["d_date_sk"]],
+                  left_on="cs_ship_date_sk", right_on="d_date_sk")
+         .merge(t["customer_address"], left_on="cs_ship_addr_sk",
+                right_on="ca_address_sk"))
+    j = j[(j.ca_state == "GA")
+          & j.cs_call_center_sk.isin(set(cc.cc_call_center_sk))
+          & j.cs_order_number.isin(multi)
+          & ~j.cs_order_number.isin(returned)]
+    return pd.DataFrame({
+        "order count": [j.cs_order_number.nunique()],
+        "total shipping cost": [j.cs_ext_sales_price.sum()
+                                if len(j) else np.nan],
+        "total net profit": [j.cs_net_profit.sum()
+                             if len(j) else np.nan]})
+
+
+def q21(t):
+    d = t["date_dim"]
+    s = pd.Timestamp("2000-03-11")
+    dd = d[(pd.to_datetime(d.d_date) >= s - pd.Timedelta(days=30))
+           & (pd.to_datetime(d.d_date) <= s + pd.Timedelta(days=30))]
+    it = t["item"]
+    it = it[it.i_current_price.between(0.99, 1.49)]
+    j = (t["inventory"]
+         .merge(dd[["d_date_sk", "d_date"]], left_on="inv_date_sk",
+                right_on="d_date_sk")
+         .merge(it[["i_item_sk", "i_item_id"]], left_on="inv_item_sk",
+                right_on="i_item_sk")
+         .merge(t["warehouse"], left_on="inv_warehouse_sk",
+                right_on="w_warehouse_sk"))
+    before = pd.to_datetime(j.d_date) < s
+    j = j.assign(inv_before=np.where(before, j.inv_quantity_on_hand, 0),
+                 inv_after=np.where(~before, j.inv_quantity_on_hand, 0))
+    g = j.groupby(["w_warehouse_name", "i_item_id"], as_index=False).agg(
+        inv_before=("inv_before", "sum"), inv_after=("inv_after", "sum"))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ratio = np.where(g.inv_before > 0,
+                         g.inv_after / g.inv_before, np.nan)
+    g = g[(ratio >= 2.0 / 3.0) & (ratio <= 3.0 / 2.0)]
+    g = g.sort_values(["w_warehouse_name", "i_item_id"])
+    return g.head(100).reset_index(drop=True)
+
+
+def q30(t):
+    d = t["date_dim"]
+    ctr = (t["web_returns"]
+           .merge(d[d.d_year == 2000][["d_date_sk"]],
+                  left_on="wr_returned_date_sk", right_on="d_date_sk")
+           .merge(t["customer_address"][["ca_address_sk", "ca_state"]],
+                  left_on="wr_returning_addr_sk",
+                  right_on="ca_address_sk"))
+    ctr = ctr.groupby(["wr_returning_customer_sk", "ca_state"],
+                      as_index=False).wr_return_amt.sum()
+    ctr.columns = ["ctr_customer_sk", "ctr_state", "ctr_total_return"]
+    avg_state = ctr.groupby("ctr_state")["ctr_total_return"].transform(
+        "mean")
+    hot = ctr[ctr.ctr_total_return > 1.2 * avg_state]
+    j = (hot.merge(t["customer"], left_on="ctr_customer_sk",
+                   right_on="c_customer_sk")
+         .merge(t["customer_address"], left_on="c_current_addr_sk",
+                right_on="ca_address_sk"))
+    j = j[j.ca_state == "GA"]
+    out = j[["c_customer_id", "c_salutation", "c_first_name",
+             "c_last_name", "c_preferred_cust_flag", "c_birth_month",
+             "c_birth_year", "c_birth_country", "ctr_total_return"]]
+    out = out.sort_values(list(out.columns))
+    return out.head(100).reset_index(drop=True)
+
+
+def q39(t):
+    d = t["date_dim"]
+    j = (t["inventory"]
+         .merge(d[d.d_year == 2000][["d_date_sk", "d_moy"]],
+                left_on="inv_date_sk", right_on="d_date_sk")
+         .merge(t["item"][["i_item_sk"]], left_on="inv_item_sk",
+                right_on="i_item_sk")
+         .merge(t["warehouse"][["w_warehouse_sk", "w_warehouse_name"]],
+                left_on="inv_warehouse_sk", right_on="w_warehouse_sk"))
+    g = j.groupby(["w_warehouse_name", "w_warehouse_sk", "i_item_sk",
+                   "d_moy"], as_index=False).agg(
+        stdev=("inv_quantity_on_hand", "std"),
+        mean=("inv_quantity_on_hand", "mean"))
+    cov_sel = np.where(g["mean"] == 0, 0, g.stdev / g["mean"]) > 1
+    inv = g[cov_sel].copy()
+    inv["cov"] = np.where(inv["mean"] == 0, np.nan,
+                          inv.stdev / inv["mean"])
+    a = inv[inv.d_moy == 1]
+    b = inv[inv.d_moy == 2]
+    j2 = a.merge(b, on=["i_item_sk", "w_warehouse_sk"],
+                 suffixes=("_1", "_2"))
+    out = pd.DataFrame({
+        "wsk1": j2.w_warehouse_sk, "isk1": j2.i_item_sk,
+        "moy1": j2.d_moy_1, "mean1": j2.mean_1, "cov1": j2.cov_1,
+        "wsk2": j2.w_warehouse_sk, "isk2": j2.i_item_sk,
+        "moy2": j2.d_moy_2, "mean2": j2.mean_2, "cov2": j2.cov_2})
+    out = out.sort_values(["wsk1", "isk1", "moy1", "mean1", "cov1"])
+    return out.head(100).reset_index(drop=True)
+
+
+def q40(t):
+    s = pd.Timestamp("2000-03-11")
+    d = t["date_dim"]
+    dd = d[(pd.to_datetime(d.d_date) >= s - pd.Timedelta(days=30))
+           & (pd.to_datetime(d.d_date) <= s + pd.Timedelta(days=30))]
+    it = t["item"]
+    it = it[it.i_current_price.between(0.99, 1.49)]
+    cs = t["catalog_sales"].merge(
+        t["catalog_returns"][["cr_order_number", "cr_item_sk",
+                              "cr_return_amount"]],
+        left_on=["cs_order_number", "cs_item_sk"],
+        right_on=["cr_order_number", "cr_item_sk"], how="left")
+    j = (cs.merge(dd[["d_date_sk", "d_date"]],
+                  left_on="cs_sold_date_sk", right_on="d_date_sk")
+         .merge(it[["i_item_sk", "i_item_id"]], left_on="cs_item_sk",
+                right_on="i_item_sk")
+         .merge(t["warehouse"], left_on="cs_warehouse_sk",
+                right_on="w_warehouse_sk"))
+    before = pd.to_datetime(j.d_date) < s
+    net = j.cs_sales_price - j.cr_return_amount.fillna(0)
+    j = j.assign(sales_before=np.where(before, net, 0.0),
+                 sales_after=np.where(~before, net, 0.0))
+    g = j.groupby(["w_state", "i_item_id"], as_index=False).agg(
+        sales_before=("sales_before", "sum"),
+        sales_after=("sales_after", "sum"))
+    g = g.sort_values(["w_state", "i_item_id"])
+    return g.head(100).reset_index(drop=True)
+
+
+def _ship_buckets(t, fact, pfx, dims):
+    d = t["date_dim"]
+    j = t[fact].merge(
+        d[d.d_month_seq.between(24, 35)][["d_date_sk"]],
+        left_on=f"{pfx}_ship_date_sk", right_on="d_date_sk")
+    for tbl, lk, rk in dims:
+        j = j.merge(t[tbl], left_on=lk, right_on=rk)
+    lag = j[f"{pfx}_ship_date_sk"] - j[f"{pfx}_sold_date_sk"]
+    j = j.assign(
+        b30=(lag <= 30).astype(int),
+        b60=((lag > 30) & (lag <= 60)).astype(int),
+        b90=((lag > 60) & (lag <= 90)).astype(int),
+        b120=((lag > 90) & (lag <= 120)).astype(int),
+        bmore=(lag > 120).astype(int))
+    return j
+
+
+def q62(t):
+    j = _ship_buckets(t, "web_sales", "ws", [
+        ("warehouse", "ws_warehouse_sk", "w_warehouse_sk"),
+        ("ship_mode", "ws_ship_mode_sk", "sm_ship_mode_sk"),
+        ("web_site", "ws_web_site_sk", "web_site_sk")])
+    j = j.assign(wname=j.w_warehouse_name.str[:20])
+    g = j.groupby(["wname", "sm_type", "web_name"], as_index=False).agg(
+        **{"30 days": ("b30", "sum"), "31-60 days": ("b60", "sum"),
+           "61-90 days": ("b90", "sum"), "91-120 days": ("b120", "sum"),
+           ">120 days": ("bmore", "sum")})
+    g = g.sort_values(["wname", "sm_type", "web_name"])
+    return g.head(100).reset_index(drop=True)
+
+
+def q99(t):
+    j = _ship_buckets(t, "catalog_sales", "cs", [
+        ("warehouse", "cs_warehouse_sk", "w_warehouse_sk"),
+        ("ship_mode", "cs_ship_mode_sk", "sm_ship_mode_sk"),
+        ("call_center", "cs_call_center_sk", "cc_call_center_sk")])
+    j = j.assign(wname=j.w_warehouse_name.str[:20])
+    g = j.groupby(["wname", "sm_type", "cc_name"], as_index=False).agg(
+        **{"30 days": ("b30", "sum"), "31-60 days": ("b60", "sum"),
+           "61-90 days": ("b90", "sum"), "91-120 days": ("b120", "sum"),
+           ">120 days": ("bmore", "sum")})
+    g = g.sort_values(["wname", "sm_type", "cc_name"])
+    return g.head(100).reset_index(drop=True)
+
+
+def q85(t):
+    d = t["date_dim"]
+    j = (t["web_sales"]
+         .merge(t["web_returns"],
+                left_on=["ws_item_sk", "ws_order_number"],
+                right_on=["wr_item_sk", "wr_order_number"])
+         .merge(t["web_page"], left_on="ws_web_page_sk",
+                right_on="wp_web_page_sk")
+         .merge(d[d.d_year == 2000][["d_date_sk"]],
+                left_on="ws_sold_date_sk", right_on="d_date_sk")
+         .merge(t["customer_demographics"],
+                left_on="wr_refunded_cdemo_sk", right_on="cd_demo_sk")
+         .merge(t["customer_address"], left_on="wr_refunded_addr_sk",
+                right_on="ca_address_sk")
+         .merge(t["reason"], left_on="wr_reason_sk",
+                right_on="r_reason_sk"))
+    m1 = (((j.cd_marital_status == "M")
+           & (j.cd_education_status == "Advanced Degree")
+           & j.ws_sales_price.between(100.0, 150.0))
+          | ((j.cd_marital_status == "S")
+             & (j.cd_education_status == "College")
+             & j.ws_sales_price.between(50.0, 100.0))
+          | ((j.cd_marital_status == "W")
+             & (j.cd_education_status == "2 yr Degree")
+             & j.ws_sales_price.between(150.0, 200.0)))
+    m2 = ((j.ca_country == "United States")
+          & ((j.ca_state.isin(["IN", "OH", "NJ"])
+              & j.ws_net_profit.between(100, 200))
+             | (j.ca_state.isin(["WI", "CT", "KY"])
+                & j.ws_net_profit.between(150, 300))
+             | (j.ca_state.isin(["LA", "IA", "AR"])
+                & j.ws_net_profit.between(50, 250))))
+    sel = j[m1 & m2]
+    g = sel.groupby("r_reason_desc", as_index=False).agg(
+        aq=("ws_quantity", "mean"), arc=("wr_refunded_cash", "mean"),
+        af=("wr_fee", "mean"))
+    g.insert(0, "rdesc", g.pop("r_reason_desc").str[:20])
+    g = g.sort_values(["rdesc", "aq", "arc", "af"])
+    return g.head(100).reset_index(drop=True)
+
+
+def q91(t):
+    d = t["date_dim"]
+    hd = t["household_demographics"]
+    j = (t["catalog_returns"]
+         .merge(t["call_center"], left_on="cr_call_center_sk",
+                right_on="cc_call_center_sk")
+         .merge(d[(d.d_year == 1998) & (d.d_moy == 11)][["d_date_sk"]],
+                left_on="cr_returned_date_sk", right_on="d_date_sk")
+         .merge(t["customer"], left_on="cr_returning_customer_sk",
+                right_on="c_customer_sk")
+         .merge(t["customer_demographics"],
+                left_on="c_current_cdemo_sk", right_on="cd_demo_sk")
+         .merge(hd, left_on="c_current_hdemo_sk", right_on="hd_demo_sk")
+         .merge(t["customer_address"], left_on="c_current_addr_sk",
+                right_on="ca_address_sk"))
+    j = j[(((j.cd_marital_status == "M")
+            & (j.cd_education_status == "Unknown"))
+           | ((j.cd_marital_status == "W")
+              & (j.cd_education_status == "Advanced Degree")))
+          & j.hd_buy_potential.str.startswith("0-500")
+          & (j.ca_gmt_offset == -7)]
+    g = j.groupby(["cc_call_center_id", "cc_name", "cc_manager",
+                   "cd_marital_status", "cd_education_status"],
+                  as_index=False).cr_net_loss.sum()
+    out = g[["cc_call_center_id", "cc_name", "cc_manager",
+             "cr_net_loss"]]
+    out.columns = ["call_center", "call_center_name", "manager",
+                   "returns_loss"]
+    out = out.sort_values("returns_loss", ascending=False)
+    return out.reset_index(drop=True)
+
+
+def q94(t):
+    ws = t["web_sales"]
+    multi_wh = ws.groupby("ws_order_number")["ws_warehouse_sk"].nunique()
+    multi = set(multi_wh[multi_wh > 1].index)
+    returned = set(t["web_returns"].wr_order_number)
+    sites = set(t["web_site"][
+        t["web_site"].web_company_name == "pri"].web_site_sk)
+    j = (ws.merge(_date_win(t, "2001-02-01", 60)[["d_date_sk"]],
+                  left_on="ws_ship_date_sk", right_on="d_date_sk")
+         .merge(t["customer_address"], left_on="ws_ship_addr_sk",
+                right_on="ca_address_sk"))
+    j = j[(j.ca_state == "IL") & j.ws_web_site_sk.isin(sites)
+          & j.ws_order_number.isin(multi)
+          & ~j.ws_order_number.isin(returned)]
+    return pd.DataFrame({
+        "order count": [j.ws_order_number.nunique()],
+        "total shipping cost": [j.ws_ext_sales_price.sum()
+                                if len(j) else np.nan],
+        "total net profit": [j.ws_net_profit.sum()
+                             if len(j) else np.nan]})
+
+
+def q1(t):
+    d = t["date_dim"]
+    ctr = (t["store_returns"]
+           .merge(d[d.d_year == 2000][["d_date_sk"]],
+                  left_on="sr_returned_date_sk", right_on="d_date_sk"))
+    ctr = ctr.groupby(["sr_customer_sk", "sr_store_sk"],
+                      as_index=False).sr_return_amt.sum()
+    ctr.columns = ["ctr_customer_sk", "ctr_store_sk", "ctr_total_return"]
+    avg_store = ctr.groupby("ctr_store_sk")[
+        "ctr_total_return"].transform("mean")
+    hot = ctr[ctr.ctr_total_return > 1.2 * avg_store]
+    st = t["store"]
+    hot = hot[hot.ctr_store_sk.isin(
+        set(st[st.s_state == "AL"].s_store_sk))]
+    j = hot.merge(t["customer"], left_on="ctr_customer_sk",
+                  right_on="c_customer_sk")
+    out = j[["c_customer_id"]].sort_values("c_customer_id")
+    return out.head(100).reset_index(drop=True)
+
+
+def _year_totals(t):
+    parts = []
+    for fact, pfx, tag in (("store_sales", "ss", "s"),
+                           ("web_sales", "ws", "w")):
+        j = (t[fact]
+             .merge(t["customer"], left_on=f"{pfx}_customer_sk",
+                    right_on="c_customer_sk")
+             .merge(t["date_dim"], left_on=f"{pfx}_sold_date_sk",
+                    right_on="d_date_sk"))
+        j = j.assign(net=j[f"{pfx}_ext_list_price"]
+                     - j[f"{pfx}_ext_discount_amt"])
+        g = j.groupby(["c_customer_id", "c_first_name", "c_last_name",
+                       "d_year"], as_index=False).net.sum()
+        g["sale_type"] = tag
+        parts.append(g)
+    return pd.concat(parts, ignore_index=True)
+
+
+def q11(t):
+    yt = _year_totals(t)
+
+    def pick(tag, year):
+        d = yt[(yt.sale_type == tag) & (yt.d_year == year)]
+        return d.set_index("c_customer_id")
+
+    s1, s2 = pick("s", 2001), pick("s", 2002)
+    w1, w2 = pick("w", 2001), pick("w", 2002)
+    ids = (set(s1.index) & set(s2.index) & set(w1.index)
+           & set(w2.index))
+    rows = []
+    for cid in ids:
+        if s1.loc[cid, "net"] <= 0 or w1.loc[cid, "net"] <= 0:
+            continue
+        wr = w2.loc[cid, "net"] / w1.loc[cid, "net"]
+        sr = s2.loc[cid, "net"] / s1.loc[cid, "net"]
+        if wr > sr:
+            rows.append((cid, s2.loc[cid, "c_first_name"],
+                         s2.loc[cid, "c_last_name"]))
+    out = pd.DataFrame(rows, columns=[
+        "customer_id", "customer_first_name", "customer_last_name"])
+    out = out.sort_values(list(out.columns))
+    return out.head(100).reset_index(drop=True)
+
+
+def q31(t):
+    def chan(fact, pfx, out):
+        j = (t[fact]
+             .merge(t["date_dim"], left_on=f"{pfx}_sold_date_sk",
+                    right_on="d_date_sk")
+             .merge(t["customer_address"], left_on=f"{pfx}_addr_sk",
+                    right_on="ca_address_sk"))
+        g = j.groupby(["ca_county", "d_qoy", "d_year"],
+                      as_index=False)[f"{pfx}_ext_sales_price"].sum()
+        g.columns = ["ca_county", "d_qoy", "d_year", out]
+        return g
+
+    ss = chan("store_sales", "ss", "store_sales")
+    ws = chan("web_sales", "ws", "web_sales")
+
+    def q(df, col, qoy):
+        d = df[(df.d_qoy == qoy) & (df.d_year == 2000)]
+        return d.set_index("ca_county")[col]
+
+    s1, s2, s3 = (q(ss, "store_sales", i) for i in (1, 2, 3))
+    w1, w2, w3 = (q(ws, "web_sales", i) for i in (1, 2, 3))
+    counties = (set(s1.index) & set(s2.index) & set(s3.index)
+                & set(w1.index) & set(w2.index) & set(w3.index))
+    rows = []
+    for c in counties:
+        wg1 = w2[c] / w1[c] if w1[c] > 0 else np.nan
+        sg1 = s2[c] / s1[c] if s1[c] > 0 else np.nan
+        wg2 = w3[c] / w2[c] if w2[c] > 0 else np.nan
+        sg2 = s3[c] / s2[c] if s2[c] > 0 else np.nan
+        if (not np.isnan(wg1) and not np.isnan(sg1) and wg1 > sg1
+                and not np.isnan(wg2) and not np.isnan(sg2)
+                and wg2 > sg2):
+            rows.append((c, 2000, wg1, sg1, wg2, sg2))
+    out = pd.DataFrame(rows, columns=[
+        "ca_county", "d_year", "web_q1_q2_increase",
+        "store_q1_q2_increase", "web_q2_q3_increase",
+        "store_q2_q3_increase"])
+    return out.sort_values("ca_county").reset_index(drop=True)
+
+
+def q35(t):
+    d = t["date_dim"]
+    win = d[(d.d_year == 2002) & (d.d_qoy < 4)][["d_date_sk"]]
+    ss_c = set(t["store_sales"].merge(
+        win, left_on="ss_sold_date_sk", right_on="d_date_sk"
+    ).ss_customer_sk)
+    ws_c = set(t["web_sales"].merge(
+        win, left_on="ws_sold_date_sk", right_on="d_date_sk"
+    ).ws_customer_sk)
+    cs_c = set(t["catalog_sales"].merge(
+        win, left_on="cs_sold_date_sk", right_on="d_date_sk"
+    ).cs_customer_sk)
+    c = (t["customer"]
+         .merge(t["customer_address"], left_on="c_current_addr_sk",
+                right_on="ca_address_sk")
+         .merge(t["customer_demographics"],
+                left_on="c_current_cdemo_sk", right_on="cd_demo_sk"))
+    c = c[c.c_customer_sk.isin(ss_c)
+          & (c.c_customer_sk.isin(ws_c) | c.c_customer_sk.isin(cs_c))]
+    g = c.groupby(["ca_state", "cd_gender", "cd_marital_status",
+                   "cd_dep_count"], as_index=False).agg(
+        cnt1=("cd_dep_count", "size"), a1=("cd_dep_count", "mean"),
+        m1=("cd_dep_count", "max"), s1=("cd_dep_count", "sum"))
+    g = g.sort_values(["ca_state", "cd_gender", "cd_marital_status",
+                       "cd_dep_count"])
+    return g.head(100).reset_index(drop=True)
+
+
+def q81(t):
+    d = t["date_dim"]
+    ctr = (t["catalog_returns"]
+           .merge(d[d.d_year == 2000][["d_date_sk"]],
+                  left_on="cr_returned_date_sk", right_on="d_date_sk")
+           .merge(t["customer_address"][["ca_address_sk", "ca_state"]],
+                  left_on="cr_returning_addr_sk",
+                  right_on="ca_address_sk"))
+    ctr = ctr.groupby(["cr_returning_customer_sk", "ca_state"],
+                      as_index=False).cr_return_amount.sum()
+    ctr.columns = ["ctr_customer_sk", "ctr_state", "ctr_total_return"]
+    avg_state = ctr.groupby("ctr_state")["ctr_total_return"].transform(
+        "mean")
+    hot = ctr[ctr.ctr_total_return > 1.2 * avg_state]
+    j = (hot.merge(t["customer"], left_on="ctr_customer_sk",
+                   right_on="c_customer_sk")
+         .merge(t["customer_address"], left_on="c_current_addr_sk",
+                right_on="ca_address_sk"))
+    j = j[j.ca_state == "GA"]
+    out = j[["c_customer_id", "c_salutation", "c_first_name",
+             "c_last_name", "ca_state", "ctr_total_return"]]
+    out = out.sort_values(list(out.columns))
+    return out.head(100).reset_index(drop=True)
+
+
+def q83(t):
+    d = t["date_dim"]
+    weeks = set(d[d.d_date.astype(str).isin(
+        ["2000-06-30", "2000-09-27", "2000-11-17"])].d_week_seq)
+    dates = set(d[d.d_week_seq.isin(weeks)].d_date_sk)
+    qty = {}
+    for fact, pfx in (("store_returns", "sr"), ("catalog_returns", "cr"),
+                      ("web_returns", "wr")):
+        f = t[fact]
+        f = f[f[f"{pfx}_returned_date_sk"].isin(dates)]
+        j = f.merge(t["item"][["i_item_sk", "i_item_id"]],
+                    left_on=f"{pfx}_item_sk", right_on="i_item_sk")
+        g = j.groupby("i_item_id", as_index=False)[
+            f"{pfx}_return_quantity"
+            if pfx != "cr" else "cr_return_quantity"].sum()
+        g.columns = ["item_id", f"{pfx}_item_qty"]
+        qty[pfx] = g
+    j = qty["sr"].merge(qty["cr"], on="item_id").merge(
+        qty["wr"], on="item_id")
+    tot = j.sr_item_qty + j.cr_item_qty + j.wr_item_qty
+    out = pd.DataFrame({
+        "item_id": j.item_id, "sr_item_qty": j.sr_item_qty,
+        "sr_dev": j.sr_item_qty / tot / 3.0 * 100,
+        "cr_item_qty": j.cr_item_qty,
+        "cr_dev": j.cr_item_qty / tot / 3.0 * 100,
+        "wr_item_qty": j.wr_item_qty,
+        "wr_dev": j.wr_item_qty / tot / 3.0 * 100,
+        "average": tot / 3.0})
+    out = out.sort_values(["item_id", "sr_item_qty"])
+    return out.head(100).reset_index(drop=True)
+
+
+def q84(t):
+    hd = t["household_demographics"]
+    ib = t["income_band"]
+    ib = ib[(ib.ib_lower_bound >= 38128) & (ib.ib_upper_bound <= 88128)]
+    j = (t["customer"]
+         .merge(t["customer_address"], left_on="c_current_addr_sk",
+                right_on="ca_address_sk")
+         .merge(t["customer_demographics"],
+                left_on="c_current_cdemo_sk", right_on="cd_demo_sk")
+         .merge(hd, left_on="c_current_hdemo_sk", right_on="hd_demo_sk")
+         .merge(ib, left_on="hd_income_band_sk",
+                right_on="ib_income_band_sk")
+         .merge(t["store_returns"][["sr_cdemo_sk"]],
+                left_on="cd_demo_sk", right_on="sr_cdemo_sk"))
+    j = j[j.ca_city == "city42"]
+    out = pd.DataFrame({
+        "customer_id": j.c_customer_id,
+        "customername": j.c_last_name + ", " + j.c_first_name})
+    out = out.sort_values("customer_id")
+    return out.head(100).reset_index(drop=True)
+
+
+def _year_totals3(t):
+    parts = []
+    for fact, pfx, tag in (("store_sales", "ss", "s"),
+                           ("catalog_sales", "cs", "c"),
+                           ("web_sales", "ws", "w")):
+        j = (t[fact]
+             .merge(t["customer"], left_on=f"{pfx}_customer_sk",
+                    right_on="c_customer_sk")
+             .merge(t["date_dim"], left_on=f"{pfx}_sold_date_sk",
+                    right_on="d_date_sk"))
+        j = j.assign(net=((j[f"{pfx}_ext_list_price"]
+                           - j[f"{pfx}_ext_wholesale_cost"]
+                           - j[f"{pfx}_ext_discount_amt"])
+                          + j[f"{pfx}_ext_sales_price"]) / 2)
+        g = j.groupby(["c_customer_id", "c_first_name", "c_last_name",
+                       "d_year"], as_index=False).net.sum()
+        g["sale_type"] = tag
+        parts.append(g)
+    return pd.concat(parts, ignore_index=True)
+
+
+def q4(t):
+    yt = _year_totals3(t)
+
+    def pick(tag, year):
+        d = yt[(yt.sale_type == tag) & (yt.d_year == year)]
+        return d.set_index("c_customer_id")
+
+    s1, s2 = pick("s", 2001), pick("s", 2002)
+    c1, c2 = pick("c", 2001), pick("c", 2002)
+    w1, w2 = pick("w", 2001), pick("w", 2002)
+    ids = (set(s1.index) & set(s2.index) & set(c1.index) & set(c2.index)
+           & set(w1.index) & set(w2.index))
+    rows = []
+    for cid in ids:
+        if (s1.loc[cid, "net"] <= 0 or c1.loc[cid, "net"] <= 0
+                or w1.loc[cid, "net"] <= 0):
+            continue
+        cr = c2.loc[cid, "net"] / c1.loc[cid, "net"]
+        sr = s2.loc[cid, "net"] / s1.loc[cid, "net"]
+        wr = w2.loc[cid, "net"] / w1.loc[cid, "net"]
+        if cr > sr and cr > wr:
+            rows.append((cid, s2.loc[cid, "c_first_name"],
+                         s2.loc[cid, "c_last_name"]))
+    out = pd.DataFrame(rows, columns=[
+        "customer_id", "customer_first_name", "customer_last_name"])
+    out = out.sort_values(list(out.columns))
+    return out.head(100).reset_index(drop=True)
+
+
+def q10(t):
+    d = t["date_dim"]
+    win = d[(d.d_year == 2002) & d.d_moy.between(1, 4)][["d_date_sk"]]
+    ss_c = set(t["store_sales"].merge(
+        win, left_on="ss_sold_date_sk", right_on="d_date_sk"
+    ).ss_customer_sk)
+    ws_c = set(t["web_sales"].merge(
+        win, left_on="ws_sold_date_sk", right_on="d_date_sk"
+    ).ws_customer_sk)
+    cs_c = set(t["catalog_sales"].merge(
+        win, left_on="cs_sold_date_sk", right_on="d_date_sk"
+    ).cs_customer_sk)
+    c = (t["customer"]
+         .merge(t["customer_address"], left_on="c_current_addr_sk",
+                right_on="ca_address_sk")
+         .merge(t["customer_demographics"],
+                left_on="c_current_cdemo_sk", right_on="cd_demo_sk"))
+    c = c[c.ca_county.isin(["Ziebach County", "Walker County",
+                            "Williamson County", "Franklin County",
+                            "Fairfield County"])]
+    c = c[c.c_customer_sk.isin(ss_c)
+          & (c.c_customer_sk.isin(ws_c) | c.c_customer_sk.isin(cs_c))]
+    g = c.groupby(["cd_gender", "cd_marital_status",
+                   "cd_education_status", "cd_credit_rating",
+                   "cd_dep_count"], as_index=False).size()
+    g = g.rename(columns={"size": "cnt1"})
+    g["cnt2"] = g.cnt1
+    g["cnt3"] = g.cnt1
+    g = g[["cd_gender", "cd_marital_status", "cd_education_status",
+           "cnt1", "cd_credit_rating", "cnt2", "cd_dep_count", "cnt3"]]
+    g = g.sort_values(["cd_gender", "cd_marital_status",
+                       "cd_education_status", "cd_credit_rating",
+                       "cd_dep_count"])
+    return g.head(100).reset_index(drop=True)
+
+
+def q57(t):
+    d = t["date_dim"]
+    j = (t["catalog_sales"]
+         .merge(t["item"], left_on="cs_item_sk", right_on="i_item_sk")
+         .merge(d, left_on="cs_sold_date_sk", right_on="d_date_sk")
+         .merge(t["call_center"], left_on="cs_call_center_sk",
+                right_on="cc_call_center_sk"))
+    j = j[(j.d_year == 2000)
+          | ((j.d_year == 1999) & (j.d_moy == 12))
+          | ((j.d_year == 2001) & (j.d_moy == 1))]
+    v1 = j.groupby(["i_category", "i_brand", "cc_name", "d_year",
+                    "d_moy"], as_index=False).cs_sales_price.sum()
+    v1 = v1.rename(columns={"cs_sales_price": "sum_sales"})
+    v1["avg_monthly_sales"] = v1.groupby(
+        ["i_category", "i_brand", "cc_name", "d_year"]
+    )["sum_sales"].transform("mean")
+    v1 = v1.sort_values(["i_category", "i_brand", "cc_name", "d_year",
+                         "d_moy"], kind="mergesort")
+    v1["rn"] = v1.groupby(["i_category", "i_brand", "cc_name"]
+                          ).cumcount() + 1
+    lag = v1.copy()
+    lag["rn"] = lag["rn"] + 1
+    lead = v1.copy()
+    lead["rn"] = lead["rn"] - 1
+    v2 = (v1.merge(lag[["i_category", "i_brand", "cc_name", "rn",
+                        "sum_sales"]],
+                   on=["i_category", "i_brand", "cc_name", "rn"],
+                   suffixes=("", "_lag"))
+          .merge(lead[["i_category", "i_brand", "cc_name", "rn",
+                       "sum_sales"]],
+                 on=["i_category", "i_brand", "cc_name", "rn"],
+                 suffixes=("", "_lead")))
+    v2 = v2[(v2.d_year == 2000) & (v2.avg_monthly_sales > 0)]
+    dev = np.abs(v2.sum_sales - v2.avg_monthly_sales) \
+        / v2.avg_monthly_sales
+    v2 = v2[dev > 0.1]
+    out = v2[["i_category", "i_brand", "cc_name", "d_year",
+              "avg_monthly_sales", "sum_sales", "sum_sales_lag",
+              "sum_sales_lead"]]
+    out.columns = ["i_category", "i_brand", "cc_name", "d_year",
+                   "avg_monthly_sales", "sum_sales", "psum", "nsum"]
+    out = out.assign(diff=out.sum_sales - out.avg_monthly_sales)
+    out = out.sort_values(["diff", "cc_name"]).drop(columns="diff")
+    return out.head(100).reset_index(drop=True)
+
+
+def q74(t):
+    parts = []
+    for fact, pfx, tag in (("store_sales", "ss", "s"),
+                           ("web_sales", "ws", "w")):
+        j = (t[fact]
+             .merge(t["customer"], left_on=f"{pfx}_customer_sk",
+                    right_on="c_customer_sk")
+             .merge(t["date_dim"], left_on=f"{pfx}_sold_date_sk",
+                    right_on="d_date_sk"))
+        j = j[j.d_year.isin([2001, 2002])]
+        g = j.groupby(["c_customer_id", "c_first_name", "c_last_name",
+                       "d_year"], as_index=False)[
+            f"{pfx}_net_paid"].sum()
+        g.columns = ["c_customer_id", "c_first_name", "c_last_name",
+                     "d_year", "net"]
+        g["sale_type"] = tag
+        parts.append(g)
+    yt = pd.concat(parts, ignore_index=True)
+
+    def pick(tag, year):
+        d = yt[(yt.sale_type == tag) & (yt.d_year == year)]
+        return d.set_index("c_customer_id")
+
+    s1, s2 = pick("s", 2001), pick("s", 2002)
+    w1, w2 = pick("w", 2001), pick("w", 2002)
+    ids = (set(s1.index) & set(s2.index) & set(w1.index)
+           & set(w2.index))
+    rows = []
+    for cid in ids:
+        if s1.loc[cid, "net"] <= 0 or w1.loc[cid, "net"] <= 0:
+            continue
+        wr = w2.loc[cid, "net"] / w1.loc[cid, "net"]
+        sr = s2.loc[cid, "net"] / s1.loc[cid, "net"]
+        if wr > sr:
+            rows.append((cid, s2.loc[cid, "c_first_name"],
+                         s2.loc[cid, "c_last_name"]))
+    out = pd.DataFrame(rows, columns=[
+        "customer_id", "customer_first_name", "customer_last_name"])
+    out = out.sort_values(list(out.columns))
+    return out.head(100).reset_index(drop=True)
+
+
+_DAYS = ["Sunday", "Monday", "Tuesday", "Wednesday", "Thursday",
+         "Friday", "Saturday"]
+
+
+def _week_pivot(j, price_col, extra_keys=()):
+    keys = ["d_week_seq"] + list(extra_keys)
+    cols = {}
+    for day in _DAYS:
+        cols[day[:3].lower() + "_sales"] = pd.Series(
+            np.where(j.d_day_name == day, j[price_col], np.nan),
+            index=j.index)
+    jj = j.assign(**cols)
+    agg = {c: (c, "sum") for c in cols}
+    cntagg = {c + "_n": (c, "count") for c in cols}
+    g = jj.groupby(keys, as_index=False).agg(**agg, **cntagg)
+    for c in cols:  # SQL SUM of all-NULL is NULL, pandas gives 0.0
+        g[c] = np.where(g[c + "_n"] > 0, g[c], np.nan)
+        g = g.drop(columns=[c + "_n"])
+    return g
+
+
+def q2(t):
+    ws = t["web_sales"][["ws_sold_date_sk", "ws_ext_sales_price"]]
+    cs = t["catalog_sales"][["cs_sold_date_sk", "cs_ext_sales_price"]]
+    sc = pd.concat([
+        ws.rename(columns={"ws_sold_date_sk": "sold_date_sk",
+                           "ws_ext_sales_price": "sales_price"}),
+        cs.rename(columns={"cs_sold_date_sk": "sold_date_sk",
+                           "cs_ext_sales_price": "sales_price"})],
+        ignore_index=True)
+    d = t["date_dim"]
+    j = sc.merge(d, left_on="sold_date_sk", right_on="d_date_sk")
+    w = _week_pivot(j, "sales_price")
+    y_weeks = set(d[(d.d_year == 2001) & (d.d_moy == 1)
+                    & (d.d_dom == 1)].d_week_seq)
+    z_weeks = set(d[(d.d_year == 2002) & (d.d_moy == 1)
+                    & (d.d_dom == 1)].d_week_seq)
+    y = w[w.d_week_seq.isin(y_weeks)]
+    z = w[w.d_week_seq.isin(z_weeks)].copy()
+    z["d_week_seq"] = z["d_week_seq"] - 52
+    j2 = y.merge(z, on="d_week_seq", suffixes=("1", "2"))
+    out = pd.DataFrame({"d_week_seq1": j2.d_week_seq})
+    for k, day in enumerate(_DAYS):
+        c = day[:3].lower() + "_sales"
+        out[f"r{k + 1}"] = np.round(j2[c + "1"] / j2[c + "2"], 2)
+    return out.sort_values("d_week_seq1").reset_index(drop=True)
+
+
+def q59(t):
+    d = t["date_dim"]
+    j = t["store_sales"].merge(d, left_on="ss_sold_date_sk",
+                               right_on="d_date_sk")
+    w = _week_pivot(j, "ss_sales_price", extra_keys=["ss_store_sk"])
+    # SQL joins the FULL date_dim on week_seq: every day of the week
+    # matches, so each (store, week) appears once per qualifying day
+    wk_month = d[["d_week_seq", "d_month_seq"]]
+    st = t["store"][["s_store_sk", "s_store_name", "s_store_id"]]
+    y = (w.merge(wk_month, on="d_week_seq")
+         .merge(st, left_on="ss_store_sk", right_on="s_store_sk"))
+    y1 = y[y.d_month_seq.between(24, 35)]
+    y2 = y[y.d_month_seq.between(36, 47)].copy()
+    y2["d_week_seq"] = y2["d_week_seq"] - 52
+    j2 = y1.merge(y2, on=["s_store_id", "d_week_seq"],
+                  suffixes=("1", "2"))
+    out = pd.DataFrame({
+        "s_store_name1": j2.s_store_name1,
+        "s_store_id1": j2.s_store_id,
+        "d_week_seq1": j2.d_week_seq})
+    for k, day in enumerate(_DAYS):
+        c = day[:3].lower() + "_sales"
+        out[f"q{k + 1}"] = j2[c + "1"] / j2[c + "2"]
+    out = out.sort_values(["s_store_name1", "s_store_id1",
+                           "d_week_seq1"])
+    return out.head(100).reset_index(drop=True)
+
+
+def q77(t):
+    d = t["date_dim"]
+    s = pd.Timestamp("2000-08-03")
+    dd = d[(pd.to_datetime(d.d_date) >= s)
+           & (pd.to_datetime(d.d_date) <= s + pd.Timedelta(days=30))]
+    dsk = dd[["d_date_sk"]]
+
+    ss = (t["store_sales"].merge(dsk, left_on="ss_sold_date_sk",
+                                 right_on="d_date_sk")
+          .groupby("ss_store_sk", as_index=False).agg(
+        sales=("ss_ext_sales_price", "sum"),
+        profit=("ss_net_profit", "sum")))
+    sr = (t["store_returns"].merge(dsk, left_on="sr_returned_date_sk",
+                                   right_on="d_date_sk")
+          .groupby("sr_store_sk", as_index=False).agg(
+        returns_amt=("sr_return_amt", "sum"),
+        profit_loss=("sr_net_loss", "sum")))
+    cs = (t["catalog_sales"].merge(dsk, left_on="cs_sold_date_sk",
+                                   right_on="d_date_sk")
+          .groupby("cs_call_center_sk", as_index=False).agg(
+        sales=("cs_ext_sales_price", "sum"),
+        profit=("cs_net_profit", "sum")))
+    cr = (t["catalog_returns"].merge(dsk, left_on="cr_returned_date_sk",
+                                     right_on="d_date_sk")
+          .groupby("cr_call_center_sk", as_index=False).agg(
+        returns_amt=("cr_return_amount", "sum"),
+        profit_loss=("cr_net_loss", "sum")))
+    ws = (t["web_sales"].merge(dsk, left_on="ws_sold_date_sk",
+                               right_on="d_date_sk")
+          .groupby("ws_web_page_sk", as_index=False).agg(
+        sales=("ws_ext_sales_price", "sum"),
+        profit=("ws_net_profit", "sum")))
+    wr = (t["web_returns"].merge(dsk, left_on="wr_returned_date_sk",
+                                 right_on="d_date_sk")
+          .groupby("wr_web_page_sk", as_index=False).agg(
+        returns_amt=("wr_return_amt", "sum"),
+        profit_loss=("wr_net_loss", "sum")))
+
+    rows = []
+    a = ss.merge(sr, left_on="ss_store_sk", right_on="sr_store_sk",
+                 how="left")
+    for _, r in a.iterrows():
+        rows.append(("store channel", r.ss_store_sk, r.sales,
+                     np.nan_to_num(r.returns_amt),
+                     r.profit - np.nan_to_num(r.profit_loss)))
+    b = cs.merge(cr, left_on="cs_call_center_sk",
+                 right_on="cr_call_center_sk", how="left")
+    for _, r in b.iterrows():
+        rows.append(("catalog channel", r.cs_call_center_sk, r.sales,
+                     np.nan_to_num(r.returns_amt),
+                     r.profit - np.nan_to_num(r.profit_loss)))
+    c = ws.merge(wr, left_on="ws_web_page_sk", right_on="wr_web_page_sk",
+                 how="left")
+    for _, r in c.iterrows():
+        rows.append(("web channel", r.ws_web_page_sk, r.sales,
+                     np.nan_to_num(r.returns_amt),
+                     r.profit - np.nan_to_num(r.profit_loss)))
+    x = pd.DataFrame(rows, columns=["channel", "id", "sales",
+                                    "returns_amt", "profit"])
+    detail = x.groupby(["channel", "id"], as_index=False).agg(
+        sales=("sales", "sum"), returns_amt=("returns_amt", "sum"),
+        profit=("profit", "sum"))
+    lvl1 = x.groupby(["channel"], as_index=False).agg(
+        sales=("sales", "sum"), returns_amt=("returns_amt", "sum"),
+        profit=("profit", "sum"))
+    lvl1["id"] = np.nan
+    total = pd.DataFrame({
+        "channel": [None], "id": [np.nan],
+        "sales": [x.sales.sum()], "returns_amt": [x.returns_amt.sum()],
+        "profit": [x.profit.sum()]})
+    u = pd.concat([detail, lvl1, total], ignore_index=True)
+    u = u[["channel", "id", "sales", "returns_amt", "profit"]]
+    u = u.sort_values(["channel", "id", "sales"], na_position="first")
+    return u.head(100).reset_index(drop=True)
+
+
+def q8(t):
+    ca = t["customer_address"]
+    zips5 = ca.ca_zip.str[:5]
+    a = set(zips5[zips5.isin(["47602", "16704", "35863", "28577",
+                              "83910", "36201"])])
+    pref = (ca.merge(t["customer"], left_on="ca_address_sk",
+                     right_on="c_current_addr_sk"))
+    pref = pref[pref.c_preferred_cust_flag == "Y"]
+    counts = pref.groupby(pref.ca_zip.str[:5]).size()
+    b = set(counts[counts > 10].index)
+    keep2 = {z[:2] for z in (a & b)}
+    d = t["date_dim"]
+    j = (t["store_sales"]
+         .merge(d[(d.d_qoy == 2) & (d.d_year == 1998)][["d_date_sk"]],
+                left_on="ss_sold_date_sk", right_on="d_date_sk")
+         .merge(t["store"], left_on="ss_store_sk",
+                right_on="s_store_sk"))
+    j = j[j.s_zip.str[:2].isin(keep2)]
+    g = j.groupby("s_store_name", as_index=False).ss_net_profit.sum()
+    g.columns = ["s_store_name", "sum(ss_net_profit)"]
+    return g.sort_values("s_store_name").head(100).reset_index(drop=True)
+
+
+def q66(t):
+    td = t["time_dim"]
+    tset = set(td[(td.t_time >= 30838)
+                  & (td.t_time <= 30838 + 28800)].t_time_sk)
+    sm = t["ship_mode"]
+    smset = set(sm[sm.sm_carrier.isin(["CARRIER0", "CARRIER1"])
+                   ].sm_ship_mode_sk)
+    d = t["date_dim"]
+    parts = []
+    for fact, pfx in (("web_sales", "ws"), ("catalog_sales", "cs")):
+        f = t[fact]
+        f = f[f[f"{pfx}_sold_time_sk"].isin(tset)
+              & f[f"{pfx}_ship_mode_sk"].isin(smset)]
+        if pfx == "ws":
+            f = f.dropna(subset=["ws_sold_time_sk"])
+        j = (f.merge(d[d.d_year == 2001][["d_date_sk", "d_moy",
+                                          "d_year"]],
+                     left_on=f"{pfx}_sold_date_sk", right_on="d_date_sk")
+             .merge(t["warehouse"], left_on=f"{pfx}_warehouse_sk",
+                    right_on="w_warehouse_sk"))
+        amt = j[f"{pfx}_ext_sales_price"] * j[f"{pfx}_quantity"]
+        month_cols = {}
+        names = ["jan", "feb", "mar", "apr", "may", "jun", "jul",
+                 "aug", "sep", "oct", "nov", "dec"]
+        for m_i, nm in enumerate(names, start=1):
+            month_cols[nm + "_sales"] = np.where(j.d_moy == m_i, amt, 0.0)
+        jj = j.assign(**month_cols)
+        g = jj.groupby(["w_warehouse_name", "w_warehouse_sq_ft",
+                        "w_city", "w_county", "w_state", "w_country",
+                        "d_year"], as_index=False)[
+            [nm + "_sales" for nm in names]].sum()
+        parts.append(g)
+    u = pd.concat(parts, ignore_index=True)
+    names = ["jan", "feb", "mar", "apr", "may", "jun", "jul", "aug",
+             "sep", "oct", "nov", "dec"]
+    g = u.groupby(["w_warehouse_name", "w_warehouse_sq_ft", "w_city",
+                   "w_county", "w_state", "w_country", "d_year"],
+                  as_index=False)[[nm + "_sales" for nm in names]].sum()
+    g.insert(6, "ship_carriers", "CARRIER0,CARRIER1")
+    g = g.rename(columns={"d_year": "year1"})
+    g = g[["w_warehouse_name", "w_warehouse_sq_ft", "w_city",
+           "w_county", "w_state", "w_country", "ship_carriers",
+           "year1"] + [nm + "_sales" for nm in names]]
+    g = g.sort_values("w_warehouse_name")
+    return g.head(100).reset_index(drop=True)
+
+
+def q78(t):
+    d = t["date_dim"][["d_date_sk", "d_year"]]
+    ws = t["web_sales"].merge(
+        t["web_returns"][["wr_order_number", "wr_item_sk"]],
+        left_on=["ws_order_number", "ws_item_sk"],
+        right_on=["wr_order_number", "wr_item_sk"], how="left")
+    ws = ws[ws.wr_order_number.isna()]
+    ws = ws.merge(d, left_on="ws_sold_date_sk", right_on="d_date_sk")
+    wsg = ws.groupby(["d_year", "ws_item_sk", "ws_customer_sk"],
+                     as_index=False).agg(
+        ws_qty=("ws_quantity", "sum"),
+        ws_wc=("ws_wholesale_cost", "sum"),
+        ws_sp=("ws_sales_price", "sum"))
+    ss = t["store_sales"].merge(
+        t["store_returns"][["sr_ticket_number", "sr_item_sk"]],
+        left_on=["ss_ticket_number", "ss_item_sk"],
+        right_on=["sr_ticket_number", "sr_item_sk"], how="left")
+    ss = ss[ss.sr_ticket_number.isna()]
+    ss = ss.merge(d, left_on="ss_sold_date_sk", right_on="d_date_sk")
+    ssg = ss.groupby(["d_year", "ss_item_sk", "ss_customer_sk"],
+                     as_index=False).agg(
+        ss_qty=("ss_quantity", "sum"),
+        ss_wc=("ss_wholesale_cost", "sum"),
+        ss_sp=("ss_sales_price", "sum"))
+    j = ssg.merge(wsg, left_on=["d_year", "ss_item_sk",
+                                "ss_customer_sk"],
+                  right_on=["d_year", "ws_item_sk", "ws_customer_sk"],
+                  how="left")
+    j = j[(j.ws_qty.fillna(0) > 0) & (j.d_year == 2000)]
+    out = pd.DataFrame({
+        "ss_sold_year": j.d_year, "ss_item_sk": j.ss_item_sk,
+        "ss_customer_sk": j.ss_customer_sk,
+        "ratio": np.round(j.ss_qty / j.ws_qty.fillna(1), 2),
+        "store_qty": j.ss_qty, "store_wholesale_cost": j.ss_wc,
+        "store_sales_price": j.ss_sp,
+        "other_chan_qty": j.ws_qty.fillna(0),
+        "other_chan_wholesale_cost": j.ws_wc.fillna(0),
+        "other_chan_sales_price": j.ws_sp.fillna(0)})
+    out = out.sort_values(
+        ["ss_sold_year", "ss_item_sk", "ss_customer_sk", "store_qty",
+         "store_wholesale_cost", "store_sales_price", "other_chan_qty",
+         "other_chan_wholesale_cost", "other_chan_sales_price",
+         "ratio"],
+        ascending=[True, True, True, False, False, False, True, True,
+                   True, True])
+    return out.head(100).reset_index(drop=True)
+
+
 
 def _collect_refs():
     """qN oracle registry, collected at import end so additions below

@@ -289,7 +289,18 @@ class Evaluator:
              "date": pa.date32(), "timestamp": pa.timestamp("s"),
              "boolean": pa.bool_(), "bool": pa.bool_()}[e.type_name]
         if isinstance(v, pa.Scalar):
-            return pa.scalar(v.as_py(), t) if v.as_py() is not None else pa.scalar(None, t)
+            pv = v.as_py()
+            if pv is None:
+                return pa.scalar(None, t)
+            # SQL casts string literals to temporal types by ISO parse
+            # (pa.scalar alone refuses str -> date32)
+            if isinstance(pv, str) and pa.types.is_date(t):
+                import datetime as _dt
+                pv = _dt.date.fromisoformat(pv)
+            elif isinstance(pv, str) and pa.types.is_timestamp(t):
+                import datetime as _dt
+                pv = _dt.datetime.fromisoformat(pv)
+            return pa.scalar(pv, t)
         if pa.types.is_date32(t) and pa.types.is_integer(v.type):
             # N::DATE = days since epoch (DataFusion semantics)
             return v.cast(pa.int32()).view(pa.date32())
@@ -328,6 +339,9 @@ class Evaluator:
             return fn(self.arr(e.args[0]))
         if name == "substring" or name == "substr":
             v = self.arr(e.args[0])
+            if pa.types.is_null(v.type):
+                # empty aggregation results carry null-typed key columns
+                return pa.nulls(len(v), pa.string())
             start = self.eval(e.args[1]).as_py()
             length = self.eval(e.args[2]).as_py() if len(e.args) > 2 else None
             stop = None if length is None else start - 1 + length
