@@ -3,10 +3,11 @@
 Equivalent role to the reference's TPC-DS data (liquid-cache
 `benchmark/tpcds/manifest.json` + `tpcds_gen.py` which shells out to
 duckdb's dsdgen; unavailable here, so we generate spec-shaped tables
-directly).  Covers the 12 tables the shipped query subset touches:
-store_sales, catalog_sales, web_sales, store_returns, date_dim,
-time_dim, item, customer, customer_address, customer_demographics,
-household_demographics, store.
+directly).  Covers the 23 tables the 85-query suite touches:
+the three sales channels with their returns tables, date/time dims,
+item, customer (+address/demographics/household/income_band), store,
+warehouse, ship_mode, call_center, web_site, web_page, promotion,
+reason, inventory.
 
 Correctness of query answers is verified DIFFERENTIALLY (engine vs
 pandas on the same data) plus a dual-path self-check, so official dsdgen
