@@ -188,6 +188,8 @@ class ParquetTable:
             # predicates arrive in the raw date32 domain (days since epoch)
             epoch = datetime.date(1970, 1, 1)
             lo, hi = (lo - epoch).days, (hi - epoch).days
+        if isinstance(lo, float) and (lo != lo or hi != hi):
+            return  # NaN bounds: every comparison is False, no pruning
         if lo is not None and not isinstance(lo, datetime.datetime):
             self._zones[self._zone_key(rg, col_name, batch)] = (lo, hi)
 

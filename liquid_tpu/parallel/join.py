@@ -411,11 +411,15 @@ def _flatten_joins(node) -> Tuple[List[str], List[Tuple[str, str]]]:
     if node.kind == "cross":
         assert cond is None
         return tables, edges
-    assert isinstance(cond, ast.Binary) and cond.op == "=" \
-        and isinstance(cond.left, ast.Column) \
-        and isinstance(cond.right, ast.Column), \
-        "distributed joins: single-column equality ON"
-    edges.append((cond.left.name, cond.right.name))
+    # ON may be a conjunction of equalities (multi-key join): the first
+    # conjunct shuffles; the rest become residual equality filters via
+    # the same edge list (placement routes them to `residual_eq`)
+    for conj in split_conjuncts(cond):
+        assert isinstance(conj, ast.Binary) and conj.op == "=" \
+            and isinstance(conj.left, ast.Column) \
+            and isinstance(conj.right, ast.Column), \
+            "distributed joins: equality ON conditions"
+        edges.append((conj.left.name, conj.right.name))
     return tables, edges
 
 
@@ -458,6 +462,7 @@ def execute_dist_join(sess, q) -> pa.Table:
     for t in tables:
         merged_cols.update(dts[t].columns)
     joins: List[Tuple[str, str, str]] = []   # (cur_col, right_table, right_col)
+    residual_eq: List[Tuple[str, str]] = []  # multi-key joins: post filter
     placed = {tables[0]}
     pending = list(edges)
     while len(placed) < len(tables):
@@ -468,17 +473,23 @@ def execute_dist_join(sess, q) -> pa.Table:
             if ta in placed and tb not in placed:
                 joins.append((a, tb, b))
                 placed.add(tb)
+            elif tb in placed and ta in placed:
+                # second key of a multi-column join: apply as an
+                # equality FILTER over the joined rows (both columns
+                # ship through the pipeline)
+                residual_eq.append((a, b))
             elif tb in placed and ta not in placed:
                 joins.append((b, ta, a))
                 placed.add(ta)
-            elif ta in placed and tb in placed:
-                pass  # redundant edge (cycle): ignored
             else:
                 continue
             pending.remove(e)
             progress = True
         assert progress, \
             "distributed joins: join graph is disconnected (cross product)"
+    # edges whose both sides were already placed at loop exit
+    for a, b in pending:
+        residual_eq.append((a, b))
 
     # plan items (shared planner: expression aggregates supported)
     key_cols, aggs, names = plan_agg_items(q, merged_cols)
@@ -493,6 +504,9 @@ def execute_dist_join(sess, q) -> pa.Table:
     for lcol, rt, rcol in joins:
         needed[owner(lcol)].add(lcol)
         needed[rt].add(rcol)
+    for a, b in residual_eq:
+        needed[owner(a)].add(a)
+        needed[owner(b)].add(b)
 
     # decode + filter every table
     def mk_preds(t):
@@ -542,6 +556,17 @@ def execute_dist_join(sess, q) -> pa.Table:
         cur.cols.pop("__k", None)
         cur.nulls.pop("__k", None)
         cur.origin.pop("__k", None)
+
+    for a, b in residual_eq:
+        assert a in cur.cols and b in cur.cols, (a, b)
+        eq = cur.cols[a] == cur.cols[b]
+        na = cur.nulls.get(a)
+        nb = cur.nulls.get(b)
+        if na is not None:
+            eq = eq & ~na
+        if nb is not None:
+            eq = eq & ~nb
+        cur.live = cur.live & eq
 
     if key_cols:
         out = aggregate_vtable(sess, cur, key_cols, aggs, names)

@@ -63,6 +63,7 @@ def _partitionable_scan(sql: str, tables) -> Optional[str]:
     is row-group-decomposable (no aggregate/group/order/limit/distinct/
     join/setop) -- the shape the server executes partition-parallel."""
     from liquid_tpu.sql import ast
+    from liquid_tpu.sql.exec import _has_subquery
     from liquid_tpu.sql.parser import parse_statement
     from liquid_tpu.sql.physical import find_aggs
     try:
@@ -76,10 +77,14 @@ def _partitionable_scan(sql: str, tables) -> Optional[str]:
             return None
         if not isinstance(q.from_, ast.TableRef) or q.from_.name not in tables:
             return None
+        if q.where is not None and _has_subquery(q.where):
+            # a subquery must see the FULL table, not one partition's
+            # row-group slice
+            return None
         aggs: list = []
         for it in q.items:
             find_aggs(it.expr, aggs)
-            if _has_window(it.expr):
+            if _has_window(it.expr) or _has_subquery(it.expr):
                 return None
         if aggs:
             return None

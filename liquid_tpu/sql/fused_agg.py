@@ -112,8 +112,11 @@ def _compile_expr(e: ast.Expr, col_kinds: Dict[str, str]):
         r, rc = _compile_expr(e.right, col_kinds)
         ldt, rdt = _ir_dtype(l), _ir_dtype(r)
         if e.op == "/":
-            # SQL int/int is integer division (trunc toward zero) --
-            # jnp floor-divides, so only the float form is fused
+            if ldt == "i64" and rdt == "i64":
+                # SQL int/int is integer division (trunc toward zero);
+                # fusing it as f64 true division would change both the
+                # value and the output type vs the classic path
+                raise _Bail("integer division")
             l, r, dt = _as_f64(l), _as_f64(r), "f64"
         elif ldt == "f64" or rdt == "f64":
             l, r, dt = _as_f64(l), _as_f64(r), "f64"
@@ -691,10 +694,27 @@ def _collect_payloads(table, col, hint, blocks):
 _PREP_VARIANTS = 4
 
 
+def _prep_nbytes(prep: _ColPrep) -> int:
+    """Device bytes held by a cached prep (stacked planes/codes/validity
+    + patch overlays).  Charged against the cache's memory budget so
+    prep copies can't silently double device residency; the lazily
+    built group-key vocab (`_build_vocab`) is small (dict-sized) and
+    not charged."""
+    n = 0
+    for slot in ("planes_stack", "valid_stack", "codes_stack",
+                 "patch_rows", "patch_vals"):
+        a = getattr(prep, slot, None)
+        if a is not None:
+            n += int(a.size) * a.dtype.itemsize
+    return n
+
+
 def _table_prep(table, col, hint, blocks) -> _ColPrep:
     """Column prep cached on the table per (col, blocks-set),
     invalidated when any payload object changes (squeeze/evict/
-    re-insert)."""
+    re-insert).  Cached preps reserve their device bytes from
+    `table.cache.budget`; when the budget is exhausted the prep is
+    served UNCACHED (rebuilt next query) rather than overcommitting."""
     cache = getattr(table, "_fused_prep", None)
     if cache is None:
         cache = table._fused_prep = {}
@@ -705,9 +725,16 @@ def _table_prep(table, col, hint, blocks) -> _ColPrep:
     if hit is not None and hit[0] == key:
         return hit[1]
     prep = _prep_column(payloads, table.field(col).type)
+    budget = table.cache.budget
+    if hit is not None:  # stale (payloads changed): drop + release
+        variants.pop(blocks)
+        budget.release_memory(hit[2])
     if len(variants) >= _PREP_VARIANTS:
-        variants.pop(next(iter(variants)))
-    variants[blocks] = (key, prep)
+        old = variants.pop(next(iter(variants)))
+        budget.release_memory(old[2])
+    nbytes = _prep_nbytes(prep)
+    if budget.try_reserve_memory(nbytes):
+        variants[blocks] = (key, prep, nbytes)
     return prep
 
 

@@ -365,6 +365,15 @@ class TopKTracker:
             v = np.asarray(arr.cast(pa.int32())).astype(np.int64)
         elif pa.types.is_floating(arr.type):
             v = np.asarray(arr.cast(pa.float64()))
+            # NaNs sort greatest (pyarrow): they occupy top-k slots but
+            # must never poison the threshold (min/partition propagate
+            # NaN -> empty interval -> wrong pruning).  Dropping them is
+            # conservative: the k-th best non-NaN is a LOOSER bound than
+            # the true boundary, and NaN rows themselves live in ALP
+            # patch blocks which the best-effort filter already skips.
+            v = v[~np.isnan(v)]
+            if v.size == 0:
+                return
         else:
             v = np.asarray(arr.cast(pa.int64(), safe=False))
         self._vals = np.concatenate([self._vals, v.astype(self._vals.dtype)])

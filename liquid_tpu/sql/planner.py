@@ -142,8 +142,17 @@ def _literal_value(e: ast.Expr):
         if isinstance(lv, (int, float)) and isinstance(rv, (int, float)) \
                 and not isinstance(lv, bool) and not isinstance(rv, bool):
             try:
-                return {"+": lv + rv, "-": lv - rv, "*": lv * rv,
-                        "/": lv / rv if rv != 0 else None}[e.op]
+                if e.op == "/":
+                    if rv == 0:
+                        return None
+                    if isinstance(lv, int) and isinstance(rv, int):
+                        # SQL int/int truncates toward zero (matches
+                        # Evaluator._divide / DataFusion)
+                        q_ = abs(lv) // abs(rv)
+                        return -q_ if (lv < 0) != (rv < 0) else q_
+                    return lv / rv
+                return {"+": lv + rv, "-": lv - rv,
+                        "*": lv * rv}[e.op]
             except TypeError:
                 return None
     return None

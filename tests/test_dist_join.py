@@ -140,3 +140,44 @@ def test_join_with_nulls(jsess):
     assert out.c[0] == 3
     assert out.cv[0] == 2
     assert out.sw[0] == 500
+
+
+def test_multi_key_equi_join(jsess):
+    """Round-3 review finding 1: with two equality conditions between
+    the same pair of tables, the second condition used to be DROPPED
+    (single-key shuffle only), multiplying the match count.  The second
+    key now applies as a post-join equality filter."""
+    s, *_ = jsess
+    t1 = pa.table({"a": pa.array([1, 1, 2, 2], pa.int64()),
+                   "b": pa.array([10, 20, 10, 20], pa.int64()),
+                   "v": pa.array([1.0, 2.0, 3.0, 4.0])})
+    t2 = pa.table({"c": pa.array([1, 1, 2, 2], pa.int64()),
+                   "d": pa.array([10, 20, 10, 20], pa.int64())})
+    s.register_table("mk1", t1)
+    s.register_table("mk2", t2)
+    # comma-join: second equality arrives via WHERE
+    out = s.sql("select count(*) as n, sum(v) as sv from mk1, mk2 "
+                "where a = c and b = d").to_pandas()
+    assert out.n[0] == 4 and out.sv[0] == 10.0
+    # explicit JOIN ... ON with an AND of equalities
+    out = s.sql("select count(*) as n from mk1 join mk2 "
+                "on a = c and b = d").to_pandas()
+    assert out.n[0] == 4
+    # single-key baseline unchanged
+    out = s.sql("select count(*) as n from mk1, mk2 where a = c").to_pandas()
+    assert out.n[0] == 8
+
+
+def test_multi_key_join_null_second_key(jsess):
+    """NULL in the residual (second) key must not match (SQL equality
+    is null-rejecting), even though the shuffle key matches."""
+    s, *_ = jsess
+    t1 = pa.table({"a": pa.array([1, 1], pa.int64()),
+                   "b": pa.array([10, None], pa.int64())})
+    t2 = pa.table({"c": pa.array([1, 1], pa.int64()),
+                   "d": pa.array([10, None], pa.int64())})
+    s.register_table("mkn1", t1)
+    s.register_table("mkn2", t2)
+    out = s.sql("select count(*) as n from mkn1, mkn2 "
+                "where a = c and b = d").to_pandas()
+    assert out.n[0] == 1  # only (10, 10); NULL = NULL is not a match
