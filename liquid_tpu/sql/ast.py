@@ -222,6 +222,10 @@ class Join:
 class SubqueryRel:
     query: "Select"
     alias: str
+    #: column-name prefix ("<alias>__") assigned by the qualification
+    #: pass when the derived table's output names collide with another
+    #: relation in the same FROM (e.g. TPC-DS q44's asceding/descending)
+    prefix: Optional[str] = None
 
 
 @dataclass

@@ -351,7 +351,10 @@ class QueryExecutor:
             items = (rel.query.members[0].items
                      if isinstance(rel.query, ast.SetOp)
                      else rel.query.items)
-            return [it.alias or render(it.expr) for it in items]
+            cols = [it.alias or render(it.expr) for it in items]
+            if rel.prefix:
+                return [rel.prefix + c for c in cols]
+            return cols
         raise NotImplementedError(type(rel).__name__)
 
     def _scan_relation_batches(self, rel: ast.TableRef, where: Optional[ast.Expr],
@@ -399,6 +402,9 @@ class QueryExecutor:
             return self._filter_table(t, where)
         if isinstance(rel, ast.SubqueryRel):
             t = self.execute(rel.query)
+            if rel.prefix:
+                t = t.rename_columns(
+                    [rel.prefix + c for c in t.column_names])
             return self._filter_table(t, where)
         raise KeyError(f"unknown relation {rel}")
 
@@ -971,6 +977,15 @@ class QueryExecutor:
             batch = Batch.from_table(ns)
             alias_map = {ast.Column(it.alias): it.alias for it in q.items
                          if it.alias and it.alias in ns.column_names}
+            # an ORDER BY expr that IS a select item evaluates against
+            # the projected table, where the item's OUTPUT name applies
+            # (alias may differ from the expr's column name, e.g. a
+            # bare-name alias restored by the qualifier for `t.c`)
+            item_map = {it.expr: (it.alias or render(it.expr))
+                        for it in q.items
+                        if not isinstance(it.expr, ast.Star)
+                        and (it.alias or render(it.expr)) in ns.column_names}
+            alias_map = {**item_map, **alias_map}
             sort_arrays = []
             directions = []
             for o in q.order_by:

@@ -102,6 +102,29 @@ class Qualifier:
         table or view, or None if unknown."""
         self.rel_columns = rel_columns
 
+    def _output_columns(self, q) -> List[str]:
+        """Static output-column names of an already-qualified query,
+        expanding `select *` through its FROM leaves (the executor does
+        the same expansion at runtime, `exec._project`)."""
+        if isinstance(q, ast.SetOp):
+            q = q.members[0]
+        cols: List[str] = []
+        for it in q.items:
+            if isinstance(it.expr, ast.Star):
+                leaves: List = []
+                _leaves(q.from_, leaves)
+                for leaf in leaves:
+                    pfx = leaf.prefix or ""
+                    if isinstance(leaf, ast.TableRef):
+                        cols.extend(pfx + c
+                                    for c in self.rel_columns(leaf.name) or [])
+                    elif isinstance(leaf, ast.SubqueryRel):
+                        cols.extend(pfx + c
+                                    for c in self._output_columns(leaf.query))
+            else:
+                cols.append(it.alias or _render_name(it.expr))
+        return cols
+
     def qualify(self, q,
                 outer: Tuple[Scope, ...] = ()):
         if isinstance(q, ast.SetOp):
@@ -114,33 +137,38 @@ class Qualifier:
         _leaves(q.from_, leaves)
         # columns owned by more than one relation force a prefix even on
         # unaliased tables (e.g. two CTEs exposing the same column names,
-        # TPC-DS q97's full outer join)
+        # TPC-DS q97's full outer join) AND on derived tables (two
+        # subquery aliases exposing the same names, TPC-DS q44)
+        new_leaf: Dict[int, object] = {}
+        resolved: List[Tuple[object, Optional[object], List[str]]] = []
         col_owners: Dict[str, int] = {}
         for leaf in leaves:
             if isinstance(leaf, ast.TableRef):
-                for c in self.rel_columns(leaf.name) or []:
-                    col_owners[c] = col_owners.get(c, 0) + 1
-        new_leaf: Dict[int, object] = {}
-        for leaf in leaves:
-            if isinstance(leaf, ast.TableRef):
-                cols = self.rel_columns(leaf.name) or []
-                prefix = None
-                if leaf.alias and leaf.alias != leaf.name:
-                    prefix = leaf.alias + "__"
-                elif any(col_owners.get(c, 0) > 1 for c in cols):
-                    prefix = (leaf.alias or leaf.name) + "__"
-                scope.add(leaf.alias or leaf.name, prefix, list(cols))
-                new_leaf[id(leaf)] = dataclasses.replace(leaf, prefix=prefix)
+                cols = list(self.rel_columns(leaf.name) or [])
+                resolved.append((leaf, None, cols))
             elif isinstance(leaf, ast.SubqueryRel):
                 # derived tables cannot correlate outward: fresh scope
                 sub = self.qualify(leaf.query)
-                items = (sub.members[0].items if isinstance(sub, ast.SetOp)
-                         else sub.items)
-                cols = [it.alias or _render_name(it.expr) for it in items]
-                scope.add(leaf.alias, None, cols)
-                new_leaf[id(leaf)] = ast.SubqueryRel(sub, leaf.alias)
+                cols = self._output_columns(sub)
+                resolved.append((leaf, sub, cols))
             else:
                 raise NotImplementedError(type(leaf).__name__)
+            for c in cols:
+                col_owners[c] = col_owners.get(c, 0) + 1
+        for leaf, sub, cols in resolved:
+            collide = any(col_owners.get(c, 0) > 1 for c in cols)
+            if isinstance(leaf, ast.TableRef):
+                prefix = None
+                if leaf.alias and leaf.alias != leaf.name:
+                    prefix = leaf.alias + "__"
+                elif collide:
+                    prefix = (leaf.alias or leaf.name) + "__"
+                scope.add(leaf.alias or leaf.name, prefix, cols)
+                new_leaf[id(leaf)] = dataclasses.replace(leaf, prefix=prefix)
+            else:
+                prefix = (leaf.alias + "__") if collide else None
+                scope.add(leaf.alias, prefix, cols)
+                new_leaf[id(leaf)] = ast.SubqueryRel(sub, leaf.alias, prefix)
 
         scopes = (scope,) + outer
 
@@ -177,6 +205,21 @@ class Qualifier:
         out = ast.Select()
         out.items = [ast.SelectItem(map_expr(it.expr, fix), it.alias)
                      for it in q.items]
+        # SQL names the result column of an unaliased qualified ref by
+        # the BARE column name (`t.c` -> "c"); qualification rewrote the
+        # expr to the prefixed name, so restore the visible name via an
+        # alias -- unless that would collide with another item's name
+        names = [it.alias or (it.expr.name if isinstance(it.expr, ast.Column)
+                              else _render_name(it.expr))
+                 for it in out.items]
+        for i, (it, orig) in enumerate(zip(out.items, q.items)):
+            if (it.alias is None and isinstance(orig.expr, ast.Column)
+                    and orig.expr.table is not None
+                    and isinstance(it.expr, ast.Column)
+                    and it.expr.name != orig.expr.name
+                    and orig.expr.name not in names):
+                it.alias = orig.expr.name
+                names[i] = orig.expr.name
         out.from_ = fix_rel(q.from_) if q.from_ is not None else None
         out.where = map_expr(q.where, fix) if q.where is not None else None
         out.group_by = [map_expr(g, fix) for g in q.group_by]

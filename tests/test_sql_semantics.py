@@ -227,3 +227,28 @@ def test_setop_order_by_limit(sess):
         SELECT id FROM t WHERE id = 1
         ORDER BY id DESC LIMIT 2""").to_arrow()
     assert out.column(0).to_pylist() == [5, 4]
+
+
+def test_derived_alias_name_collision(sess):
+    """Two derived tables exposing the SAME output names (the TPC-DS
+    q44 asceding/descending shape): qualified refs must resolve to the
+    right side, and the unaliased qualified item keeps its bare name."""
+    out = q(sess, """
+        select lo.id, hi.id big
+        from (select * from t where id <= 2) lo,
+             (select * from t where id >= 4) hi
+        where lo.id + 3 = hi.id
+        order by lo.id""")
+    assert out.column_names[0] == "id"
+    assert out.column("id").to_pylist() == [1, 2]
+    assert out.column("big").to_pylist() == [4, 5]
+
+
+def test_order_by_aliased_qualified_item(sess):
+    """ORDER BY an expr that IS an aliased select item sorts by the
+    OUTPUT column (expr name differs from the output name)."""
+    out = q(sess, """
+        select a.x out_x from (select * from t) a, (select * from t) b
+        where a.id = b.id and a.x is not null
+        order by a.x desc""")
+    assert out.column("out_x").to_pylist() == [50, 30, 10]
