@@ -91,6 +91,12 @@ def generate(sf: float = 0.01, seed: int = 20030101) -> Dict[str, pa.Table]:
         "t_hour": pa.array((np.arange(86400) // 3600).astype(np.int64)),
         "t_minute": pa.array((np.arange(86400) % 3600 // 60).astype(np.int64)),
     })
+    _th = np.arange(86400) // 3600
+    _meal = np.where((_th >= 6) & (_th <= 8), "breakfast",
+                     np.where((_th >= 17) & (_th <= 19), "dinner", ""))
+    time_dim = time_dim.append_column(
+        "t_meal_time", pa.array(_meal.astype(object),
+                                mask=(_meal == "")))
 
     i_cat = rng.choice(CATEGORIES, n_item)
     item = pa.table({
@@ -112,6 +118,25 @@ def generate(sf: float = 0.01, seed: int = 20030101) -> Dict[str, pa.Table]:
         "i_current_price": pa.array(_money(rng, n_item, 0.5, 100.0)),
         "i_wholesale_cost": pa.array(_money(rng, n_item, 0.3, 70.0)),
     })
+    # id/color/size columns (q14/q24/q75 shapes); dedicated rng keeps
+    # the main stream -- and every pre-existing column -- bit-identical
+    ri = np.random.default_rng(seed + 300)
+    cat_index = np.array([CATEGORIES.index(c) + 1 for c in i_cat],
+                         dtype=np.int64)
+    class_no = np.array([int(str(cl).rsplit("class", 1)[1])
+                         for cl in item.column("i_class").to_pylist()],
+                        dtype=np.int64)
+    COLORS = ["red", "blue", "green", "yellow", "purple", "orange",
+              "white", "black", "pink", "brown", "cyan", "magenta"]
+    SIZES = ["small", "medium", "large", "extra large", "petite", "N/A"]
+    UNITS = ["Each", "Dozen", "Case", "Pallet", "Box", "Unknown"]
+    item = (item
+            .append_column("i_category_id", pa.array(cat_index))
+            .append_column("i_class_id",
+                           pa.array(cat_index * 10 + class_no))
+            .append_column("i_color", pa.array(ri.choice(COLORS, n_item)))
+            .append_column("i_size", pa.array(ri.choice(SIZES, n_item)))
+            .append_column("i_units", pa.array(ri.choice(UNITS, n_item))))
 
     customer_address = pa.table({
         "ca_address_sk": pa.array(np.arange(1, n_ca + 1), pa.int64()),
@@ -174,6 +199,10 @@ def generate(sf: float = 0.01, seed: int = 20030101) -> Dict[str, pa.Table]:
         "s_zip": pa.array([f"{rng.integers(10000, 99999)}"
                            for _ in range(n_store)]),
     })
+    store = store.append_column(
+        "s_market_id", pa.array(
+            np.random.default_rng(seed + 301).integers(1, 11, n_store),
+            pa.int64()))
 
     def sales(n, prefix, with_store=False, seed_off=0):
         r = np.random.default_rng(seed + 7 + seed_off)
@@ -232,6 +261,11 @@ def generate(sf: float = 0.01, seed: int = 20030101) -> Dict[str, pa.Table]:
     store_sales = sales(n_ss, "ss", with_store=True)
     catalog_sales = sales(n_cs, "cs", seed_off=1)
     web_sales = sales(n_ws, "ws", seed_off=2)
+    # web orders span ~2 lines each (dsdgen ships multi-line orders;
+    # q95 requires orders touching >1 warehouse)
+    web_sales = web_sales.set_column(
+        web_sales.column_names.index("ws_order_number"), "ws_order_number",
+        pa.array(np.arange(n_ws) // 2 + 1, pa.int64()))
 
     # nullable FK columns (dsdgen leaves a few percent of FKs NULL;
     # q76 counts sales with NULL channel keys)
@@ -280,6 +314,16 @@ def generate(sf: float = 0.01, seed: int = 20030101) -> Dict[str, pa.Table]:
     web_sales = web_sales.append_column(
         "ws_ship_addr_sk", pa.array(
             rsh.integers(1, n_ca + 1, n_ws), pa.int64()))
+    n_cp = 100
+    catalog_page = pa.table({
+        "cp_catalog_page_sk": pa.array(np.arange(1, n_cp + 1), pa.int64()),
+        "cp_catalog_page_id": pa.array(
+            [f"CPAG{i:08d}" for i in range(1, n_cp + 1)]),
+    })
+    catalog_sales = catalog_sales.append_column(
+        "cs_catalog_page_sk", pa.array(
+            np.random.default_rng(seed + 302).integers(1, n_cp + 1, n_cs),
+            pa.int64()))
 
     # store_returns: ~10% of store_sales tickets
     r = np.random.default_rng(seed + 99)
@@ -380,6 +424,9 @@ def generate(sf: float = 0.01, seed: int = 20030101) -> Dict[str, pa.Table]:
             rcr.integers(1, 5, n_cr), pa.int64()),
         "cr_returning_addr_sk": pa.array(
             rcr.integers(1, n_ca + 1, n_cr), pa.int64()),
+        "cr_catalog_page_sk": pa.array(
+            np.asarray(catalog_sales.column("cs_catalog_page_sk"))[cr_idx],
+            pa.int64()),
     })
     rwr = np.random.default_rng(seed + 201)
     n_wr = n_ws // 16
@@ -432,6 +479,7 @@ def generate(sf: float = 0.01, seed: int = 20030101) -> Dict[str, pa.Table]:
         "promotion": promotion, "reason": reason,
         "warehouse": warehouse, "ship_mode": ship_mode,
         "call_center": call_center, "web_site": web_site,
+        "catalog_page": catalog_page,
         "web_page": web_page, "income_band": income_band,
         "store_sales": store_sales, "catalog_sales": catalog_sales,
         "web_sales": web_sales, "store_returns": store_returns,

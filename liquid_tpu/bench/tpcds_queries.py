@@ -1,13 +1,14 @@
-"""TPC-DS query subset over the generated tables.
+"""TPC-DS query corpus over the generated tables.
 
 Equivalent role to the reference's TPC-DS suite (liquid-cache
-`benchmark/tpcds/manifest.json`, `tpcds_client.rs`; the reference mutes
-several queries for upstream DataFusion bugs, `tpcds_notes.md`).  This
-subset covers the star-join/filter/aggregate shapes of the official
-queries q3 q7 q13 q19 q26 q42 q43 q52 q55 q73 q90 q93 q96 plus the
-window-function queries q12 q20 q47 q51 q98 (ratio-over-class,
-rank-over-monthly-sales with lag/lead self-joins, cumulative full-outer
-comparison), all in the official parameter style.
+`benchmark/tpcds/manifest.json` -- an 85-query manifest -- plus
+`tpcds_client.rs`; the reference mutes several queries for upstream
+DataFusion bugs, `tpcds_notes.md`).  This corpus covers all 85 manifest
+query numbers plus 10 extra shapes (q10 q18 q31 q37 q45 q53 q63 q73
+q81 q82), 95 total, written in the official parameter style and
+adapted only where the spec references columns the 24-table generator
+does not model.  Every query is differentially tested against an
+independent pandas oracle (`tpcds_ref.py`).
 """
 
 QUERIES = {
@@ -2346,6 +2347,499 @@ order by ss_sold_year, ss_item_sk, ss_customer_sk, store_qty desc,
     store_wholesale_cost desc, store_sales_price desc,
     other_chan_qty, other_chan_wholesale_cost,
     other_chan_sales_price, ratio
+limit 100
+""",
+    5: """
+with ssr as
+ (select s_store_id,
+         sum(sales_price) as sales, sum(profit) as profit,
+         sum(return_amt) as returns_amt, sum(net_loss) as profit_loss
+  from (select ss_store_sk as store_sk, ss_sold_date_sk as date_sk,
+               ss_ext_sales_price as sales_price, ss_net_profit as profit,
+               0.0 as return_amt, 0.0 as net_loss
+        from store_sales
+        union all
+        select sr_store_sk as store_sk, sr_returned_date_sk as date_sk,
+               0.0 as sales_price, 0.0 as profit,
+               sr_return_amt as return_amt, sr_net_loss as net_loss
+        from store_returns) salesreturns, date_dim, store
+  where date_sk = d_date_sk
+      and d_date between date '2000-08-23' and date '2000-09-06'
+      and store_sk = s_store_sk
+  group by s_store_id),
+ csr as
+ (select cp_catalog_page_id,
+         sum(sales_price) as sales, sum(profit) as profit,
+         sum(return_amt) as returns_amt, sum(net_loss) as profit_loss
+  from (select cs_catalog_page_sk as page_sk, cs_sold_date_sk as date_sk,
+               cs_ext_sales_price as sales_price, cs_net_profit as profit,
+               0.0 as return_amt, 0.0 as net_loss
+        from catalog_sales
+        union all
+        select cr_catalog_page_sk as page_sk, cr_returned_date_sk as date_sk,
+               0.0 as sales_price, 0.0 as profit,
+               cr_return_amount as return_amt, cr_net_loss as net_loss
+        from catalog_returns) salesreturns, date_dim, catalog_page
+  where date_sk = d_date_sk
+      and d_date between date '2000-08-23' and date '2000-09-06'
+      and page_sk = cp_catalog_page_sk
+  group by cp_catalog_page_id),
+ wsr as
+ (select web_site_id,
+         sum(sales_price) as sales, sum(profit) as profit,
+         sum(return_amt) as returns_amt, sum(net_loss) as profit_loss
+  from (select ws_web_site_sk as wsr_web_site_sk,
+               ws_sold_date_sk as date_sk,
+               ws_ext_sales_price as sales_price, ws_net_profit as profit,
+               0.0 as return_amt, 0.0 as net_loss
+        from web_sales
+        union all
+        select ws_web_site_sk as wsr_web_site_sk,
+               wr_returned_date_sk as date_sk,
+               0.0 as sales_price, 0.0 as profit,
+               wr_return_amt as return_amt, wr_net_loss as net_loss
+        from web_returns left outer join web_sales on
+            (wr_item_sk = ws_item_sk
+             and wr_order_number = ws_order_number)) salesreturns,
+       date_dim, web_site
+  where date_sk = d_date_sk
+      and d_date between date '2000-08-23' and date '2000-09-06'
+      and wsr_web_site_sk = web_site_sk
+  group by web_site_id)
+select channel, id, sum(sales) as sales, sum(returns_amt) as returns_amt,
+    sum(profit) as profit
+from (select 'store channel' as channel, 'store' || s_store_id as id,
+             sales, returns_amt, profit - profit_loss as profit
+      from ssr
+      union all
+      select 'catalog channel' as channel,
+             'catalog_page' || cp_catalog_page_id as id,
+             sales, returns_amt, profit - profit_loss as profit
+      from csr
+      union all
+      select 'web channel' as channel, 'web_site' || web_site_id as id,
+             sales, returns_amt, profit - profit_loss as profit
+      from wsr) x
+group by rollup (channel, id)
+order by channel, id
+limit 100
+""",
+    14: """
+with cross_items as
+ (select i_item_sk ss_item_sk
+  from item,
+       (select iss.i_brand_id brand_id, iss.i_class_id class_id,
+               iss.i_category_id category_id
+        from store_sales, item iss, date_dim d1
+        where ss_item_sk = iss.i_item_sk
+            and ss_sold_date_sk = d1.d_date_sk
+            and d1.d_year between 1999 and 1999 + 2
+        intersect
+        select ics.i_brand_id, ics.i_class_id, ics.i_category_id
+        from catalog_sales, item ics, date_dim d2
+        where cs_item_sk = ics.i_item_sk
+            and cs_sold_date_sk = d2.d_date_sk
+            and d2.d_year between 1999 and 1999 + 2
+        intersect
+        select iws.i_brand_id, iws.i_class_id, iws.i_category_id
+        from web_sales, item iws, date_dim d3
+        where ws_item_sk = iws.i_item_sk
+            and ws_sold_date_sk = d3.d_date_sk
+            and d3.d_year between 1999 and 1999 + 2) x
+  where i_brand_id = brand_id and i_class_id = class_id
+      and i_category_id = category_id),
+ avg_sales as
+ (select avg(quantity * list_price) average_sales
+  from (select ss_quantity quantity, ss_list_price list_price
+        from store_sales, date_dim
+        where ss_sold_date_sk = d_date_sk
+            and d_year between 1999 and 1999 + 2
+        union all
+        select cs_quantity quantity, cs_list_price list_price
+        from catalog_sales, date_dim
+        where cs_sold_date_sk = d_date_sk
+            and d_year between 1999 and 1999 + 2
+        union all
+        select ws_quantity quantity, ws_list_price list_price
+        from web_sales, date_dim
+        where ws_sold_date_sk = d_date_sk
+            and d_year between 1999 and 1999 + 2) x)
+select channel, i_brand_id, i_class_id, i_category_id, sum(sales) sales,
+    sum(number_sales) number_sales
+from (select 'store' channel, i_brand_id, i_class_id, i_category_id,
+             sum(ss_quantity * ss_list_price) sales,
+             count(*) number_sales
+      from store_sales, item, date_dim
+      where ss_item_sk in (select ss_item_sk from cross_items)
+          and ss_item_sk = i_item_sk
+          and ss_sold_date_sk = d_date_sk
+          and d_year = 2001 and d_moy = 11
+      group by i_brand_id, i_class_id, i_category_id
+      having sum(ss_quantity * ss_list_price) >
+          (select average_sales from avg_sales)
+      union all
+      select 'catalog' channel, i_brand_id, i_class_id, i_category_id,
+             sum(cs_quantity * cs_list_price) sales,
+             count(*) number_sales
+      from catalog_sales, item, date_dim
+      where cs_item_sk in (select ss_item_sk from cross_items)
+          and cs_item_sk = i_item_sk
+          and cs_sold_date_sk = d_date_sk
+          and d_year = 2001 and d_moy = 11
+      group by i_brand_id, i_class_id, i_category_id
+      having sum(cs_quantity * cs_list_price) >
+          (select average_sales from avg_sales)
+      union all
+      select 'web' channel, i_brand_id, i_class_id, i_category_id,
+             sum(ws_quantity * ws_list_price) sales,
+             count(*) number_sales
+      from web_sales, item, date_dim
+      where ws_item_sk in (select ss_item_sk from cross_items)
+          and ws_item_sk = i_item_sk
+          and ws_sold_date_sk = d_date_sk
+          and d_year = 2001 and d_moy = 11
+      group by i_brand_id, i_class_id, i_category_id
+      having sum(ws_quantity * ws_list_price) >
+          (select average_sales from avg_sales)) y
+group by rollup (channel, i_brand_id, i_class_id, i_category_id)
+order by channel nulls last, i_brand_id nulls last, i_class_id nulls last,
+    i_category_id nulls last
+limit 100
+""",
+    24: """
+with ssales as
+ (select c_last_name, c_first_name, s_store_name, ca_state, s_state,
+         i_color, i_current_price, i_manager_id, i_units, i_size,
+         sum(ss_net_paid) netpaid
+  from store_sales, store_returns, store, item, customer,
+       customer_address
+  where ss_ticket_number = sr_ticket_number
+      and ss_item_sk = sr_item_sk
+      and ss_customer_sk = c_customer_sk
+      and ss_item_sk = i_item_sk
+      and ss_store_sk = s_store_sk
+      and c_current_addr_sk = ca_address_sk
+      and c_birth_country <> upper(ca_country)
+      and s_market_id <= 5
+  group by c_last_name, c_first_name, s_store_name, ca_state, s_state,
+      i_color, i_current_price, i_manager_id, i_units, i_size)
+select c_last_name, c_first_name, s_store_name, sum(netpaid) paid
+from ssales
+where i_color = 'red'
+group by c_last_name, c_first_name, s_store_name
+having sum(netpaid) > (select 0.05 * avg(netpaid) from ssales)
+order by c_last_name, c_first_name, s_store_name
+""",
+    44: """
+select asceding.rnk, i1.i_product_name best_performing,
+    i2.i_product_name worst_performing
+from (select *
+      from (select item_sk, rank() over (order by rank_col asc) rnk
+            from (select ss_item_sk item_sk, avg(ss_net_profit) rank_col
+                  from store_sales ss1 where ss_store_sk = 4
+                  group by ss_item_sk
+                  having avg(ss_net_profit) > 0.9 *
+                      (select avg(ss_net_profit) rank_col
+                       from store_sales
+                       where ss_store_sk = 4 and ss_sold_time_sk is null
+                       group by ss_store_sk)) v1) v11
+      where rnk < 11) asceding,
+     (select *
+      from (select item_sk, rank() over (order by rank_col desc) rnk
+            from (select ss_item_sk item_sk, avg(ss_net_profit) rank_col
+                  from store_sales ss1 where ss_store_sk = 4
+                  group by ss_item_sk
+                  having avg(ss_net_profit) > 0.9 *
+                      (select avg(ss_net_profit) rank_col
+                       from store_sales
+                       where ss_store_sk = 4 and ss_sold_time_sk is null
+                       group by ss_store_sk)) v2) v21
+      where rnk < 11) descending,
+     item i1, item i2
+where asceding.rnk = descending.rnk
+    and i1.i_item_sk = asceding.item_sk
+    and i2.i_item_sk = descending.item_sk
+order by asceding.rnk
+limit 100
+""",
+    49: """
+select channel, item, return_ratio, return_rank, currency_rank
+from (select 'web' as channel, web.item, web.return_ratio,
+             web.return_rank, web.currency_rank
+      from 
+ (select item, return_ratio, currency_ratio,
+         rank() over (order by return_ratio) as return_rank,
+         rank() over (order by currency_ratio) as currency_rank
+  from (select ws_item_sk as item,
+               cast(sum(coalesce(wr_return_quantity, 0)) as double) /
+                   cast(sum(coalesce(ws_quantity, 0)) as double)
+                   as return_ratio,
+               cast(sum(coalesce(wr_return_amt, 0.0)) as double) /
+                   cast(sum(coalesce(ws_net_paid, 0.0)) as double)
+                   as currency_ratio
+        from web_sales left outer join web_returns on
+             (ws_order_number = wr_order_number and ws_item_sk = wr_item_sk),
+             date_dim
+        where wr_return_amt > 100
+            and ws_net_profit > 1
+            and ws_net_paid > 0 and ws_quantity > 0
+            and ws_sold_date_sk = d_date_sk
+            and d_year = 2001 and d_moy = 12
+        group by ws_item_sk) in_ws) web
+      where web.return_rank <= 10 or web.currency_rank <= 10
+      union
+      select 'catalog' as channel, catalog.item, catalog.return_ratio,
+             catalog.return_rank, catalog.currency_rank
+      from 
+ (select item, return_ratio, currency_ratio,
+         rank() over (order by return_ratio) as return_rank,
+         rank() over (order by currency_ratio) as currency_rank
+  from (select cs_item_sk as item,
+               cast(sum(coalesce(cr_return_quantity, 0)) as double) /
+                   cast(sum(coalesce(cs_quantity, 0)) as double)
+                   as return_ratio,
+               cast(sum(coalesce(cr_return_amount, 0.0)) as double) /
+                   cast(sum(coalesce(cs_net_paid, 0.0)) as double)
+                   as currency_ratio
+        from catalog_sales left outer join catalog_returns on
+             (cs_order_number = cr_order_number and cs_item_sk = cr_item_sk),
+             date_dim
+        where cr_return_amount > 100
+            and cs_net_profit > 1
+            and cs_net_paid > 0 and cs_quantity > 0
+            and cs_sold_date_sk = d_date_sk
+            and d_year = 2001 and d_moy = 12
+        group by cs_item_sk) in_cs) catalog
+      where catalog.return_rank <= 10 or catalog.currency_rank <= 10
+      union
+      select 'store' as channel, store.item, store.return_ratio,
+             store.return_rank, store.currency_rank
+      from 
+ (select item, return_ratio, currency_ratio,
+         rank() over (order by return_ratio) as return_rank,
+         rank() over (order by currency_ratio) as currency_rank
+  from (select ss_item_sk as item,
+               cast(sum(coalesce(sr_return_quantity, 0)) as double) /
+                   cast(sum(coalesce(ss_quantity, 0)) as double)
+                   as return_ratio,
+               cast(sum(coalesce(sr_return_amt, 0.0)) as double) /
+                   cast(sum(coalesce(ss_net_paid, 0.0)) as double)
+                   as currency_ratio
+        from store_sales left outer join store_returns on
+             (ss_ticket_number = sr_ticket_number and ss_item_sk = sr_item_sk),
+             date_dim
+        where sr_return_amt > 100
+            and ss_net_profit > 1
+            and ss_net_paid > 0 and ss_quantity > 0
+            and ss_sold_date_sk = d_date_sk
+            and d_year = 2001 and d_moy = 12
+        group by ss_item_sk) in_ss) store
+      where store.return_rank <= 10 or store.currency_rank <= 10) x
+order by 1, 4, 5, 2
+limit 100
+""",
+    67: """
+select *
+from (select i_category, i_class, i_brand, i_product_name, d_year, d_qoy,
+             d_moy, s_store_id, sumsales,
+             rank() over (partition by i_category
+                          order by sumsales desc) rk
+      from (select i_category, i_class, i_brand, i_product_name, d_year,
+                   d_qoy, d_moy, s_store_id,
+                   sum(coalesce(ss_sales_price * ss_quantity, 0.0))
+                       sumsales
+            from store_sales, date_dim, store, item
+            where ss_sold_date_sk = d_date_sk
+                and ss_item_sk = i_item_sk
+                and ss_store_sk = s_store_sk
+                and d_month_seq between 24 and 35
+            group by rollup(i_category, i_class, i_brand, i_product_name,
+                d_year, d_qoy, d_moy, s_store_id)) dw1) dw2
+where rk <= 100
+order by i_category nulls last, i_class nulls last, i_brand nulls last,
+    i_product_name nulls last, d_year nulls last, d_qoy nulls last,
+    d_moy nulls last, s_store_id nulls last, sumsales, rk
+limit 100
+""",
+    71: """
+select i_brand_id brand_id, i_brand brand, t_hour, t_minute,
+    sum(ext_price) ext_price
+from item,
+     (select ws_ext_sales_price as ext_price,
+             ws_sold_date_sk as sold_date_sk,
+             ws_item_sk as sold_item_sk, ws_sold_time_sk as time_sk
+      from web_sales, date_dim
+      where d_date_sk = ws_sold_date_sk and d_moy = 11 and d_year = 1999
+      union all
+      select cs_ext_sales_price as ext_price,
+             cs_sold_date_sk as sold_date_sk,
+             cs_item_sk as sold_item_sk, cs_sold_time_sk as time_sk
+      from catalog_sales, date_dim
+      where d_date_sk = cs_sold_date_sk and d_moy = 11 and d_year = 1999
+      union all
+      select ss_ext_sales_price as ext_price,
+             ss_sold_date_sk as sold_date_sk,
+             ss_item_sk as sold_item_sk, ss_sold_time_sk as time_sk
+      from store_sales, date_dim
+      where d_date_sk = ss_sold_date_sk and d_moy = 11 and d_year = 1999
+     ) tmp, time_dim
+where sold_item_sk = i_item_sk
+    and i_manager_id = 1
+    and time_sk = t_time_sk
+    and (t_meal_time = 'breakfast' or t_meal_time = 'dinner')
+group by i_brand, i_brand_id, t_hour, t_minute
+order by ext_price desc, i_brand_id, t_hour, t_minute
+""",
+    75: """
+with all_sales as
+ (select d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+         sum(sales_cnt) as sales_cnt, sum(sales_amt) as sales_amt
+  from (select d_year, i_brand_id, i_class_id, i_category_id,
+               i_manufact_id,
+               cs_quantity - coalesce(cr_return_quantity, 0) as sales_cnt,
+               cs_ext_sales_price - coalesce(cr_return_amount, 0.0)
+                   as sales_amt
+        from catalog_sales
+             join item on i_item_sk = cs_item_sk
+             join date_dim on d_date_sk = cs_sold_date_sk
+             left join catalog_returns on
+                 (cs_order_number = cr_order_number
+                  and cs_item_sk = cr_item_sk)
+        where i_category = 'Books'
+        union
+        select d_year, i_brand_id, i_class_id, i_category_id,
+               i_manufact_id,
+               ss_quantity - coalesce(sr_return_quantity, 0) as sales_cnt,
+               ss_ext_sales_price - coalesce(sr_return_amt, 0.0)
+                   as sales_amt
+        from store_sales
+             join item on i_item_sk = ss_item_sk
+             join date_dim on d_date_sk = ss_sold_date_sk
+             left join store_returns on
+                 (ss_ticket_number = sr_ticket_number
+                  and ss_item_sk = sr_item_sk)
+        where i_category = 'Books'
+        union
+        select d_year, i_brand_id, i_class_id, i_category_id,
+               i_manufact_id,
+               ws_quantity - coalesce(wr_return_quantity, 0) as sales_cnt,
+               ws_ext_sales_price - coalesce(wr_return_amt, 0.0)
+                   as sales_amt
+        from web_sales
+             join item on i_item_sk = ws_item_sk
+             join date_dim on d_date_sk = ws_sold_date_sk
+             left join web_returns on
+                 (ws_order_number = wr_order_number
+                  and ws_item_sk = wr_item_sk)
+        where i_category = 'Books') sales_detail
+  group by d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id)
+select prev_yr.d_year as prev_year, curr_yr.d_year as curr_year,
+    curr_yr.i_brand_id, curr_yr.i_class_id, curr_yr.i_category_id,
+    curr_yr.i_manufact_id,
+    prev_yr.sales_cnt as prev_yr_cnt, curr_yr.sales_cnt as curr_yr_cnt,
+    curr_yr.sales_cnt - prev_yr.sales_cnt as sales_cnt_diff,
+    curr_yr.sales_amt - prev_yr.sales_amt as sales_amt_diff
+from all_sales curr_yr, all_sales prev_yr
+where curr_yr.i_brand_id = prev_yr.i_brand_id
+    and curr_yr.i_class_id = prev_yr.i_class_id
+    and curr_yr.i_category_id = prev_yr.i_category_id
+    and curr_yr.i_manufact_id = prev_yr.i_manufact_id
+    and curr_yr.d_year = 2002
+    and prev_yr.d_year = 2002 - 1
+    and cast(curr_yr.sales_cnt as double) / cast(prev_yr.sales_cnt as double)
+        < 0.9
+order by sales_cnt_diff, sales_amt_diff
+limit 100
+""",
+    80: """
+with ssr as
+ (select s_store_id as store_id,
+         sum(ss_ext_sales_price) as sales,
+         sum(coalesce(sr_return_amt, 0.0)) as returns_amt,
+         sum(ss_net_profit - coalesce(sr_net_loss, 0.0)) as profit
+  from store_sales left outer join store_returns on
+       (ss_item_sk = sr_item_sk and ss_ticket_number = sr_ticket_number),
+       date_dim, store, item, promotion
+  where ss_sold_date_sk = d_date_sk
+      and d_date between date '2000-08-23' and date '2000-09-22'
+      and ss_store_sk = s_store_sk
+      and ss_item_sk = i_item_sk
+      and i_current_price > 50
+      and ss_promo_sk = p_promo_sk
+      and p_channel_tv = 'N'
+  group by s_store_id),
+ csr as
+ (select cp_catalog_page_id as catalog_page_id,
+         sum(cs_ext_sales_price) as sales,
+         sum(coalesce(cr_return_amount, 0.0)) as returns_amt,
+         sum(cs_net_profit - coalesce(cr_net_loss, 0.0)) as profit
+  from catalog_sales left outer join catalog_returns on
+       (cs_item_sk = cr_item_sk and cs_order_number = cr_order_number),
+       date_dim, catalog_page, item, promotion
+  where cs_sold_date_sk = d_date_sk
+      and d_date between date '2000-08-23' and date '2000-09-22'
+      and cs_catalog_page_sk = cp_catalog_page_sk
+      and cs_item_sk = i_item_sk
+      and i_current_price > 50
+      and cs_promo_sk = p_promo_sk
+      and p_channel_tv = 'N'
+  group by cp_catalog_page_id),
+ wsr as
+ (select web_site_id,
+         sum(ws_ext_sales_price) as sales,
+         sum(coalesce(wr_return_amt, 0.0)) as returns_amt,
+         sum(ws_net_profit - coalesce(wr_net_loss, 0.0)) as profit
+  from web_sales left outer join web_returns on
+       (ws_item_sk = wr_item_sk and ws_order_number = wr_order_number),
+       date_dim, web_site, item, promotion
+  where ws_sold_date_sk = d_date_sk
+      and d_date between date '2000-08-23' and date '2000-09-22'
+      and ws_web_site_sk = web_site_sk
+      and ws_item_sk = i_item_sk
+      and i_current_price > 50
+      and ws_promo_sk = p_promo_sk
+      and p_channel_tv = 'N'
+  group by web_site_id)
+select channel, id, sum(sales) as sales, sum(returns_amt) as returns_amt,
+    sum(profit) as profit
+from (select 'store channel' as channel, 'store' || store_id as id,
+             sales, returns_amt, profit
+      from ssr
+      union all
+      select 'catalog channel' as channel,
+             'catalog_page' || catalog_page_id as id,
+             sales, returns_amt, profit
+      from csr
+      union all
+      select 'web channel' as channel, 'web_site' || web_site_id as id,
+             sales, returns_amt, profit
+      from wsr) x
+group by rollup (channel, id)
+order by channel, id
+limit 100
+""",
+    95: """
+with ws_wh as
+ (select ws1.ws_order_number wh_order, ws1.ws_warehouse_sk wh1,
+         ws2.ws_warehouse_sk wh2
+  from web_sales ws1, web_sales ws2
+  where ws1.ws_order_number = ws2.ws_order_number
+    and ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+select count(distinct ws_order_number) as order_count,
+    sum(ws_ext_list_price) as total_shipping_cost,
+    sum(ws_net_profit) as total_net_profit
+from web_sales ws1, date_dim, customer_address, web_site
+where d_date between date '1999-02-01' and date '1999-04-02'
+    and ws1.ws_ship_date_sk = d_date_sk
+    and ws1.ws_ship_addr_sk = ca_address_sk
+    and ca_state = 'IL'
+    and ws1.ws_web_site_sk = web_site_sk
+    and web_company_name = 'pri'
+    and ws1.ws_order_number in (select wh_order from ws_wh)
+    and ws1.ws_order_number in (select wr_order_number
+                                from web_returns, ws_wh
+                                where wr_order_number = wh_order)
+order by count(distinct ws_order_number)
 limit 100
 """,
 }

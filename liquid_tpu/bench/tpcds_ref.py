@@ -2239,6 +2239,440 @@ def q78(t):
 
 
 
+def q44(t):
+    ss = t["store_sales"]
+    s4 = ss[ss.ss_store_sk == 4]
+    base = s4[s4.ss_sold_time_sk.isna()].ss_net_profit.mean()
+    v = (s4.groupby("ss_item_sk", as_index=False)
+         .ss_net_profit.mean()
+         .rename(columns={"ss_item_sk": "item_sk",
+                          "ss_net_profit": "rank_col"}))
+    v = v[v.rank_col > 0.9 * base]
+    v["rnk_a"] = v.rank_col.rank(method="min", ascending=True).astype(int)
+    v["rnk_d"] = v.rank_col.rank(method="min", ascending=False).astype(int)
+    it = t["item"]
+    a = v[v.rnk_a < 11][["item_sk", "rnk_a"]].rename(columns={"rnk_a": "rnk"})
+    d = v[v.rnk_d < 11][["item_sk", "rnk_d"]].rename(columns={"rnk_d": "rnk"})
+    m = a.merge(d, on="rnk", suffixes=("_a", "_d"))
+    m = m.merge(it, left_on="item_sk_a", right_on="i_item_sk") \
+         .merge(it, left_on="item_sk_d", right_on="i_item_sk",
+                suffixes=("", "_w"))
+    out = m[["rnk", "i_product_name", "i_product_name_w"]] \
+        .rename(columns={"i_product_name": "best_performing",
+                         "i_product_name_w": "worst_performing"})
+    return out.sort_values("rnk").head(100).reset_index(drop=True)
+
+
+def q95(t):
+    ws, dd = t["web_sales"], t["date_dim"]
+    ca, web, wr = t["customer_address"], t["web_site"], t["web_returns"]
+    g = ws.groupby("ws_order_number").ws_warehouse_sk.nunique()
+    multi = set(g[g > 1].index)
+    returned = set(wr.wr_order_number) & multi
+    dsel = dd[(dd.d_date >= "1999-02-01") & (dd.d_date <= "1999-04-02")]
+    m = ws.merge(dsel, left_on="ws_ship_date_sk", right_on="d_date_sk")
+    m = m.merge(ca[ca.ca_state == "IL"],
+                left_on="ws_ship_addr_sk", right_on="ca_address_sk")
+    m = m.merge(web[web.web_company_name == "pri"],
+                left_on="ws_web_site_sk", right_on="web_site_sk")
+    m = m[m.ws_order_number.isin(multi) & m.ws_order_number.isin(returned)]
+    import pandas as pd
+    return pd.DataFrame({
+        "order_count": [m.ws_order_number.nunique()],
+        "total_shipping_cost": [m.ws_ext_list_price.sum() if len(m) else None],
+        "total_net_profit": [m.ws_net_profit.sum() if len(m) else None]})
+
+
+def q5(t):
+    import pandas as pd
+    dd = t["date_dim"]
+    dsel = dd[(dd.d_date >= "2000-08-23") & (dd.d_date <= "2000-09-06")]
+    dks = set(dsel.d_date_sk)
+
+    def channel(sales, ret, s_key, r_key, s_date, r_date, dim, dim_sk,
+                dim_id, s_amt, s_prof, r_amt, r_loss):
+        a = sales[[s_key, s_date, s_amt, s_prof]].copy()
+        a.columns = ["k", "d", "sales_price", "profit"]
+        a["return_amt"] = 0.0
+        a["net_loss"] = 0.0
+        b = ret[[r_key, r_date, r_amt, r_loss]].copy()
+        b.columns = ["k", "d", "return_amt", "net_loss"]
+        b["sales_price"] = 0.0
+        b["profit"] = 0.0
+        u = pd.concat([a, b], ignore_index=True)
+        u = u[u.d.isin(dks)]
+        u = u.merge(dim[[dim_sk, dim_id]], left_on="k", right_on=dim_sk)
+        g = u.groupby(dim_id, as_index=False).agg(
+            sales=("sales_price", "sum"), profit=("profit", "sum"),
+            returns_amt=("return_amt", "sum"),
+            profit_loss=("net_loss", "sum"))
+        return g.rename(columns={dim_id: "id_"})
+
+    ssr = channel(t["store_sales"], t["store_returns"],
+                  "ss_store_sk", "sr_store_sk",
+                  "ss_sold_date_sk", "sr_returned_date_sk",
+                  t["store"], "s_store_sk", "s_store_id",
+                  "ss_ext_sales_price", "ss_net_profit",
+                  "sr_return_amt", "sr_net_loss")
+    ssr["channel"] = "store channel"
+    ssr["id_"] = "store" + ssr["id_"]
+    csr = channel(t["catalog_sales"], t["catalog_returns"],
+                  "cs_catalog_page_sk", "cr_catalog_page_sk",
+                  "cs_sold_date_sk", "cr_returned_date_sk",
+                  t["catalog_page"], "cp_catalog_page_sk",
+                  "cp_catalog_page_id",
+                  "cs_ext_sales_price", "cs_net_profit",
+                  "cr_return_amount", "cr_net_loss")
+    csr["channel"] = "catalog channel"
+    csr["id_"] = "catalog_page" + csr["id_"]
+    # web returns take the site of the ORIGINATING sale line
+    wr = t["web_returns"].merge(
+        t["web_sales"][["ws_item_sk", "ws_order_number", "ws_web_site_sk"]],
+        left_on=["wr_item_sk", "wr_order_number"],
+        right_on=["ws_item_sk", "ws_order_number"], how="left")
+    wsr = channel(t["web_sales"], wr,
+                  "ws_web_site_sk", "ws_web_site_sk",
+                  "ws_sold_date_sk", "wr_returned_date_sk",
+                  t["web_site"], "web_site_sk", "web_site_id",
+                  "ws_ext_sales_price", "ws_net_profit",
+                  "wr_return_amt", "wr_net_loss")
+    wsr["channel"] = "web channel"
+    wsr["id_"] = "web_site" + wsr["id_"]
+    x = pd.concat([ssr, csr, wsr], ignore_index=True)
+    x["profit"] = x["profit"] - x["profit_loss"]
+    detail = x.groupby(["channel", "id_"], as_index=False).agg(
+        sales=("sales", "sum"), returns_amt=("returns_amt", "sum"),
+        profit=("profit", "sum"))
+    sub = x.groupby("channel", as_index=False).agg(
+        sales=("sales", "sum"), returns_amt=("returns_amt", "sum"),
+        profit=("profit", "sum"))
+    sub["id_"] = None
+    total = pd.DataFrame({"channel": [None], "id_": [None],
+                          "sales": [x.sales.sum()],
+                          "returns_amt": [x.returns_amt.sum()],
+                          "profit": [x.profit.sum()]})
+    out = pd.concat([detail, sub, total], ignore_index=True)
+    out = out.sort_values(["channel", "id_"],
+                          na_position="last").head(100)
+    return out[["channel", "id_", "sales", "returns_amt",
+                "profit"]].reset_index(drop=True)
+
+
+def q80(t):
+    import pandas as pd
+    dd = t["date_dim"]
+    dks = set(dd[(dd.d_date >= "2000-08-23")
+                 & (dd.d_date <= "2000-09-22")].d_date_sk)
+    it = t["item"]
+    items = set(it[it.i_current_price > 50].i_item_sk)
+    pr = t["promotion"]
+    promos = set(pr[pr.p_channel_tv == "N"].p_promo_sk)
+
+    def channel(sales, ret, skey, rkey, pfx, dim, dsk, did):
+        m = sales.merge(ret, left_on=[f"{pfx}_item_sk", skey],
+                        right_on=[rkey[0], rkey[1]], how="left")
+        m = m[m[f"{pfx}_sold_date_sk"].isin(dks)
+              & m[f"{pfx}_item_sk"].isin(items)
+              & m[f"{pfx}_promo_sk"].isin(promos)]
+        m = m.merge(dim, left_on=rkey[2], right_on=dsk)
+        g = m.groupby(did, as_index=False).apply(
+            lambda d: pd.Series({
+                "sales": d[f"{pfx}_ext_sales_price"].sum(),
+                "returns_amt": d[rkey[3]].fillna(0).sum(),
+                "profit": (d[f"{pfx}_net_profit"]
+                           - d[rkey[4]].fillna(0)).sum()}),
+            include_groups=False)
+        return g.rename(columns={did: "id_"})
+
+    ssr = channel(t["store_sales"], t["store_returns"], "ss_ticket_number",
+                  ("sr_item_sk", "sr_ticket_number", "ss_store_sk",
+                   "sr_return_amt", "sr_net_loss"),
+                  "ss", t["store"], "s_store_sk", "s_store_id")
+    ssr["channel"] = "store channel"
+    ssr["id_"] = "store" + ssr["id_"]
+    csr = channel(t["catalog_sales"], t["catalog_returns"],
+                  "cs_order_number",
+                  ("cr_item_sk", "cr_order_number", "cs_catalog_page_sk",
+                   "cr_return_amount", "cr_net_loss"),
+                  "cs", t["catalog_page"], "cp_catalog_page_sk",
+                  "cp_catalog_page_id")
+    csr["channel"] = "catalog channel"
+    csr["id_"] = "catalog_page" + csr["id_"]
+    wsr = channel(t["web_sales"], t["web_returns"], "ws_order_number",
+                  ("wr_item_sk", "wr_order_number", "ws_web_site_sk",
+                   "wr_return_amt", "wr_net_loss"),
+                  "ws", t["web_site"], "web_site_sk", "web_site_id")
+    wsr["channel"] = "web channel"
+    wsr["id_"] = "web_site" + wsr["id_"]
+    x = pd.concat([ssr, csr, wsr], ignore_index=True)
+    detail = x.groupby(["channel", "id_"], as_index=False).agg(
+        sales=("sales", "sum"), returns_amt=("returns_amt", "sum"),
+        profit=("profit", "sum"))
+    sub = x.groupby("channel", as_index=False).agg(
+        sales=("sales", "sum"), returns_amt=("returns_amt", "sum"),
+        profit=("profit", "sum"))
+    sub["id_"] = None
+    total = pd.DataFrame({"channel": [None], "id_": [None],
+                          "sales": [x.sales.sum()],
+                          "returns_amt": [x.returns_amt.sum()],
+                          "profit": [x.profit.sum()]})
+    out = pd.concat([detail, sub, total], ignore_index=True)
+    out = out.sort_values(["channel", "id_"], na_position="last").head(100)
+    return out[["channel", "id_", "sales", "returns_amt",
+                "profit"]].reset_index(drop=True)
+
+
+def q75(t):
+    import pandas as pd
+    dd, it = t["date_dim"], t["item"]
+    books = it[it.i_category == "Books"]
+    icols = ["i_brand_id", "i_class_id", "i_category_id", "i_manufact_id"]
+
+    def channel(sales, ret, pfx, skey, rkeys):
+        m = sales.merge(books[["i_item_sk"] + icols],
+                        left_on=f"{pfx}_item_sk", right_on="i_item_sk")
+        m = m.merge(dd[["d_date_sk", "d_year"]],
+                    left_on=f"{pfx}_sold_date_sk", right_on="d_date_sk")
+        m = m.merge(ret, left_on=[skey, f"{pfx}_item_sk"],
+                    right_on=[rkeys[0], rkeys[1]], how="left")
+        return pd.DataFrame({
+            "d_year": m.d_year,
+            "i_brand_id": m.i_brand_id, "i_class_id": m.i_class_id,
+            "i_category_id": m.i_category_id,
+            "i_manufact_id": m.i_manufact_id,
+            "sales_cnt": m[f"{pfx}_quantity"] - m[rkeys[2]].fillna(0),
+            "sales_amt": (m[f"{pfx}_ext_sales_price"]
+                          - m[rkeys[3]].fillna(0.0))})
+
+    cs = channel(t["catalog_sales"], t["catalog_returns"], "cs",
+                 "cs_order_number",
+                 ("cr_order_number", "cr_item_sk", "cr_return_quantity",
+                  "cr_return_amount"))
+    ss = channel(t["store_sales"], t["store_returns"], "ss",
+                 "ss_ticket_number",
+                 ("sr_ticket_number", "sr_item_sk", "sr_return_quantity",
+                  "sr_return_amt"))
+    ws = channel(t["web_sales"], t["web_returns"], "ws",
+                 "ws_order_number",
+                 ("wr_order_number", "wr_item_sk", "wr_return_quantity",
+                  "wr_return_amt"))
+    u = pd.concat([cs, ss, ws], ignore_index=True).drop_duplicates()
+    g = u.groupby(["d_year"] + icols, as_index=False).agg(
+        sales_cnt=("sales_cnt", "sum"), sales_amt=("sales_amt", "sum"))
+    cur = g[g.d_year == 2002]
+    prev = g[g.d_year == 2001]
+    m = cur.merge(prev, on=icols, suffixes=("_c", "_p"))
+    m = m[m.sales_cnt_c.astype(float) / m.sales_cnt_p.astype(float) < 0.9]
+    out = pd.DataFrame({
+        "prev_year": m.d_year_p, "curr_year": m.d_year_c,
+        "i_brand_id": m.i_brand_id, "i_class_id": m.i_class_id,
+        "i_category_id": m.i_category_id,
+        "i_manufact_id": m.i_manufact_id,
+        "prev_yr_cnt": m.sales_cnt_p, "curr_yr_cnt": m.sales_cnt_c,
+        "sales_cnt_diff": m.sales_cnt_c - m.sales_cnt_p,
+        "sales_amt_diff": m.sales_amt_c - m.sales_amt_p})
+    return (out.sort_values(["sales_cnt_diff", "sales_amt_diff"])
+            .head(100).reset_index(drop=True))
+
+
+def q71(t):
+    import pandas as pd
+    dd = t["date_dim"]
+    dks = set(dd[(dd.d_moy == 11) & (dd.d_year == 1999)].d_date_sk)
+    it = t["item"]
+    items = it[it.i_manager_id == 1][["i_item_sk", "i_brand_id", "i_brand"]]
+    td = t["time_dim"]
+    tsel = td[td.t_meal_time.isin(["breakfast", "dinner"])][
+        ["t_time_sk", "t_hour", "t_minute"]]
+
+    def chan(s, pfx):
+        f = s[s[f"{pfx}_sold_date_sk"].isin(dks)]
+        return pd.DataFrame({
+            "ext_price": f[f"{pfx}_ext_sales_price"],
+            "sold_item_sk": f[f"{pfx}_item_sk"],
+            "time_sk": f[f"{pfx}_sold_time_sk"]})
+
+    u = pd.concat([chan(t["web_sales"], "ws"),
+                   chan(t["catalog_sales"], "cs"),
+                   chan(t["store_sales"], "ss")], ignore_index=True)
+    m = u.merge(items, left_on="sold_item_sk", right_on="i_item_sk")
+    m = m.merge(tsel, left_on="time_sk", right_on="t_time_sk")
+    g = m.groupby(["i_brand", "i_brand_id", "t_hour", "t_minute"],
+                  as_index=False).ext_price.sum()
+    out = g[["i_brand_id", "i_brand", "t_hour", "t_minute", "ext_price"]]
+    out = out.rename(columns={"i_brand_id": "brand_id", "i_brand": "brand"})
+    return (out.sort_values(
+        ["ext_price", "brand_id", "t_hour", "t_minute"],
+        ascending=[False, True, True, True]).reset_index(drop=True))
+
+
+def q24(t):
+    import pandas as pd
+    ss, sr = t["store_sales"], t["store_returns"]
+    st = t["store"][t["store"].s_market_id <= 5]
+    m = ss.merge(sr, left_on=["ss_ticket_number", "ss_item_sk"],
+                 right_on=["sr_ticket_number", "sr_item_sk"])
+    m = m.merge(t["customer"], left_on="ss_customer_sk",
+                right_on="c_customer_sk")
+    m = m.merge(t["item"], left_on="ss_item_sk", right_on="i_item_sk")
+    m = m.merge(st, left_on="ss_store_sk", right_on="s_store_sk")
+    m = m.merge(t["customer_address"], left_on="c_current_addr_sk",
+                right_on="ca_address_sk")
+    m = m[m.c_birth_country != m.ca_country.str.upper()]
+    ssales = m.groupby(
+        ["c_last_name", "c_first_name", "s_store_name", "ca_state",
+         "s_state", "i_color", "i_current_price", "i_manager_id",
+         "i_units", "i_size"], as_index=False).ss_net_paid.sum() \
+        .rename(columns={"ss_net_paid": "netpaid"})
+    thr = 0.05 * ssales.netpaid.mean()
+    red = ssales[ssales.i_color == "red"]
+    g = red.groupby(["c_last_name", "c_first_name", "s_store_name"],
+                    as_index=False).netpaid.sum() \
+        .rename(columns={"netpaid": "paid"})
+    g = g[g.paid > thr]
+    return (g.sort_values(["c_last_name", "c_first_name", "s_store_name"])
+            .reset_index(drop=True))
+
+
+def q49(t):
+    import pandas as pd
+    dd = t["date_dim"]
+    dks = set(dd[(dd.d_year == 2001) & (dd.d_moy == 12)].d_date_sk)
+
+    def chan2(name, sales, ret, pfx, rfx, skey, rkey, ramt):
+        m = sales.merge(ret, left_on=[skey, f"{pfx}_item_sk"],
+                        right_on=[rkey, f"{rfx}_item_sk"], how="left")
+        m = m[(m[ramt] > 100) & (m[f"{pfx}_net_profit"] > 1)
+              & (m[f"{pfx}_net_paid"] > 0) & (m[f"{pfx}_quantity"] > 0)
+              & m[f"{pfx}_sold_date_sk"].isin(dks)]
+        g = m.groupby(f"{pfx}_item_sk").apply(
+            lambda d: pd.Series({
+                "return_ratio": d[f"{rfx}_return_quantity"].fillna(0).sum()
+                / d[f"{pfx}_quantity"].fillna(0).sum(),
+                "currency_ratio": d[ramt].fillna(0).sum()
+                / d[f"{pfx}_net_paid"].fillna(0).sum()}),
+            include_groups=False).reset_index() \
+            .rename(columns={f"{pfx}_item_sk": "item"})
+        g["return_rank"] = g.return_ratio.rank(method="min").astype(int)
+        g["currency_rank"] = g.currency_ratio.rank(method="min").astype(int)
+        g = g[(g.return_rank <= 10) | (g.currency_rank <= 10)]
+        g["channel"] = name
+        return g[["channel", "item", "return_ratio", "return_rank",
+                  "currency_rank"]]
+
+    u = pd.concat([
+        chan2("web", t["web_sales"], t["web_returns"], "ws", "wr",
+              "ws_order_number", "wr_order_number", "wr_return_amt"),
+        chan2("catalog", t["catalog_sales"], t["catalog_returns"],
+              "cs", "cr", "cs_order_number", "cr_order_number",
+              "cr_return_amount"),
+        chan2("store", t["store_sales"], t["store_returns"], "ss", "sr",
+              "ss_ticket_number", "sr_ticket_number", "sr_return_amt"),
+    ], ignore_index=True).drop_duplicates()
+    return (u.sort_values(["channel", "return_rank", "currency_rank",
+                           "item"]).head(100).reset_index(drop=True))
+
+
+def q67(t):
+    import numpy as np
+    import pandas as pd
+    dd = t["date_dim"]
+    dsel = dd[(dd.d_month_seq >= 24) & (dd.d_month_seq <= 35)]
+    m = t["store_sales"].merge(
+        dsel[["d_date_sk", "d_year", "d_qoy", "d_moy"]],
+        left_on="ss_sold_date_sk", right_on="d_date_sk")
+    m = m.merge(t["store"][["s_store_sk", "s_store_id"]],
+                left_on="ss_store_sk", right_on="s_store_sk")
+    m = m.merge(t["item"][["i_item_sk", "i_category", "i_class",
+                           "i_brand", "i_product_name"]],
+                left_on="ss_item_sk", right_on="i_item_sk")
+    m["v"] = (m.ss_sales_price * m.ss_quantity).fillna(0.0)
+    gcols = ["i_category", "i_class", "i_brand", "i_product_name",
+             "d_year", "d_qoy", "d_moy", "s_store_id"]
+    frames = []
+    for k in range(len(gcols), -1, -1):
+        keep = gcols[:k]
+        if keep:
+            g = m.groupby(keep, as_index=False, dropna=False).v.sum()
+        else:
+            g = pd.DataFrame({"v": [m.v.sum()]})
+        for c in gcols[k:]:
+            g[c] = None
+        frames.append(g[gcols + ["v"]])
+    dw1 = pd.concat(frames, ignore_index=True) \
+        .rename(columns={"v": "sumsales"})
+    # rank() over (partition by i_category order by sumsales desc);
+    # the NULL category from rollup forms its own partition
+    key = dw1.i_category.fillna("\x00null")
+    dw1["rk"] = dw1.groupby(key).sumsales.rank(
+        method="min", ascending=False).astype(int)
+    out = dw1[dw1.rk <= 100]
+    out = out.sort_values(gcols + ["sumsales", "rk"],
+                          na_position="last").head(100)
+    return out.reset_index(drop=True)
+
+
+def q14(t):
+    import pandas as pd
+    dd, it = t["date_dim"], t["item"]
+    d3y = set(dd[(dd.d_year >= 1999) & (dd.d_year <= 2001)].d_date_sk)
+    icols = ["i_brand_id", "i_class_id", "i_category_id"]
+
+    def sold_ids(sales, pfx):
+        m = sales[sales[f"{pfx}_sold_date_sk"].isin(d3y)].merge(
+            it, left_on=f"{pfx}_item_sk", right_on="i_item_sk")
+        return set(map(tuple, m[icols].drop_duplicates().values))
+
+    common = (sold_ids(t["store_sales"], "ss")
+              & sold_ids(t["catalog_sales"], "cs")
+              & sold_ids(t["web_sales"], "ws"))
+    cross = set(it[[tuple(r) in common
+                    for r in it[icols].values]].i_item_sk)
+
+    def avg_chan(sales, pfx):
+        f = sales[sales[f"{pfx}_sold_date_sk"].isin(d3y)]
+        return f[f"{pfx}_quantity"] * f[f"{pfx}_list_price"]
+
+    avg_sales = pd.concat([avg_chan(t["store_sales"], "ss"),
+                           avg_chan(t["catalog_sales"], "cs"),
+                           avg_chan(t["web_sales"], "ws")]).mean()
+    dmon = set(dd[(dd.d_year == 2001) & (dd.d_moy == 11)].d_date_sk)
+
+    def chan(name, sales, pfx):
+        f = sales[sales[f"{pfx}_item_sk"].isin(cross)
+                  & sales[f"{pfx}_sold_date_sk"].isin(dmon)]
+        m = f.merge(it, left_on=f"{pfx}_item_sk", right_on="i_item_sk")
+        m["v"] = m[f"{pfx}_quantity"] * m[f"{pfx}_list_price"]
+        g = m.groupby(icols, as_index=False).agg(
+            sales=("v", "sum"), number_sales=("v", "size"))
+        g = g[g.sales > avg_sales]
+        g["channel"] = name
+        return g
+
+    y = pd.concat([chan("store", t["store_sales"], "ss"),
+                   chan("catalog", t["catalog_sales"], "cs"),
+                   chan("web", t["web_sales"], "ws")], ignore_index=True)
+    gcols = ["channel"] + icols
+    frames = []
+    for k in range(len(gcols), -1, -1):
+        keep = gcols[:k]
+        if keep:
+            g = y.groupby(keep, as_index=False, dropna=False).agg(
+                sales=("sales", "sum"),
+                number_sales=("number_sales", "sum"))
+        else:
+            g = pd.DataFrame({"sales": [y.sales.sum()],
+                              "number_sales": [y.number_sales.sum()]})
+        for c in gcols[k:]:
+            g[c] = None
+        frames.append(g[gcols + ["sales", "number_sales"]])
+    out = pd.concat(frames, ignore_index=True)
+    if not len(y):
+        out = out.iloc[0:0]
+    out = out.sort_values(gcols, na_position="last").head(100)
+    return out.reset_index(drop=True)
+
+
 def _collect_refs():
     """qN oracle registry, collected at import end so additions below
     earlier definitions are picked up automatically."""
