@@ -44,6 +44,10 @@ class Predicate:
 
     op: str  # one of CMP_OPS
     literal: object  # python scalar / bytes / str
+    #: NaN rows count as MATCHING (dynamic DESC top-k thresholds: the
+    #: engine sorts NaN greatest, so NaN belongs in every DESC top-k;
+    #: a plain float comparison would silently drop those rows)
+    keep_nan: bool = False
 
     def __post_init__(self):
         assert self.op in CMP_OPS, self.op

@@ -283,6 +283,9 @@ class LiquidFloatArray(LiquidArray):
             if pa.types.is_float32(self._arrow_type):
                 pv = pv.astype(np.float32).astype(np.float64)
             pverdict = fns[pred.op](pv, np.float64(lit))
+            if pred.keep_nan:
+                # NaN lives only in patches (ALP encodes finite values)
+                pverdict = pverdict | np.isnan(pv)
             bits = _apply_patch_verdict(bits, self.patch_idx, pverdict)
         return mops.BoolMask(bits, validity_mask_or_full(self.validity, self.length))
 
@@ -468,6 +471,8 @@ class SqueezedFloatArray(LiquidSqueezedArray):
                     else np.ones(len(pv), bool)
             else:
                 pverdict = fns[op](pv, np.float64(lit))
+            if pred.keep_nan:
+                pverdict = pverdict | np.isnan(pv)
             bits = _apply_patch_verdict(bits, self.patch_idx, pverdict)
         return mops.BoolMask(
             bits, validity_mask_or_full(self.validity, self.length))

@@ -694,6 +694,18 @@ class LiquidCache:
                 self.cache_policy.notify_removed(eid)
             self._hints.clear()
 
+    def remove_file(self, file_id: int) -> None:
+        """Drop every entry belonging to one registered file (entry ids
+        pack the file id in the top 16 bits, io/parquet.py pack_id).
+        Called when a table registration is replaced: the dead file's
+        entries would otherwise linger until evicted by pressure."""
+        with self._lock:
+            for eid in list(self._entries):
+                if eid >> 48 == file_id:
+                    e = self._entries.pop(eid)
+                    self._release_entry(eid, e)
+                    self.cache_policy.notify_removed(eid)
+
     def stats(self) -> dict:
         s = self.observer.stats.snapshot()
         with self._lock:

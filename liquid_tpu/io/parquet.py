@@ -183,15 +183,23 @@ class ParquetTable:
         import pyarrow.compute as pc
         mm = pc.min_max(chunk)
         lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        nan_free = True
+        if pa.types.is_floating(t):
+            # pc.min_max SKIPS NaN on mixed input (all-NaN -> NaN bounds)
+            # so the bounds alone cannot prove NaN-absence; keep_nan
+            # predicates need the explicit flag
+            if isinstance(lo, float) and (lo != lo or hi != hi):
+                return  # all-NaN: every comparison is False, no pruning
+            nan_free = not pc.any(pc.is_nan(
+                chunk.drop_null() if chunk.null_count else chunk)).as_py()
         if isinstance(lo, datetime.date) and not isinstance(
                 lo, datetime.datetime):
             # predicates arrive in the raw date32 domain (days since epoch)
             epoch = datetime.date(1970, 1, 1)
             lo, hi = (lo - epoch).days, (hi - epoch).days
-        if isinstance(lo, float) and (lo != lo or hi != hi):
-            return  # NaN bounds: every comparison is False, no pruning
         if lo is not None and not isinstance(lo, datetime.datetime):
-            self._zones[self._zone_key(rg, col_name, batch)] = (lo, hi)
+            self._zones[self._zone_key(rg, col_name, batch)] = (lo, hi,
+                                                                nan_free)
 
     def _seed_zones_from_pageindex(self, rg: int, col_name: str) -> None:
         """First-read pruning (ref opener.rs:314-327): derive batch-level
@@ -227,8 +235,11 @@ class ParquetTable:
             # of the batch (all-null pages are exempt: NULL rows can't
             # match a comparison predicate anyway)
             if lo is not None and covered >= b_hi - b_lo - self._null_rows_upper(rg, ci):
+                # parquet float stats exclude NaN, so page-index zones
+                # cannot prove NaN-absence
                 self._zones.setdefault(self._zone_key(rg, col_name, b),
-                                       (lo, hi))
+                                       (lo, hi, phys not in ("FLOAT",
+                                                             "DOUBLE")))
         self.pageindex_seeds += 1
 
     def _null_rows_upper(self, rg: int, ci: int) -> int:
@@ -247,7 +258,9 @@ class ParquetTable:
         z = self._zones.get(self._zone_key(rg, col_name, batch))
         if z is None:
             return True
-        lo, hi = z
+        lo, hi, nan_free = z
+        if pred.keep_nan and not nan_free:
+            return True  # batch may hold NaN rows, which match
         v = pred.literal
         if isinstance(v, datetime.date) and not isinstance(
                 v, datetime.datetime):

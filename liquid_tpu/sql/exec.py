@@ -348,10 +348,11 @@ class QueryExecutor:
                 return [rel.prefix + c for c in cols]
             return cols
         if isinstance(rel, ast.SubqueryRel):
-            items = (rel.query.members[0].items
-                     if isinstance(rel.query, ast.SetOp)
-                     else rel.query.items)
-            cols = [it.alias or render(it.expr) for it in items]
+            # shares the qualifier's logic so `select *` derived tables
+            # report their REAL columns (predicate pushdown + join-edge
+            # ownership in _join_source depend on this)
+            from liquid_tpu.sql.qualify import Qualifier
+            cols = Qualifier(self._base_columns)._output_columns(rel.query)
             if rel.prefix:
                 return [rel.prefix + c for c in cols]
             return cols

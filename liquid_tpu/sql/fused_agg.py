@@ -709,6 +709,21 @@ def _prep_nbytes(prep: _ColPrep) -> int:
     return n
 
 
+def release_prep_cache(table) -> None:
+    """Release every budget reservation held by a table's fused preps
+    (call when the table is dropped/replaced: the prep arrays are
+    garbage-collected with the table, the accounting is not)."""
+    cache = getattr(table, "_fused_prep", None)
+    if not cache:
+        return
+    budget = table.cache.budget
+    for variants in cache.values():
+        for ent in variants.values():
+            budget.release_memory(ent[2])
+        variants.clear()
+    cache.clear()
+
+
 def _table_prep(table, col, hint, blocks) -> _ColPrep:
     """Column prep cached on the table per (col, blocks-set),
     invalidated when any payload object changes (squeeze/evict/
@@ -729,11 +744,14 @@ def _table_prep(table, col, hint, blocks) -> _ColPrep:
     if hit is not None:  # stale (payloads changed): drop + release
         variants.pop(blocks)
         budget.release_memory(hit[2])
-    if len(variants) >= _PREP_VARIANTS:
-        old = variants.pop(next(iter(variants)))
-        budget.release_memory(old[2])
     nbytes = _prep_nbytes(prep)
     if budget.try_reserve_memory(nbytes):
+        # evict only once the new reservation is secured -- under budget
+        # pressure a still-useful cached variant must not be dropped for
+        # a prep that then fails to cache
+        if len(variants) >= _PREP_VARIANTS:
+            old = variants.pop(next(iter(variants)))
+            budget.release_memory(old[2])
         variants[blocks] = (key, prep, nbytes)
     return prep
 

@@ -365,15 +365,18 @@ class TopKTracker:
             v = np.asarray(arr.cast(pa.int32())).astype(np.int64)
         elif pa.types.is_floating(arr.type):
             v = np.asarray(arr.cast(pa.float64()))
-            # NaNs sort greatest (pyarrow): they occupy top-k slots but
-            # must never poison the threshold (min/partition propagate
-            # NaN -> empty interval -> wrong pruning).  Dropping them is
-            # conservative: the k-th best non-NaN is a LOOSER bound than
-            # the true boundary, and NaN rows themselves live in ALP
-            # patch blocks which the best-effort filter already skips.
-            v = v[~np.isnan(v)]
-            if v.size == 0:
-                return
+            # NaN sorts greatest (pyarrow).  DESC: NaN rows occupy top-k
+            # slots, so track them as +inf (the emitted predicate is
+            # keep_nan so later NaN rows survive it).  ASC: a threshold
+            # only exists once k non-NaN values were seen, so NaN can
+            # never reach the top-k -- drop them (min/partition would
+            # otherwise propagate NaN into the threshold).
+            if self.desc:
+                v = np.where(np.isnan(v), np.inf, v)
+            else:
+                v = v[~np.isnan(v)]
+                if v.size == 0:
+                    return
         else:
             v = np.asarray(arr.cast(pa.int64(), safe=False))
         self._vals = np.concatenate([self._vals, v.astype(self._vals.dtype)])
@@ -398,8 +401,14 @@ class TopKTracker:
         else:
             thresh = self._vals.max()
             op = "lt_eq"
-        lit = float(thresh) if self._vals.dtype == np.float64 else int(thresh)
-        return ((self.col, Predicate(op, lit)),)
+        if self._vals.dtype == np.float64:
+            # DESC float: NaN rows must survive the threshold (they sort
+            # greatest); an all-NaN top-k clamps to the largest finite
+            # f64 (over-keeps only exact-max rows, which is sound)
+            lit = float(np.finfo(np.float64).max) if np.isinf(thresh) \
+                else float(thresh)
+            return ((self.col, Predicate(op, lit, keep_nan=self.desc)),)
+        return ((self.col, Predicate(op, int(thresh))),)
 
 
 def _bump_dynamic(table) -> None:

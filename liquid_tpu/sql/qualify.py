@@ -208,7 +208,11 @@ class Qualifier:
         # SQL names the result column of an unaliased qualified ref by
         # the BARE column name (`t.c` -> "c"); qualification rewrote the
         # expr to the prefixed name, so restore the visible name via an
-        # alias -- unless that would collide with another item's name
+        # alias -- unless that would collide with another item's name.
+        # DELIBERATE DEVIATION: `select a.id, b.id` yields "id" and
+        # "b__id" (DataFusion emits two columns both named "id"; the
+        # name-flat projection pipeline cannot hold duplicates, and an
+        # invented suffix would be no more standard than the prefix)
         names = [it.alias or (it.expr.name if isinstance(it.expr, ast.Column)
                               else _render_name(it.expr))
                  for it in out.items]

@@ -46,6 +46,14 @@ class SessionContext:
         self._exec = QueryExecutor(self._tables)
 
     def register_parquet(self, name: str, path: str) -> None:
+        old = self._tables.get(name)
+        if old is not None:
+            # re-registration replaces the table object: release its
+            # fused-prep budget reservations and drop its cache entries
+            # (both would otherwise outlive the dead table)
+            from liquid_tpu.sql.fused_agg import release_prep_cache
+            release_prep_cache(old)
+            self.cache.remove_file(old.file_id)
         fid = self._next_file_id
         self._next_file_id += 1
         self._tables[name] = ParquetTable(name, path, self.cache, fid)

@@ -55,6 +55,32 @@ def test_topk_threshold_ignores_nan():
     assert np.array_equal(ref, got)
 
 
+def test_topk_desc_keeps_nan_in_late_row_groups():
+    """NaN sorts GREATEST, so NaN rows in a LATE row group belong at
+    the head of a DESC top-k even after earlier row groups installed a
+    finite threshold -- the threshold must keep them (keep_nan)."""
+    n = 30_000
+    rng = np.random.default_rng(21)
+    v = rng.uniform(0, 100, n)
+    v[-8:] = np.nan              # NaNs ONLY in the last row group
+    t = pa.table({"f": v, "i": np.arange(n, dtype=np.int64)})
+    path = tempfile.mktemp(suffix=".parquet")
+    pq.write_table(t, path, row_group_size=10_000)
+    ctx, _ = _session()
+    ctx.register_parquet("t", path)
+    lim = ctx.sql("SELECT f, i FROM t ORDER BY f DESC LIMIT 10").to_arrow()
+    got_i = lim.column("i").to_pylist()
+    assert set(range(n - 8, n)) <= set(got_i), got_i  # all 8 NaN rows
+    ref = np.sort(np.where(np.isnan(v), np.inf, v))[::-1][:10]
+    got = np.sort(np.nan_to_num(np.array(lim.column("f").to_pylist()),
+                                nan=np.inf))[::-1]
+    assert np.array_equal(ref, got)
+    # ASC with NaN present stays exact too (NaN sorts last: never top-k)
+    asc = ctx.sql("SELECT f FROM t ORDER BY f ASC LIMIT 10").to_arrow()
+    ref = np.sort(v[~np.isnan(v)])[:10]
+    assert np.allclose(sorted(asc.column("f").to_pylist()), ref)
+
+
 def test_float_filter_with_nan_batches_matches_arrow():
     """Zone maps must not record NaN min/max bounds; a NaN bound makes
     every zone comparison False, which (depending on the prune
@@ -194,3 +220,52 @@ def test_fused_prep_uncached_when_budget_exhausted():
         assert cache.budget.memory_used <= cache.budget.max_memory_bytes
     finally:
         cache.budget.release_memory(head)
+
+
+def test_prep_budget_released_on_table_replacement():
+    """Re-registering a table name replaces the ParquetTable object;
+    the old object's fused-prep budget reservations must be released
+    (they used to leak ~200KB per re-registration)."""
+    n = 65_536
+    rng = np.random.default_rng(17)
+    t = pa.table({"v": rng.integers(0, 1 << 20, n).astype(np.int64),
+                  "k": rng.integers(0, 16, n).astype(np.int64)})
+    path = tempfile.mktemp(suffix=".parquet")
+    pq.write_table(t, path)
+    ctx, cache = _session()
+    ctx.register_parquet("t", path)
+    ctx.sql("SELECT k, sum(v) AS s FROM t GROUP BY k").to_arrow()
+    used_once = cache.budget.memory_used
+    for _ in range(3):
+        ctx.register_parquet("t", path)
+        ctx.sql("SELECT k, sum(v) AS s FROM t GROUP BY k").to_arrow()
+    # same cache entries + one generation of preps: no growth across
+    # re-registrations (entries re-used; preps released with the table)
+    assert cache.budget.memory_used <= used_once + 1024, \
+        (cache.budget.memory_used, used_once)
+
+
+def test_star_derived_table_reports_real_columns():
+    """exec._relation_columns must expand `select *` through derived
+    tables (predicate pushdown and join-edge ownership depend on it);
+    it used to report a bogus '*'-rendered column."""
+    t = pa.table({"id": pa.array([1, 2, 3], pa.int64()),
+                  "x": pa.array([10, 20, 30], pa.int64())})
+    path = tempfile.mktemp(suffix=".parquet")
+    pq.write_table(t, path)
+    ctx, _ = _session()
+    ctx.register_parquet("t", path)
+    from liquid_tpu.sql.parser import parse_statement
+    q = parse_statement(
+        "select a.id from (select * from t) a, (select * from t) b "
+        "where a.id = b.id")[1]
+    qq = ctx._exec._qualify(q)
+    leaves = []
+    ctx._exec._leaf_relations(qq.from_, leaves)
+    cols = ctx._exec._relation_columns(leaves[0])
+    assert sorted(cols) == ["a__id", "a__x"], cols
+    # and the query itself runs with correct results
+    out = ctx.sql(
+        "select count(*) as n from (select * from t) a, (select * from t) b "
+        "where a.id = b.id and a.x > 10").to_arrow()
+    assert out.column("n").to_pylist() == [2]
