@@ -303,7 +303,16 @@ def aggregate_vtable(sess, vt: VTable, key_cols: List[str],
                  out_specs=P())
         def step(*args):
             *flat, live = args
-            codes = [flat[ix[c]] for c in key_cols]
+            codes = []
+            for c in key_cols:
+                v = flat[ix[c]]
+                if vt.origin[c].kind == "float":
+                    # float keys hash/report via their IEEE bit image
+                    # (i64), matching the single-table grouped path --
+                    # _decode_groups inverts with .view(np.float64)
+                    from liquid_tpu.ops.floatbits import f64_bits
+                    v = f64_bits(v + 0.0)
+                codes.append(v)
             knulls = [flat[ix[c] + 1] for c in key_cols]
             rspecs = []
             for kind, spec in agg_specs:
@@ -313,15 +322,11 @@ def aggregate_vtable(sess, vt: VTable, key_cols: List[str],
                     rspecs.append({"kind": kind})
                     continue
                 if not isinstance(spec, str):
-                    # expression aggregate over shipped (decoded) columns
-                    from liquid_tpu.sql.fused_agg import eval_ir
+                    # expression aggregate over shipped (decoded)
+                    # columns; null-AWARE (CASE arms select which
+                    # branch's nulls apply, see eval_ir_nulls)
+                    from liquid_tpu.sql.fused_agg import eval_ir_nulls
                     _, ir, colnames = spec
-                    nl = None
-                    for c in colnames:
-                        n = flat[ix[c] + 1]
-                        nl = n if nl is None else (nl | n)
-                    if nl is None:
-                        nl = jnp.zeros_like(live)
 
                     def colfn(name, dtw):
                         vv = flat[ix[name]]
@@ -329,9 +334,14 @@ def aggregate_vtable(sess, vt: VTable, key_cols: List[str],
                             vv = vv.astype(jnp.float64)
                         return vv
 
-                    v = jnp.asarray(eval_ir(ir, colfn))
+                    def nulfn(name):
+                        return flat[ix[name] + 1]
+
+                    v, nl = eval_ir_nulls(ir, colfn, nulfn)
+                    v = jnp.asarray(v)
                     if v.ndim == 0:
                         v = jnp.broadcast_to(v, live.shape)
+                    nl = jnp.broadcast_to(jnp.asarray(nl), live.shape)
                     if kind == "avg" and v.dtype != jnp.float64:
                         v = v.astype(jnp.float64)
                     rspecs.append({"kind": kind, "v": v, "mm": v,
@@ -424,7 +434,10 @@ def _flatten_joins(node) -> Tuple[List[str], List[Tuple[str, str]]]:
 
 
 def execute_dist_join(sess, q) -> pa.Table:
-    from liquid_tpu.parallel.session import _spec_cols, plan_agg_items
+    from liquid_tpu.parallel.session import (
+        _spec_cols, make_dictres, plan_agg_items)
+    from liquid_tpu.sql.fused_agg import (
+        _Bail, _compile_bool, bool_ir_columns)
     tables, edges = _flatten_joins(q.from_)
     for t in tables:
         assert t in sess.tables, f"unregistered table {t}"
@@ -437,25 +450,36 @@ def execute_dist_join(sess, q) -> pa.Table:
         raise KeyError(f"column {col} not found in joined tables")
 
     # split WHERE into per-table conjunct lists; two-table equality
-    # conjuncts become join edges (the comma-join / unmodified q3 shape)
+    # conjuncts become join edges (the comma-join / unmodified q3
+    # shape); anything else -- cross-table OR groups (q19), IN lists,
+    # LIKE -- compiles to boolean IR applied to the joined rows
+    merged_scols = {}
+    for t in tables:
+        merged_scols.update(dts[t].columns)
+    merged_kinds = {c: sc.kind for c, sc in merged_scols.items()}
+    dictres = make_dictres(merged_scols)
     per_table: Dict[str, list] = {t: [] for t in tables}
+    residual_ir: List[tuple] = []  # compiled bool IR over joined rows
     for conj in split_conjuncts(q.where):
         cols: set = set()
         from liquid_tpu.sql.physical import collect_columns
         collect_columns(conj, cols)
         owners = {owner(c) for c in cols}
-        if len(owners) == 2:
-            assert isinstance(conj, ast.Binary) and conj.op == "=" \
-                and isinstance(conj.left, ast.Column) \
-                and isinstance(conj.right, ast.Column), \
-                "distributed joins: multi-table WHERE conjuncts must be " \
-                f"equality join conditions, got {render(conj)}"
+        if (len(owners) == 2 and isinstance(conj, ast.Binary)
+                and conj.op == "=" and isinstance(conj.left, ast.Column)
+                and isinstance(conj.right, ast.Column)):
             edges.append((conj.left.name, conj.right.name))
             continue
-        assert len(owners) == 1, \
-            "distributed joins: WHERE conjuncts must be single-table " \
-            "or two-table equality"
-        per_table[owners.pop()].append(conj)
+        if len(owners) == 1:
+            per_table[owners.pop()].append(conj)
+            continue
+        try:
+            ir, _c = _compile_bool(conj, merged_kinds, dictres)
+        except _Bail as ex:
+            raise NotImplementedError(
+                "distributed joins: cross-table WHERE conjunct "
+                f"{render(conj)}: {ex}")
+        residual_ir.append(ir)
 
     # left-deep join ORDER: follow edges greedily from the first table
     merged_cols: Dict[str, object] = {}
@@ -492,7 +516,7 @@ def execute_dist_join(sess, q) -> pa.Table:
         residual_eq.append((a, b))
 
     # plan items (shared planner: expression aggregates supported)
-    key_cols, aggs, names = plan_agg_items(q, merged_cols)
+    key_cols, aggs, names, post = plan_agg_items(q, merged_cols)
 
     # columns each table must ship forward
     needed: Dict[str, set] = {t: set() for t in tables}
@@ -507,15 +531,25 @@ def execute_dist_join(sess, q) -> pa.Table:
     for a, b in residual_eq:
         needed[owner(a)].add(a)
         needed[owner(b)].add(b)
+    for ir in residual_ir:
+        for c in bool_ir_columns(ir):
+            needed[owner(c)].add(c)
 
-    # decode + filter every table
+    # decode + filter every table; a conjunct the single-table planner
+    # cannot push (IN list, OR group) compiles to residual boolean IR
     def mk_preds(t):
-        # reuse the single-table predicate planner
-        combined = None
+        preds, never = [], False
         for conj in per_table[t]:
-            combined = conj if combined is None else \
-                ast.Binary("AND", combined, conj)
-        preds, never = sess._plan_where(combined, dts[t])
+            try:
+                p1, n1 = sess._plan_where(conj, dts[t])
+            except (AssertionError, NotImplementedError):
+                ir, _c = _compile_bool(conj, merged_kinds, dictres)
+                residual_ir.append(ir)
+                for c in bool_ir_columns(ir):
+                    needed[owner(c)].add(c)
+                continue
+            preds.extend(p1)
+            never = never or n1
         return preds, never
 
     vts: Dict[str, VTable] = {}
@@ -568,10 +602,28 @@ def execute_dist_join(sess, q) -> pa.Table:
             eq = eq & ~nb
         cur.live = cur.live & eq
 
+    if residual_ir:
+        from liquid_tpu.sql.fused_agg import _bool_nonnull
+
+        def _colfn(name, dtw):
+            v = cur.cols[name]
+            if dtw == "f64" and v.dtype != jnp.float64:
+                v = v.astype(jnp.float64)
+            return v
+
+        def _nulfn(name):
+            nl = cur.nulls.get(name)
+            return nl if nl is not None else \
+                jnp.zeros(cur.live.shape, jnp.bool_)
+
+        for ir in residual_ir:
+            cur.live = cur.live & _bool_nonnull(ir, _colfn, _nulfn)
+
     if key_cols:
         out = aggregate_vtable(sess, cur, key_cols, aggs, names)
     else:
         out = scalar_aggregate_vtable(sess, cur, aggs, names)
-    from liquid_tpu.parallel.session import apply_having
-    out = apply_having(q, out, aggs, names)
-    return sess._order_limit(q, out, names)
+    from liquid_tpu.parallel.session import apply_having, apply_post_items
+    out = apply_post_items(out, post)
+    out = apply_having(q, out, aggs, names, post and post["aggmap"])
+    return sess._order_limit(q, out, post["final"] if post else names)

@@ -276,13 +276,50 @@ def _spec_is_float(spec, columns) -> bool:
     return _ir_dtype(spec[1]) == "f64"
 
 
+def make_dictres(columns):
+    """String-comparison resolver for the expression IR: maps =, <>,
+    LIKE and IN over a dict column to the matching GLOBAL code ids
+    (ShardedColumn.dictionary is the table-wide vocabulary)."""
+    import re as _re
+
+    def res(cname, op, lit):
+        sc = columns.get(cname)
+        if sc is None or getattr(sc, "kind", None) != "dict" \
+                or sc.dictionary is None:
+            return None
+        vocab = sc.dictionary
+        if op == "=":
+            return tuple(i for i, v in enumerate(vocab) if v == lit)
+        if op == "like":
+            pat = _re.compile(
+                "^" + _re.escape(str(lit)).replace("%", ".*")
+                .replace("_", ".") + "$")
+            return tuple(i for i, v in enumerate(vocab)
+                         if v is not None and pat.match(str(v)))
+        return None
+
+    return res
+
+
 def plan_agg_items(q, columns):
     """SELECT-item planner shared by the single-table and join paths.
-    Aggregate inputs may be plain columns OR +,-,*,/ expressions over
-    numeric columns and literals (round 3, VERDICT item 4: TPC-H q1's
-    `sum(l_extendedprice * (1 - l_discount))` runs unmodified); an
-    expression compiles to the same IR the local fused path uses."""
+
+    - Aggregate inputs may be plain columns, +,-,*,/ expressions, or
+      CASE WHEN <cond> THEN ... ELSE ... END (TPC-H q1/q12/q14 run
+      unmodified); everything compiles to the IR the local fused path
+      uses, with string conditions resolved to dictionary codes.
+    - Items that are ARITHMETIC OVER aggregates (q14's
+      `100.00 * sum(..) / sum(..)`) plan their aggregates as hidden
+      columns and evaluate the arithmetic host-side after the merge
+      (`apply_post_items`).
+
+    -> (key_cols, aggs, names, post); `post` is None or
+       {"final": [visible col names in item order],
+        "exprs": [(name, host expr over agg columns)],
+        "aggmap": {agg Func expr -> its column name}}.
+    """
     from liquid_tpu.sql.fused_agg import _Bail, _compile_expr
+    from liquid_tpu.sql.physical import find_aggs, substitute
     key_cols: List[str] = []
     if q.group_by:
         for g in q.group_by:
@@ -290,19 +327,18 @@ def plan_agg_items(q, columns):
                 "distributed GROUP BY: plain columns"
             key_cols.append(g.name)
     kinds = {c: sc.kind for c, sc in columns.items()}
+    dictres = make_dictres(columns)
     aggs: List[Tuple[str, object]] = []
     names: List[str] = []
-    for it in q.items:
-        e = it.expr
-        if isinstance(e, ast.Column) and e.name in key_cols:
-            names.append(it.alias or e.name)
-            aggs.append(("key:" + e.name, None))
-            continue
-        assert isinstance(e, ast.Func) and e.name in AGG_FUNCS, render(e)
-        names.append(it.alias or render(e))
+    aggmap: Dict[object, str] = {}
+    post_exprs: List[Tuple[str, object]] = []
+    final: List[str] = []
+
+    def plan_one(e, name):
+        names.append(name)
         if e.star or not e.args:
             aggs.append(("count_star", None))
-            continue
+            return
         assert not e.distinct, "distributed DISTINCT unsupported"
         arg = e.args[0]
         if isinstance(arg, ast.Column):
@@ -310,17 +346,75 @@ def plan_agg_items(q, columns):
                 assert columns[arg.name].kind in ("planes", "float"), \
                     f"distributed {e.name} over {columns[arg.name].kind}"
             aggs.append((e.name, arg.name))
-            continue
+            return
         try:
-            ir, cols = _compile_expr(arg, kinds)
+            ir, cols = _compile_expr(arg, kinds, dictres)
         except _Bail as ex:
             raise NotImplementedError(
                 f"distributed aggregate input {render(arg)}: {ex}")
         aggs.append((e.name, ("expr", ir, tuple(sorted(cols)))))
-    return key_cols, aggs, names
+
+    for it in q.items:
+        e = it.expr
+        if isinstance(e, ast.Column) and e.name in key_cols:
+            nm = it.alias or e.name
+            names.append(nm)
+            final.append(nm)
+            aggs.append(("key:" + e.name, None))
+            continue
+        if isinstance(e, ast.Func) and e.name in AGG_FUNCS:
+            nm = it.alias or render(e)
+            final.append(nm)
+            aggmap[e] = nm
+            plan_one(e, nm)
+            continue
+        # arithmetic over aggregates: plan hidden aggs, evaluate host-
+        # side on the finalized table
+        inner: List[ast.Func] = []
+        find_aggs(e, inner)
+        assert inner, f"distributed item {render(e)}: no aggregate"
+        for f in inner:
+            if f not in aggmap:
+                hid = f"__h{len(aggmap)}"
+                aggmap[f] = hid
+                plan_one(f, hid)
+        nm = it.alias or render(e)
+        final.append(nm)
+        post_exprs.append((nm, substitute(e, aggmap)))
+    if not post_exprs:
+        return key_cols, aggs, names, None
+    return key_cols, aggs, names, {"final": final, "exprs": post_exprs,
+                                   "aggmap": aggmap}
 
 
-def apply_having(q, table: pa.Table, aggs, names) -> pa.Table:
+def apply_post_items(table: pa.Table, post) -> pa.Table:
+    """Evaluate post-aggregate item arithmetic over the finalized table
+    and project the visible columns in SELECT order (hidden __h* agg
+    columns are consumed here)."""
+    if post is None:
+        return table
+    from liquid_tpu.sql.eval import Batch, Evaluator
+    b = Batch({c: table.column(c).combine_chunks()
+               for c in table.column_names}, table.num_rows)
+    ev = Evaluator(b)
+    computed = {}
+    for name, e in post["exprs"]:
+        if table.num_rows == 0:
+            computed[name] = pa.array([], pa.float64())
+            continue
+        v = ev.eval(e)
+        if isinstance(v, pa.Scalar):
+            v = pa.repeat(v, table.num_rows)
+        computed[name] = v
+    cols = {}
+    for name in post["final"]:
+        cols[name] = computed.get(name) if name in computed \
+            else table.column(name).combine_chunks()
+    return pa.table(cols)
+
+
+def apply_having(q, table: pa.Table, aggs, names,
+                 extra_map=None) -> pa.Table:
     """HAVING over the finalized (already-aggregated) table: aggregate
     calls in the predicate resolve to their output columns; key columns
     resolve by name.  Supports predicates over aggregates that appear
@@ -335,6 +429,9 @@ def apply_having(q, table: pa.Table, aggs, names) -> pa.Table:
         mapping[it.expr] = name
         if it.alias:
             mapping[ast.Column(it.alias)] = name
+    if extra_map:
+        for e, name in extra_map.items():
+            mapping.setdefault(e, name)
     h = substitute(q.having, mapping)
     b = Batch({c: table.column(c).combine_chunks()
                for c in table.column_names}, table.num_rows)
@@ -372,7 +469,7 @@ class DistributedSession:
             "distributed mode: registered table FROM"
         dt = self.tables[q.from_.name]
         preds, never = self._plan_where(q.where, dt)
-        key_cols, aggs, names = self._plan_items(q, dt)
+        key_cols, aggs, names, post = self._plan_items(q, dt)
         scanned = [p.col for p in preds] + key_cols \
             + [c for _, s in aggs for c in _spec_cols(s)]
         self.last_scan_bytes = dt.scan_device_bytes(scanned)
@@ -382,8 +479,11 @@ class DistributedSession:
             table = self._execute_grouped(dt, preds, key_cols, aggs, names)
         else:
             table = self._execute_scalar(dt, preds, aggs, names)
-        table = apply_having(q, table, aggs, names)
-        return self._order_limit(q, table, names)
+        table = apply_post_items(table, post)
+        table = apply_having(q, table, aggs, names,
+                             post and post["aggmap"])
+        return self._order_limit(q, table,
+                                 post["final"] if post else names)
 
     def _plan_where(self, where, dt) -> Tuple[List[_Pred], bool]:
         """-> (preds, never): literal values stay EXACT (int literals
@@ -604,16 +704,14 @@ class DistributedSession:
                 want_float and kind not in ("min", "max"))
             mm = v if sc.kind == "float" else enc
             return v, mm, nulls, sc.kind != "float"
-        from liquid_tpu.sql.fused_agg import _ir_dtype, eval_ir
+        from liquid_tpu.sql.fused_agg import _ir_dtype, eval_ir_nulls
         _, ir, colnames = spec
         vals = {}
-        nulls = None
+        colnulls = {}
         for name in colnames:
             vv, _e, nl, _sc = self._agg_value(cols, col_ix, dt, name, False)
             vals[name] = vv
-            nulls = nl if nulls is None else (nulls | nl)
-        if nulls is None:
-            nulls = jnp.zeros(rows_shape, jnp.bool_)
+            colnulls[name] = nl
 
         def colfn(name, dtw):
             vv = vals[name]
@@ -621,9 +719,17 @@ class DistributedSession:
                 vv = vv.astype(jnp.float64)
             return vv
 
-        v = jnp.asarray(eval_ir(ir, colfn))
+        def nulfn(name):
+            return colnulls[name]
+
+        # null-AWARE: `sum(case when k = 'A' then x else 0 end)` must
+        # count a NULL-k row as 0, not exclude it (a blanket OR of the
+        # referenced columns' null masks would)
+        v, nulls = eval_ir_nulls(ir, colfn, nulfn)
+        v = jnp.asarray(v)
         if v.ndim == 0:
             v = jnp.broadcast_to(v, rows_shape)
+        nulls = jnp.broadcast_to(jnp.asarray(nulls), rows_shape)
         if kind == "avg" and v.dtype != jnp.float64:
             v = v.astype(jnp.float64)
         return v, v, nulls, False

@@ -85,8 +85,14 @@ class _Bail(Exception):
 #   ("neg", dtype, x)
 #   ("cast", dtype, x)
 
-def _compile_expr(e: ast.Expr, col_kinds: Dict[str, str]):
-    """-> (ir, cols_used:set).  Raises _Bail on unsupported shapes."""
+def _compile_expr(e: ast.Expr, col_kinds: Dict[str, str], dictres=None):
+    """-> (ir, cols_used:set).  Raises _Bail on unsupported shapes.
+
+    `dictres(col, op, literal) -> tuple[int] | None` resolves a string
+    comparison on a dictionary column to its matching CODE ids (the
+    distributed session supplies the table's global vocabulary); with a
+    resolver present, CASE expressions compile to ("where", ...) nodes
+    whose conditions are the boolean IR below."""
     if isinstance(e, ast.Column):
         k = col_kinds.get(e.name)
         if k in ("planes", "linear"):
@@ -101,15 +107,29 @@ def _compile_expr(e: ast.Expr, col_kinds: Dict[str, str]):
         dt = "f64" if isinstance(v, float) else "i64"
         return ("lit", v, dt), set()
     if isinstance(e, ast.Unary) and e.op == "neg":
-        x, cols = _compile_expr(e.operand, col_kinds)
+        x, cols = _compile_expr(e.operand, col_kinds, dictres)
         return ("neg", _ir_dtype(x), x), cols
     if isinstance(e, ast.Cast) and e.type_name in (
             "double", "float", "real", "decimal", "numeric"):
-        x, cols = _compile_expr(e.operand, col_kinds)
+        x, cols = _compile_expr(e.operand, col_kinds, dictres)
         return _as_f64(x), cols
+    if isinstance(e, ast.Case) and dictres is not None:
+        if e.operand is not None:
+            raise _Bail("CASE <operand> form")
+        if e.else_ is None:
+            raise _Bail("CASE without ELSE (NULL branch)")
+        out, cols = _compile_expr(e.else_, col_kinds, dictres)
+        for cond, val in reversed(e.whens):
+            c_ir, cc = _compile_bool(cond, col_kinds, dictres)
+            v_ir, vc = _compile_expr(val, col_kinds, dictres)
+            if _ir_dtype(v_ir) != _ir_dtype(out):
+                v_ir, out = _as_f64(v_ir), _as_f64(out)
+            out = ("where", _ir_dtype(v_ir), c_ir, v_ir, out)
+            cols |= cc | vc
+        return out, cols
     if isinstance(e, ast.Binary) and e.op in ("+", "-", "*", "/"):
-        l, lc = _compile_expr(e.left, col_kinds)
-        r, rc = _compile_expr(e.right, col_kinds)
+        l, lc = _compile_expr(e.left, col_kinds, dictres)
+        r, rc = _compile_expr(e.right, col_kinds, dictres)
         ldt, rdt = _ir_dtype(l), _ir_dtype(r)
         if e.op == "/":
             if ldt == "i64" and rdt == "i64":
@@ -126,10 +146,108 @@ def _compile_expr(e: ast.Expr, col_kinds: Dict[str, str]):
     raise _Bail(f"expression {type(e).__name__}")
 
 
+_BOOL_CMP = {"=": "==", "<>": "!=", "!=": "!=", "<": "<", "<=": "<=",
+             ">": ">", ">=": ">="}
+
+
+def _compile_bool(e: ast.Expr, col_kinds: Dict[str, str], dictres):
+    """Boolean-valued IR (CASE conditions, post-join residual filters):
+        ("cmp", op, l, r)           numeric comparison
+        ("incodes", col, codes)     dict-column code membership (static)
+        ("band"/"bor", l, r), ("bnot", x)
+    NULL inputs make a condition FALSE (the only consumers are CASE
+    arms and INNER-join residuals, where SQL's NULL and FALSE act the
+    same); `eval_ir_nulls` implements that."""
+    if isinstance(e, ast.Binary) and e.op in ("and", "or"):
+        l, lc = _compile_bool(e.left, col_kinds, dictres)
+        r, rc = _compile_bool(e.right, col_kinds, dictres)
+        return ("band" if e.op == "and" else "bor", l, r), lc | rc
+    if isinstance(e, ast.Unary) and e.op == "not":
+        x, cols = _compile_bool(e.operand, col_kinds, dictres)
+        return ("bnot", x), cols
+    if isinstance(e, ast.Between):
+        lo = ast.Binary(">=", e.operand, e.low)
+        hi = ast.Binary("<=", e.operand, e.high)
+        ir, cols = _compile_bool(ast.Binary("and", lo, hi),
+                                 col_kinds, dictres)
+        return (("bnot", ir) if e.negated else ir), cols
+    if isinstance(e, ast.InList):
+        if not isinstance(e.operand, ast.Column):
+            raise _Bail("IN over non-column")
+        name = e.operand.name
+        if col_kinds.get(name) == "dict":
+            codes: set = set()
+            for it in e.items:
+                if not isinstance(it, ast.Literal):
+                    raise _Bail("IN list item")
+                got = dictres(name, "=", it.value)
+                if got is None:
+                    raise _Bail(f"IN over {name}")
+                codes.update(got)
+            ir = ("incodes", name, tuple(sorted(codes)))
+        else:
+            ir = None
+            for it in e.items:
+                one, _ = _compile_bool(
+                    ast.Binary("=", e.operand, it), col_kinds, dictres)
+                ir = one if ir is None else ("bor", ir, one)
+            if ir is None:
+                raise _Bail("empty IN list")
+        return (("bnot", ir) if e.negated else ir), {name}
+    if isinstance(e, ast.Binary) and e.op == "like":
+        if not (isinstance(e.left, ast.Column)
+                and isinstance(e.right, ast.Literal)):
+            raise _Bail("LIKE shape")
+        codes = dictres(e.left.name, "like", e.right.value)
+        if codes is None:
+            raise _Bail(f"LIKE over {e.left.name}")
+        return ("incodes", e.left.name, tuple(codes)), {e.left.name}
+    if isinstance(e, ast.Binary) and e.op in _BOOL_CMP:
+        l, r = e.left, e.right
+        op = e.op
+        if isinstance(r, ast.Column) and not isinstance(l, ast.Column):
+            l, r = r, l
+            op = {"=": "=", "<>": "<>", "!=": "!=", "<": ">", "<=": ">=",
+                  ">": "<", ">=": "<="}[op]
+        e = ast.Binary(op, l, r)
+        if (isinstance(l, ast.Column) and isinstance(r, ast.Literal)
+                and col_kinds.get(l.name) == "dict"):
+            if e.op in ("=", "<>", "!="):
+                codes = dictres(l.name, "=", r.value)
+                if codes is None:
+                    raise _Bail(f"string cmp over {l.name}")
+                ir = ("incodes", l.name, tuple(codes))
+                return (("bnot", ir) if e.op != "=" else ir), {l.name}
+            raise _Bail("string ordering comparison")
+        li, lc = _compile_expr(l, col_kinds, dictres)
+        ri, rc = _compile_expr(r, col_kinds, dictres)
+        if _ir_dtype(li) != _ir_dtype(ri):
+            li, ri = _as_f64(li), _as_f64(ri)
+        return ("cmp", _BOOL_CMP[e.op], li, ri), lc | rc
+    raise _Bail(f"condition {type(e).__name__}")
+
+
+def bool_ir_columns(ir) -> set:
+    """Column names referenced by a boolean/value IR tree."""
+    tag = ir[0]
+    if tag == "col":
+        return {ir[1]}
+    if tag == "incodes":
+        return {ir[1]}
+    if tag == "lit":
+        return set()
+    out: set = set()
+    for part in ir[1:]:
+        if isinstance(part, tuple) and part and isinstance(part[0], str):
+            out |= bool_ir_columns(part)
+    return out
+
+
 def eval_ir(ir, col):
     """Interpret an expression IR inside a traced program.  `col(name,
-    dtype)` supplies decoded column values ("i64" | "f64").  Shared by
-    the local fused path and the distributed session."""
+    dtype)` supplies decoded column values ("i64" | "f64"; dict columns
+    supply their CODE image).  Shared by the local fused path and the
+    distributed session."""
     tag = ir[0]
     if tag == "col":
         return col(ir[1], ir[2])
@@ -140,6 +258,27 @@ def eval_ir(ir, col):
         return eval_ir(ir[2], col).astype(jnp.float64)
     if tag == "neg":
         return -eval_ir(ir[2], col)
+    if tag == "where":
+        _, _, c, t, f = ir
+        return jnp.where(eval_ir(c, col), eval_ir(t, col),
+                         eval_ir(f, col))
+    if tag == "cmp":
+        _, op, l, r = ir
+        lv, rv = eval_ir(l, col), eval_ir(r, col)
+        return {"==": lv == rv, "!=": lv != rv, "<": lv < rv,
+                "<=": lv <= rv, ">": lv > rv, ">=": lv >= rv}[op]
+    if tag == "incodes":
+        codes = col(ir[1], "i64")
+        want = jnp.asarray(np.array(ir[2], np.int64))
+        if want.size == 0:
+            return jnp.zeros(codes.shape, jnp.bool_)
+        return jnp.isin(codes, want)
+    if tag == "band":
+        return eval_ir(ir[1], col) & eval_ir(ir[2], col)
+    if tag == "bor":
+        return eval_ir(ir[1], col) | eval_ir(ir[2], col)
+    if tag == "bnot":
+        return ~eval_ir(ir[1], col)
     _, op, _, l, r = ir
     lv, rv = eval_ir(l, col), eval_ir(r, col)
     if op == "+":
@@ -149,6 +288,78 @@ def eval_ir(ir, col):
     if op == "*":
         return lv * rv
     return lv / rv
+
+
+def eval_ir_nulls(ir, col, nul):
+    """Null-aware IR interpreter -> (value, isnull).  `nul(name)` gives
+    a column's null mask.  Boolean nodes fold NULL to FALSE (their only
+    consumers are CASE arms and INNER-join residual filters, where SQL
+    NULL and FALSE behave identically); value nodes propagate nulls,
+    and ("where", ...) selects the null flag of the CHOSEN branch --
+    `sum(case when k = 'A' then x else 0 end)` must count a NULL-k row
+    as 0, not skip it."""
+    tag = ir[0]
+    if tag == "col":
+        return col(ir[1], ir[2]), nul(ir[1])
+    if tag == "lit":
+        v = jnp.float64(ir[1]) if ir[2] == "f64" else jnp.int64(ir[1])
+        return v, jnp.bool_(False)
+    if tag == "cast":
+        v, n = eval_ir_nulls(ir[2], col, nul)
+        return v.astype(jnp.float64), n
+    if tag == "neg":
+        v, n = eval_ir_nulls(ir[2], col, nul)
+        return -v, n
+    if tag == "where":
+        _, _, c, t, f = ir
+        cv = _bool_nonnull(c, col, nul)
+        tv, tn = eval_ir_nulls(t, col, nul)
+        fv, fn = eval_ir_nulls(f, col, nul)
+        return jnp.where(cv, tv, fv), jnp.where(cv, tn, fn)
+    if tag in ("cmp", "incodes", "band", "bor", "bnot"):
+        return _bool_nonnull(ir, col, nul), jnp.bool_(False)
+    _, op, _, l, r = ir
+    lv, ln = eval_ir_nulls(l, col, nul)
+    rv, rn = eval_ir_nulls(r, col, nul)
+    n = ln | rn
+    if op == "+":
+        return lv + rv, n
+    if op == "-":
+        return lv - rv, n
+    if op == "*":
+        return lv * rv, n
+    return lv / rv, n
+
+
+def _bool_nonnull(ir, col, nul):
+    """Boolean IR with NULL folded to False (non-null result)."""
+    tag = ir[0]
+    if tag == "cmp":
+        _, op, l, r = ir
+        lv, ln = eval_ir_nulls(l, col, nul)
+        rv, rn = eval_ir_nulls(r, col, nul)
+        v = {"==": lv == rv, "!=": lv != rv, "<": lv < rv,
+             "<=": lv <= rv, ">": lv > rv, ">=": lv >= rv}[op]
+        return v & ~(ln | rn)
+    if tag == "incodes":
+        codes = col(ir[1], "i64")
+        want = jnp.asarray(np.array(ir[2], np.int64))
+        v = (jnp.zeros(codes.shape, jnp.bool_) if want.size == 0
+             else jnp.isin(codes, want))
+        return v & ~nul(ir[1])
+    if tag == "band":
+        return _bool_nonnull(ir[1], col, nul) & _bool_nonnull(ir[2], col, nul)
+    if tag == "bor":
+        return _bool_nonnull(ir[1], col, nul) | _bool_nonnull(ir[2], col, nul)
+    if tag == "bnot":
+        # NOT over null-folded False over-matches NULL rows; fold the
+        # operand's nulls OUT of the complement too (NULL -> False)
+        inner = ir[1]
+        v = ~_bool_nonnull(inner, col, nul)
+        for c in sorted(bool_ir_columns(inner)):
+            v = v & ~nul(c)
+        return v
+    raise AssertionError(f"not a bool IR: {ir[0]}")
 
 
 def _ir_dtype(ir) -> str:

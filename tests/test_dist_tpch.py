@@ -1,9 +1,11 @@
-"""UNMODIFIED TPC-H q1/q3/q6 on the distributed mesh engine
-(VERDICT r2 item 4): the literal benchmark SQL -- expression aggregates
-(`sum(l_extendedprice * (1 - l_discount))`), comma-joins with WHERE
-equality join conditions, date literals -- runs through
-`DistributedSession.sql` on the 8-device virtual mesh and matches the
-independent pandas oracles (`bench/tpch_ref.py`).
+"""UNMODIFIED TPC-H on the distributed mesh engine (VERDICT r2 item 4,
+extended round 3): q1 q3 q5 q6 q10 q12 q14 q19 -- expression aggregates
+(`sum(l_extendedprice * (1 - l_discount))`), CASE WHEN aggregates with
+string conditions (q12/q14), post-aggregate arithmetic over aggregates
+(q14's `100.00 * sum(..) / sum(..)`), cross-table OR residual filters
+(q19), six-table join chains (q5), float GROUP BY keys (q10) -- runs
+through `DistributedSession.sql` on the 8-device virtual mesh and
+matches the independent pandas oracles (`bench/tpch_ref.py`).
 """
 import numpy as np
 import pandas as pd
@@ -21,8 +23,8 @@ SF = 0.01
 def dist_tpch():
     tables = tpch_data.generate(SF)
     sess = DistributedSession()
-    for name in ("lineitem", "orders", "customer"):
-        sess.register_table(name, tables[name])
+    for name, t in tables.items():
+        sess.register_table(name, t)
     pdt = tpch_ref.to_pandas_tables(tables)
     return sess, pdt
 
@@ -93,3 +95,12 @@ def test_expr_minmax_distributed(dist_tpch):
     assert np.isclose(out.column("mx")[0].as_py(),
                       (sub["l_extendedprice"] * (1 - sub["l_discount"])).max(),
                       rtol=1e-9)
+
+
+@pytest.mark.parametrize("qid", [5, 10, 12, 14, 19])
+def test_unmodified_query(dist_tpch, qid):
+    """Round-3 additions: six-table chains, float group keys, CASE
+    aggregates, post-aggregate arithmetic, cross-table OR residuals."""
+    sess, pdt = dist_tpch
+    out = sess.sql(tpch_queries.QUERIES[qid])
+    _check(out, tpch_ref.REFS[qid](pdt))
