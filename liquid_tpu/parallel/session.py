@@ -460,8 +460,46 @@ class DistributedSession:
 
     # -- planning ------------------------------------------------------------
 
-    def sql(self, query: str) -> pa.Table:
-        q = parse_sql(query)
+    def sql(self, query) -> pa.Table:
+        """One statement, a view-script list (TPC-H q15's [create view,
+        select, drop view]), or SQL text.  Views and CTEs materialize
+        on the mesh as registered tables (a distributed query result
+        re-shards); uncorrelated scalar subqueries fold to literals."""
+        if isinstance(query, (list, tuple)):
+            out = pa.table({})
+            for stmt in query:
+                res = self.sql(stmt)
+                if res.num_columns:
+                    out = res
+            return out
+        from liquid_tpu.sql.parser import parse_statement
+        stmt = parse_statement(query)
+        if stmt[0] == "create_view":
+            _, name, sub = stmt
+            self.register_table(name, self._execute_q(sub))
+            return pa.table({})
+        if stmt[0] == "drop_view":
+            self.tables.pop(stmt[1], None)
+            return pa.table({})
+        return self._execute_q(stmt[1])
+
+    def _execute_q(self, q) -> pa.Table:
+        if getattr(q, "ctes", None):
+            saved = {}
+            try:
+                for name, sub in q.ctes:
+                    saved[name] = self.tables.get(name)
+                    self.register_table(name, self._execute_q(sub))
+                q.ctes = []
+                return self._execute_q(q)
+            finally:
+                for name, prior in saved.items():
+                    if prior is None:
+                        self.tables.pop(name, None)
+                    else:
+                        self.tables[name] = prior
+        q.where = self._fold_scalar_subqueries(q.where)
+        q.having = self._fold_scalar_subqueries(q.having)
         if isinstance(q.from_, ast.Join):
             from liquid_tpu.parallel.join import execute_dist_join
             return execute_dist_join(self, q)
@@ -484,6 +522,31 @@ class DistributedSession:
                              post and post["aggmap"])
         return self._order_limit(q, table,
                                  post["final"] if post else names)
+
+    def _fold_scalar_subqueries(self, e):
+        """Replace UNCORRELATED scalar subqueries with their literal
+        value (TPC-H q11's HAVING threshold, q15's max(total_revenue)).
+        A correlated subquery fails to execute standalone and is left
+        in place for the planner's unsupported-shape error."""
+        if e is None:
+            return None
+        from liquid_tpu.sql.qualify import map_expr
+
+        def fix(node):
+            if isinstance(node, ast.Subquery):
+                try:
+                    res = self._execute_q(node.query)
+                except Exception:
+                    return node  # correlated / unsupported: keep
+                assert res.num_columns == 1, "scalar subquery width"
+                if res.num_rows == 0:
+                    return ast.Literal(None)
+                assert res.num_rows == 1, "scalar subquery rows"
+                v = res.column(0)[0].as_py()
+                return ast.Literal(v)
+            return None
+
+        return map_expr(e, fix)
 
     def _plan_where(self, where, dt) -> Tuple[List[_Pred], bool]:
         """-> (preds, never): literal values stay EXACT (int literals
