@@ -832,14 +832,25 @@ class QueryExecutor:
                 if plain_rows:
                     agg.update({}, plain_rows)
         else:
-            joined, _resid = self._join_source(q)
-            if joined.num_rows:
-                update_from(Batch.from_table(joined))
-            elif group:
-                pass  # empty: no groups
-            else:
-                agg.update({s.name: pa.array([], input_types.get(s.name) or pa.int64())
-                            for s in slots if s.input is not None}, 0)
+            # star/snowflake joins: whole-pipeline device path (dim
+            # index builds + probed fused aggregation, sql/fused_star)
+            from liquid_tpu.sql.fused_star import try_fused_star
+            rew_where = (self._rewrite_subqueries(q.where, scope)
+                         if q.where is not None else None)
+            with TRACER.span("sql.fused_star"):
+                fused_final = try_fused_star(
+                    self, q, group, key_names, slots, rew_keys,
+                    rew_inputs, rew_where)
+            if fused_final is None:
+                joined, _resid = self._join_source(q)
+                if joined.num_rows:
+                    update_from(Batch.from_table(joined))
+                elif group:
+                    pass  # empty: no groups
+                else:
+                    agg.update({s.name: pa.array(
+                        [], input_types.get(s.name) or pa.int64())
+                        for s in slots if s.input is not None}, 0)
 
         final = (fused_final if fused_final is not None
                  else agg.finalize() if group

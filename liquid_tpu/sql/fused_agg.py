@@ -676,14 +676,10 @@ def _pack_bools_2d(bools):
     return mops.pack_bools(bools.reshape(-1)).reshape(nb, _W)
 
 
-@partial(jax.jit, static_argnums=(0,))
-def _fused_run(spec, *arrays):
-    (mode, cols, pred_groups, keys, rslots, rv_ix, n_slots, salt,
-     extra) = spec
-    colmap = {c[0]: dict(c[1]) for c in cols}
-
-    # -- selection ----------------------------------------------------------
-    sel = arrays[rv_ix]  # u32 [nb, W]
+def _selection_packed(colmap, pred_groups, arrays, sel):
+    """AND the packed per-block masks of every pushdown group into
+    `sel` (u32 [nb, W]); shared by the single-table fused program, the
+    star-join fact program, and the star dim-build programs."""
     for grp in pred_groups:
         gm = None
         for alt in grp:
@@ -704,9 +700,13 @@ def _fused_run(spec, *arrays):
                 m = m & arrays[cix["valid"]]
             gm = m if gm is None else (gm | m)
         sel = sel & gm
-    selb = mops.unpack_bits(sel.reshape(-1))  # bool [N]
+    return sel
 
-    # -- decoded column values (cached per column per dtype) ----------------
+
+def _make_decoders(colmap, arrays, n, probe_j):
+    """(decode, col_nulls) closures over the traced arrays.  `probe_j`
+    maps probe id -> per-row join index (i32, -1 = no match) for "pay"
+    columns (star-join dim payloads gathered through a probe)."""
     dec_cache: Dict[Tuple[str, str], jax.Array] = {}
     null_cache: Dict[str, jax.Array] = {}
 
@@ -714,10 +714,18 @@ def _fused_run(spec, *arrays):
         out = null_cache.get(name)
         if out is None:
             cix = colmap[name]
-            if "valid" in cix:
+            if cix["kind"] == "pay":
+                j = probe_j[cix["probe"]]
+                miss = j < 0
+                if "nulls" in cix:
+                    jc = jnp.clip(j, 0, arrays[cix["nulls"]].shape[0] - 1)
+                    out = arrays[cix["nulls"]][jc] | miss
+                else:
+                    out = miss
+            elif "valid" in cix:
                 out = ~mops.unpack_bits(arrays[cix["valid"]].reshape(-1))
             else:
-                out = jnp.zeros(selb.shape, jnp.bool_)
+                out = jnp.zeros(n, jnp.bool_)
             null_cache[name] = out
         return out
 
@@ -759,29 +767,90 @@ def _fused_run(spec, *arrays):
             v = (resid + lin).reshape(-1)
             if dt == "f64":
                 v = v.astype(jnp.float64)
-        else:  # dict codes (COUNT / key use only)
-            v = arrays[cix["codes"]].reshape(-1).astype(jnp.int64)
+        elif kind == "pay":
+            j = probe_j[cix["probe"]]
+            vals = arrays[cix["vals"]]
+            jc = jnp.clip(j, 0, vals.shape[0] - 1)
+            v = vals[jc]
+            if dt == "f64" and v.dtype != jnp.float64:
+                v = v.astype(jnp.float64)
+        else:  # dict codes: global gids when a remap is registered,
+            #    raw per-block codes otherwise (COUNT nullness only)
+            if "remap" in cix:
+                remap = arrays[cix["remap"]]
+                v = jnp.take_along_axis(
+                    remap,
+                    jnp.clip(arrays[cix["codes"]], 0,
+                             remap.shape[1] - 1).astype(jnp.int64),
+                    axis=1).reshape(-1)
+            else:
+                v = arrays[cix["codes"]].reshape(-1).astype(jnp.int64)
         dec_cache[(name, dt)] = v
         return v
 
-    def ev(ir):
-        return eval_ir(ir, decode)
+    return decode, col_nulls
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _fused_run(spec, *arrays):
+    (mode, cols, pred_groups, probes, resids, keys, rslots, rv_ix,
+     n_slots, salt, extra) = spec
+    colmap = {c[0]: dict(c[1]) for c in cols}
+
+    # -- selection ----------------------------------------------------------
+    sel = _selection_packed(colmap, pred_groups, arrays, arrays[rv_ix])
+    selb = mops.unpack_bits(sel.reshape(-1))  # bool [N]
+
+    probe_j: Dict[int, jax.Array] = {}
+    decode, col_nulls = _make_decoders(colmap, arrays, selb.shape,
+                                       probe_j)
+
+    # -- star-join probes: gather the dim row index per fact row ------------
+    for (pid, kname, idx_ix, lo_ix) in probes:
+        kv = decode(kname, "i64")
+        knl = col_nulls(kname)
+        tbl = arrays[idx_ix]
+        rel = kv - arrays[lo_ix]
+        inb = (rel >= 0) & (rel < tbl.shape[0])
+        j = jnp.where(
+            inb & ~knl,
+            tbl[jnp.clip(rel, 0, tbl.shape[0] - 1)],
+            jnp.int32(-1))
+        probe_j[pid] = j
+        selb = selb & (j >= 0)  # INNER join: unmatched rows drop
+
+    # -- residual predicates (cross-table / unclassifiable conjuncts) -------
+    for ir in resids:
+        selb = selb & _bool_nonnull(ir, decode, col_nulls)
 
     # -- aggregate inputs ---------------------------------------------------
+    # Values evaluate NULL-exactly (eval_ir_nulls): CASE selects the
+    # chosen branch's null flag, so `sum(case when k='A' then x else 0)`
+    # counts a NULL-k row as 0 instead of skipping it.  count(plain col)
+    # keeps the cheap ("ones",)+nullcols form; count(expr) rides
+    # ("nncount", ir) and counts rows where the expr is non-NULL.
     vals, vnulls, kinds = [], [], []
     for (kind, _dt, ir, nullcols) in rslots:
         if ir == ("ones",):
             v = jnp.ones(selb.shape, jnp.int64)
+            vn = None
+            for cn in nullcols:
+                n = col_nulls(cn)
+                vn = n if vn is None else (vn | n)
+            if vn is None:
+                vn = jnp.zeros(selb.shape, jnp.bool_)
+        elif ir[0] == "nncount":
+            _v, vn = eval_ir_nulls(ir[1], decode, col_nulls)
+            v = jnp.ones(selb.shape, jnp.int64)
+            if jnp.ndim(vn) == 0:
+                vn = jnp.broadcast_to(vn, selb.shape)
         else:
-            v = jnp.asarray(ev(ir))
+            v, vn = eval_ir_nulls(ir, decode, col_nulls)
+            v = jnp.asarray(v)
             if v.ndim == 0:
                 v = jnp.broadcast_to(v, selb.shape)
-        vn = None
-        for cn in nullcols:
-            n = col_nulls(cn)
-            vn = n if vn is None else (vn | n)
-        if vn is None:
-            vn = jnp.zeros(selb.shape, jnp.bool_)
+            if jnp.ndim(vn) == 0:
+                vn = jnp.broadcast_to(vn, selb.shape)
         vals.append(v)
         vnulls.append(vn)
         kinds.append(kind)
@@ -805,18 +874,14 @@ def _fused_run(spec, *arrays):
     for name in keys:
         cix = colmap[name]
         kind = cix["kind"]
-        if kind in ("planes", "linear"):
-            code = decode(name, "i64")
-        elif kind == "float":
+        if kind == "float" or (kind == "pay"
+                               and cix.get("ptype") == "f64"):
             # canonical IEEE bit image (-0.0 -> +0.0 via +0.0)
             code = floatbits.f64_bits(decode(name, "f64") + 0.0)
         else:
-            gids = jnp.take_along_axis(
-                arrays[cix["remap"]],
-                jnp.clip(arrays[cix["codes"]], 0,
-                         arrays[cix["remap"]].shape[1] - 1).astype(jnp.int64),
-                axis=1)
-            code = gids.reshape(-1)
+            # planes / linear values, dict global gids (remap registered
+            # for every key column), pay values/gids
+            code = decode(name, "i64")
         nl = col_nulls(name)
         codes_l.append(jnp.where(nl, jnp.int64(0), code))
         knulls_l.append(nl)
@@ -840,12 +905,15 @@ class _Plan:
         self.arrays: List[object] = []
         self.spec_cols: List[tuple] = []
         self.pred_groups: List[tuple] = []
+        self.probes: List[tuple] = []    # star: (pid, key col, idx, lo)
+        self.resids: List[tuple] = []    # star: residual boolean IR
         self.keys: List[str] = []        # source column names
         self.key_out: List[str] = []     # output column names (aliases)
         self.rslots: List[tuple] = []
         self.rv_ix = -1
         self.key_decoders: List[object] = []
         self.key_payloads: Dict[str, list] = {}  # planes keys: span bound
+        self.key_bounds: Dict[str, tuple] = {}   # star keys: (lo, hi)
         self.slot_map: List[tuple] = []   # per AggSlot: (kind, rslot indices)
         self.slot_types: Dict[str, pa.DataType] = {}
 
@@ -924,15 +992,19 @@ def release_prep_cache(table) -> None:
     """Release every budget reservation held by a table's fused preps
     (call when the table is dropped/replaced: the prep arrays are
     garbage-collected with the table, the accounting is not)."""
-    cache = getattr(table, "_fused_prep", None)
-    if not cache:
-        return
     budget = table.cache.budget
-    for variants in cache.values():
-        for ent in variants.values():
-            budget.release_memory(ent[2])
-        variants.clear()
-    cache.clear()
+    cache = getattr(table, "_fused_prep", None)
+    if cache:
+        for variants in cache.values():
+            for ent in variants.values():
+                budget.release_memory(ent[2])
+            variants.clear()
+        cache.clear()
+    star = getattr(table, "_star_probe_cache", None)
+    if star:
+        for probe in star.values():
+            budget.release_memory(probe.nbytes)
+        star.clear()
 
 
 def _table_prep(table, col, hint, blocks) -> _ColPrep:
@@ -1175,7 +1247,12 @@ def _plan_slots(p, slots, slot_irs, rew_inputs, table) -> None:
             p.slot_map.append((s.kind, (base,)))
         elif s.kind == "count":
             ir, cols = slot_irs[s.name]
-            p.rslots.append(("sum", "i64", ("ones",), tuple(sorted(cols))))
+            if ir[0] == "col":
+                p.rslots.append(("sum", "i64", ("ones",),
+                                 tuple(sorted(cols))))
+            else:
+                # count(expr): count rows where the expr is non-NULL
+                p.rslots.append(("sum", "i64", ("nncount", ir), ()))
             p.slot_map.append((s.kind, (base,)))
         elif s.kind in ("sum", "avg", "min", "max"):
             ir, cols = slot_irs[s.name]
@@ -1273,7 +1350,20 @@ def try_fused_aggregate(table, plan_scan, hints, group, key_names, slots,
         STATS["fused_bailouts"] += 1
         return None
     STATS["fused_queries"] += 1
+    result = execute_plan(p, mode, empty, slots, table)
+    if result is None:
+        # cardinality defeated the ladder: classic path (exact, slower)
+        STATS["fused_bailouts"] += 1
+    return result
 
+
+def execute_plan(p: _Plan, mode: str, empty: bool, slots,
+                 table) -> Optional[pa.Table]:
+    """Run a planned fused aggregation (single-table or star-join fact
+    program): empty-scan shortcut, then scalar / direct-address /
+    staged-hash grouped execution.  Returns the partial result table
+    (key columns + slot columns), or None when the hash ladder failed
+    to converge (caller falls back to the classic path)."""
     if empty:
         # every block pruned by stats/zones: typed result with ZERO data
         # IO (ref first-read page-index pruning, opener.rs:314-327)
@@ -1292,13 +1382,15 @@ def try_fused_aggregate(table, plan_scan, hints, group, key_names, slots,
 
     spec_cols = _freeze(p.spec_cols)
     pred_groups = _freeze(p.pred_groups)
+    probes = _freeze(p.probes)
+    resids = _freeze(p.resids)
     rslots = _freeze(p.rslots)
     keys = tuple(p.keys)
 
     if mode == "scalar":
         STATS["fused_scalar"] += 1
-        spec = ("scalar", spec_cols, pred_groups, keys, rslots,
-                p.rv_ix, 0, 0, 0)
+        spec = ("scalar", spec_cols, pred_groups, probes, resids, keys,
+                rslots, p.rv_ix, 0, 0, 0)
         packed = np.asarray(_fused_run(spec, *p.arrays))
         ns = len(p.rslots)
         outs = packed[:ns]
@@ -1312,8 +1404,8 @@ def try_fused_aggregate(table, plan_scan, hints, group, key_names, slots,
         for _, span in domains:
             m *= span + 2
         if 0 < m <= hops.DIRECT_CAP:
-            spec = ("direct", spec_cols, pred_groups, keys, rslots,
-                    p.rv_ix, 0, 0,
+            spec = ("direct", spec_cols, pred_groups, probes, resids,
+                    keys, rslots, p.rv_ix, 0, 0,
                     tuple(span for _, span in domains))
             los = jnp.asarray(
                 np.array([lo for lo, _ in domains], np.int64))
@@ -1344,8 +1436,8 @@ def try_fused_aggregate(table, plan_scan, hints, group, key_names, slots,
         # rounds would still pay full-row scatter passes
         rounds = 1 if (bound is not None and bound * bound <= n_slots) \
             else 3
-        spec = ("grouped", spec_cols, pred_groups, keys, rslots,
-                p.rv_ix, n_slots, salt, rounds)
+        spec = ("grouped", spec_cols, pred_groups, probes, resids, keys,
+                rslots, p.rv_ix, n_slots, salt, rounds)
         out = _fused_run(spec, *p.arrays)
         mat = np.asarray(out[0])
         if mat[0, 0]:
@@ -1361,11 +1453,30 @@ def try_fused_aggregate(table, plan_scan, hints, group, key_names, slots,
                                      vcounts)
             break
         STATS["fused_retries"] += 1
-    if result is None:
-        # cardinality defeated the ladder: classic path (exact, slower)
-        STATS["fused_bailouts"] += 1
-        return None
     return result
+
+
+def payload_bounds(prep: _ColPrep):
+    """Global (lo, hi) value bounds of a planes/linear column prep from
+    per-block reference values + bit widths (linear adds the slope*i
+    term's range); None for float/dict."""
+    if prep.kind == "planes":
+        lo = min(pp.reference_value for pp in prep.payloads)
+        hi = max(pp.reference_value + (1 << min(pp.width, 62)) - 1
+                 for pp in prep.payloads)
+        return int(lo), int(hi)
+    if prep.kind == "linear":
+        lo = hi = None
+        for pp in prep.payloads:
+            r = pp.residuals
+            lin = round(pp.slope * (BLOCK_ROWS - 1))
+            lb = r.reference_value + min(0, lin)
+            hb = (r.reference_value + (1 << min(r.width, 62)) - 1
+                  + max(0, lin))
+            lo = lb if lo is None else min(lo, lb)
+            hi = hb if hi is None else max(hi, hb)
+        return int(lo), int(hi)
+    return None
 
 
 def _key_domains(p: _Plan):
@@ -1376,6 +1487,13 @@ def _key_domains(p: _Plan):
     for name, dec in zip(p.keys, p.key_decoders):
         if dec[0] == "vocab":
             out.append((0, max(len(dec[1]), 1) - 1))
+            continue
+        kb = p.key_bounds.get(name)
+        if kb is not None:
+            lo, hi = kb
+            if hi - lo >= (1 << 44):
+                return None
+            out.append((lo, hi - lo))
             continue
         payloads = p.key_payloads.get(name)
         if not payloads:
@@ -1396,13 +1514,16 @@ def _cardinality_bound(p: _Plan) -> Optional[int]:
     for name, dec in zip(p.keys, p.key_decoders):
         if dec[0] == "vocab":
             b = max(len(dec[1]), 1)
+        elif name in p.key_bounds:
+            lo, hi = p.key_bounds[name]
+            b = max(min(hi - lo + 1, 1 << 62), 1)
         else:
             pr = None
             for c, ix in p.spec_cols:
                 if c == name:
                     pr = dict(ix)
                     break
-            if pr is None or pr.get("kind") != "planes":
+            if pr is None or pr.get("kind") not in ("planes", "pay"):
                 return None
             b = None
         if b is None:

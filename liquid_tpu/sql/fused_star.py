@@ -1,0 +1,927 @@
+"""Fused device star/snowflake join + aggregation (round-4 headline).
+
+Round 3 fused single-table aggregate queries into one XLA program fed
+straight from the resident encodings; every JOIN still dropped to the
+per-block host path.  This module extends the fused pipeline to the
+star/snowflake shape that dominates TPC-H/TPC-DS (fact table joined to
+a tree of N:1 dimensions on single-column integer/date keys):
+
+    dim (deepest first):  encoded scan -> packed predicates
+        -> residual IR -> child-probe semijoins
+        -> DIRECT-ADDRESS index table over the key domain
+           (key value - lo -> row position; -1 = absent)
+        -> decoded payload columns (values / global dict gids),
+        all DEVICE-RESIDENT (one jitted program per dim)
+    fact: encoded scan -> packed predicates
+        -> per-dim probe (index-table gather, INNER-join mask)
+        -> residual IR over fact + gathered dim columns
+        -> grouped/scalar reduction (ops.hashagg)
+        as ONE jitted program (fused_agg._fused_run with probes)
+
+No host Arrow round-trip anywhere: the only fetches are one combined
+key-uniqueness flag vector and the bounded result matrix.
+
+Join semantics are guarded, never approximated:
+- each dim must be UNIQUE on its join key after filtering; the build
+  program counts duplicates on device and the query bails to the
+  classic host path when any dim key repeats (N:M joins);
+- NULL keys never match (SQL equality), on either side;
+- INNER joins only (outer joins keep the classic path).
+
+Reference behavior being matched: the LiquidCacheReader hot loop
+serving *every* query shape without materializing the encoded form
+(liquid-cache src/datafusion/src/reader/runtime/liquid_cache_reader.rs
+:118-161, with DataFusion's HashJoinExec above it); BASELINE config 3
+names TPC-H Q3 (hash join) explicitly.  A growable hash table is the
+wrong shape for XLA, so the TPU design is scatter-built direct-address
+tables + gather probes (the join twin of ops/hashagg.py's design).
+"""
+from __future__ import annotations
+
+import os
+import re
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pyarrow as pa
+
+from liquid_tpu.ops import mask as mops
+from liquid_tpu.sql import ast
+from liquid_tpu.sql.fused_agg import (
+    STATS, _add, _Bail, _bool_nonnull, _build_vocab, _compile_bool,
+    _compile_expr, _freeze, _make_decoders, _Plan, _plan_slots,
+    _rowvalid, _select_blocks, _selection_packed, _table_prep,
+    _dict_lut, _float_interval, _primitive_interval, execute_plan,
+    payload_bounds,
+)
+from liquid_tpu.sql.physical import collect_columns
+from liquid_tpu.sql.planner import (
+    classify_pushdown, plan_scan_filters, split_conjuncts,
+)
+
+#: index tables larger than this bail (sparse/huge key domains want the
+#: hash-table fallback; 2^27 i32 entries = 512 MB HBM)
+MAX_DIM_SPAN = 1 << 27
+
+STATS.setdefault("star_queries", 0)
+STATS.setdefault("star_bailouts", 0)
+STATS.setdefault("star_dup_bails", 0)
+
+
+# -- dim build program --------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(0,))
+def _dim_build(spec, *arrays):
+    """One dimension's device build: filter -> residual -> child-probe
+    semijoin -> unique-key direct-address index + payload decode.
+
+    spec: (cols, pred_groups, probes, resids, key_name, tblsize,
+           pays, rv_ix, lo_ix)
+    returns (idx i32[tblsize], dup bool, *[vals, nulls] per payload).
+    """
+    (cols, pred_groups, probes, resids, key_name, tblsize, pays,
+     rv_ix, lo_ix) = spec
+    colmap = {c[0]: dict(c[1]) for c in cols}
+    sel = _selection_packed(colmap, pred_groups, arrays, arrays[rv_ix])
+    selb = mops.unpack_bits(sel.reshape(-1))
+    probe_j: Dict[int, jax.Array] = {}
+    decode, col_nulls = _make_decoders(colmap, arrays, selb.shape,
+                                       probe_j)
+    for (pid, kname, idx_ix, plo_ix) in probes:
+        kv = decode(kname, "i64")
+        knl = col_nulls(kname)
+        tbl = arrays[idx_ix]
+        rel = kv - arrays[plo_ix]
+        inb = (rel >= 0) & (rel < tbl.shape[0])
+        j = jnp.where(inb & ~knl,
+                      tbl[jnp.clip(rel, 0, tbl.shape[0] - 1)],
+                      jnp.int32(-1))
+        probe_j[pid] = j
+        selb = selb & (j >= 0)
+    for ir in resids:
+        selb = selb & _bool_nonnull(ir, decode, col_nulls)
+
+    kv = decode(key_name, "i64")
+    knl = col_nulls(key_name)
+    valid = selb & ~knl
+    n = kv.shape[0]
+    rel = kv - arrays[lo_ix]
+    slot = jnp.where(valid, rel, jnp.int64(tblsize))
+    rows = jnp.arange(n, dtype=jnp.int32)
+    idx = jnp.full((tblsize,), -1, jnp.int32).at[slot].set(
+        rows, mode="drop")
+    cnt = jnp.zeros((tblsize,), jnp.int32).at[slot].add(
+        jnp.int32(1), mode="drop")
+    dup = (cnt > 1).any()
+
+    outs: List[jax.Array] = [idx, dup]
+    for (pname, ptype) in pays:
+        outs.append(decode(pname, "f64" if ptype == "f64" else "i64"))
+        outs.append(col_nulls(pname))
+    return tuple(outs)
+
+
+# -- planning -----------------------------------------------------------------
+
+class _Probe:
+    """Runtime handle for one built dimension (device arrays)."""
+
+    __slots__ = ("idx", "lo", "hi", "dup", "verified", "payload",
+                 "vocabs", "pay_bounds", "nbytes", "cache_key")
+
+    def __init__(self):
+        self.dup = None          # device bool scalar, None once verified
+        self.verified = False
+        self.payload = {}        # name -> (vals, nulls|None, ptype)
+        self.vocabs = {}         # name -> vocab_list (gid payloads)
+        self.pay_bounds = {}     # name -> (lo, hi) value bounds
+        self.nbytes = 0
+
+
+class _Fields:
+    """table.field(col) across every leaf (for _plan_slots)."""
+
+    def __init__(self, tables):
+        self._tables = list(tables)
+
+    def field(self, c: str) -> pa.Field:
+        for t in self._tables:
+            if c in t.column_names:
+                return t.field(c)
+        raise KeyError(c)
+
+
+def _like_regex(pat: str):
+    return re.compile(
+        "^" + re.escape(pat).replace("%", ".*").replace("_", ".") + "$",
+        re.DOTALL)
+
+
+def _has_sub(e) -> bool:
+    if isinstance(e, (ast.Subquery, ast.InSubquery, ast.Exists,
+                      ast.CorrLookup)):
+        return True
+    for f_ in getattr(e, "__dataclass_fields__", {}):
+        v = getattr(e, f_)
+        if isinstance(v, ast.Expr) and _has_sub(v):
+            return True
+        if isinstance(v, (list, tuple)):
+            for x in v:
+                if isinstance(x, ast.Expr) and _has_sub(x):
+                    return True
+                if isinstance(x, tuple) and any(
+                        isinstance(y, ast.Expr) and _has_sub(y)
+                        for y in x):
+                    return True
+    return False
+
+
+def _and_all(exprs):
+    out = None
+    for e in exprs:
+        out = e if out is None else ast.Binary("and", out, e)
+    return out
+
+
+def _next_pow2(n: int) -> int:
+    m = 1
+    while m < n:
+        m <<= 1
+    return m
+
+
+class _StarPlanner:
+    def __init__(self, executor, q, group, key_names, slots, rew_keys,
+                 rew_inputs, where):
+        self.ex = executor
+        self.q = q
+        self.group = group
+        self.key_names = key_names
+        self.slots = slots
+        self.rew_keys = rew_keys
+        self.rew_inputs = rew_inputs
+        self.where = where
+        self.preps: Dict[Tuple[str, str], object] = {}
+        self.blocks: Dict[str, tuple] = {}
+        self.plans: Dict[str, object] = {}
+        self.all_probes: List[_Probe] = []  # every dim, any depth
+
+    # -- shape detection ---------------------------------------------------
+
+    def detect(self):
+        leaves: List[ast.TableRef] = []
+        ons: List[ast.Expr] = []
+
+        def walk(rel):
+            if isinstance(rel, ast.Join):
+                if rel.kind not in ("inner", "cross"):
+                    raise _Bail(f"{rel.kind} join")
+                walk(rel.left)
+                walk(rel.right)
+                if rel.on is not None:
+                    ons.extend(split_conjuncts(rel.on))
+            elif isinstance(rel, ast.TableRef):
+                if rel.prefix:
+                    raise _Bail("aliased table")
+                if rel.name not in self.ex.catalog:
+                    raise _Bail(f"non-parquet relation {rel.name}")
+                leaves.append(rel)
+            else:
+                raise _Bail("derived-table relation")
+
+        walk(self.q.from_)
+        if len(leaves) < 2:
+            raise _Bail("single relation")
+        names = [l.name for l in leaves]
+        if len(set(names)) != len(names):
+            raise _Bail("self join")
+        self.tables = {n: self.ex.catalog[n] for n in names}
+        self.owner: Dict[str, str] = {}
+        for n in names:
+            for c in self.tables[n].column_names:
+                if c in self.owner:
+                    raise _Bail(f"ambiguous column {c}")
+                self.owner[c] = n
+
+        conjuncts = split_conjuncts(self.where) + ons
+        edges: List[Tuple[str, str, str, str]] = []
+        self.per_table: Dict[str, List[ast.Expr]] = {n: [] for n in names}
+        self.cross: List[ast.Expr] = []
+        for e in conjuncts:
+            if _has_sub(e):
+                raise _Bail("subquery predicate")
+            cols: set = set()
+            collect_columns(e, cols)
+            owners = set()
+            for c in cols:
+                if c not in self.owner:
+                    raise _Bail(f"unknown column {c}")
+                owners.add(self.owner[c])
+            is_eq = (isinstance(e, ast.Binary) and e.op == "="
+                     and isinstance(e.left, ast.Column)
+                     and isinstance(e.right, ast.Column))
+            if is_eq and len(owners) == 2:
+                a, b = e.left.name, e.right.name
+                edges.append((a, b, self.owner[a], self.owner[b]))
+            elif len(owners) == 1:
+                self.per_table[owners.pop()].append(e)
+            else:
+                self.cross.append(e)
+
+        # fact = largest table; BFS spanning tree over equi edges.
+        # Attachment preference: an edge whose child-side key domain is
+        # narrower than the child's row count can never be unique
+        # (e.g. q5's c_nationkey = s_nationkey attaching customer);
+        # prefer feasible edges, fall back to any (the runtime dup
+        # check still guards correctness).
+        self.fact = max(names, key=lambda n: self.tables[n].num_rows)
+        visited = {self.fact}
+        self.tree: Dict[str, Tuple[str, str, str]] = {}
+        used: set = set()
+        changed = True
+        while changed:
+            changed = False
+            for feasible_only in (True, False):
+                for i, (a, b, ta, tb) in enumerate(edges):
+                    if i in used:
+                        continue
+                    if ta in visited and tb not in visited:
+                        child, par, pcol, ccol = tb, ta, a, b
+                    elif tb in visited and ta not in visited:
+                        child, par, pcol, ccol = ta, tb, b, a
+                    else:
+                        continue
+                    if feasible_only and not self._edge_feasible(
+                            child, ccol):
+                        continue
+                    self.tree[child] = (par, pcol, ccol)
+                    visited.add(child)
+                    used.add(i)
+                    changed = True
+                if changed:
+                    break
+        if visited != set(names):
+            raise _Bail("disconnected join graph")
+        # leftover equalities (cycles / multi-key joins) become
+        # fact-level residuals over gathered payloads
+        for i, (a, b, _ta, _tb) in enumerate(edges):
+            if i not in used:
+                self.cross.append(ast.Binary("=", ast.Column(a),
+                                             ast.Column(b)))
+
+        # join-key types must decode to i64 planes
+        for child, (_par, pcol, ccol) in self.tree.items():
+            for tbl, col in ((child, ccol), (self.owner[pcol], pcol)):
+                t = self.tables[tbl].field(col).type
+                if not (pa.types.is_integer(t) or pa.types.is_date32(t)
+                        or pa.types.is_timestamp(t)):
+                    raise _Bail(f"join key type {t}")
+
+        # children per node
+        self.children: Dict[str, List[str]] = {n: [] for n in names}
+        for child, (par, _p, _c) in self.tree.items():
+            self.children[par].append(child)
+
+        # columns each dim must export (group keys / agg inputs /
+        # cross residuals evaluate at fact level)
+        self.needed_by: Dict[str, set] = {n: set() for n in names}
+        for ge in self.rew_keys:
+            if not isinstance(ge, ast.Column):
+                raise _Bail("non-column group key")
+            self._need(ge.name)
+        for s in self.slots:
+            if s.input is not None:
+                cols = set()
+                collect_columns(self.rew_inputs[s.name], cols)
+                for c in cols:
+                    self._need(c)
+        for e in self.cross:
+            cols = set()
+            collect_columns(e, cols)
+            for c in cols:
+                self._need(c)
+
+    def _edge_feasible(self, child: str, ccol: str) -> bool:
+        """Necessary-condition screen for key uniqueness: the key's
+        value domain must be at least as wide as the (unfiltered) dim
+        row count, and narrow enough for a direct-address table."""
+        try:
+            _, blocks = self._scan(child)
+            if not blocks:
+                return True
+            pr = self.prep_of(child, ccol)
+        except _Bail:
+            return False
+        b = payload_bounds(pr)
+        if b is None:
+            return False
+        span = b[1] - b[0]
+        if span + 2 > MAX_DIM_SPAN:
+            return False
+        return span + 1 >= self.tables[child].num_rows
+
+    def _need(self, c: str):
+        t = self.owner.get(c)
+        if t is None:
+            raise _Bail(f"unknown column {c}")
+        self.needed_by[t].add(c)
+
+    # -- per-table scan state ------------------------------------------------
+
+    def _scan(self, tbl: str):
+        if tbl not in self.plans:
+            plan = plan_scan_filters(_and_all(self.per_table[tbl]))
+            self.plans[tbl] = plan
+            self.blocks[tbl] = _select_blocks(self.tables[tbl], plan)
+        return self.plans[tbl], self.blocks[tbl]
+
+    def prep_of(self, tbl: str, col: str):
+        key = (tbl, col)
+        pr = self.preps.get(key)
+        if pr is None:
+            _, blocks = self._scan(tbl)
+            pr = _table_prep(self.tables[tbl], col, None, blocks)
+            self.preps[key] = pr
+        return pr
+
+    def kind_of(self, col: str) -> str:
+        tbl = self.owner.get(col)
+        if tbl is None:
+            raise _Bail(f"unknown column {col}")
+        _, blocks = self._scan(tbl)
+        if not blocks:
+            from liquid_tpu.sql.fused_agg import _schema_kind
+            return _schema_kind(self.tables[tbl].field(col).type)
+        k = self.prep_of(tbl, col).kind
+        return "planes" if k == "linear" else k
+
+    def vocab_of(self, col: str):
+        tbl = self.owner.get(col)
+        if tbl is None or self.kind_of(col) != "dict":
+            return None
+        _, blocks = self._scan(tbl)
+        if not blocks:
+            return []
+        pr = self.prep_of(tbl, col)
+        _build_vocab(pr)
+        return pr.vocab_list
+
+    def dictres(self, cname, op, lit):
+        try:
+            vocab = self.vocab_of(cname)
+        except _Bail:
+            return None
+        if vocab is None:
+            return None
+        if op == "=":
+            return tuple(i for i, v in enumerate(vocab) if v == lit)
+        if op == "like":
+            pat = _like_regex(str(lit))
+            return tuple(i for i, v in enumerate(vocab)
+                         if v is not None and pat.match(str(v)))
+        return None
+
+    # -- kinds view for the IR compiler --------------------------------------
+
+    class _KindsView(dict):
+        def __init__(self, planner):
+            super().__init__()
+            self.p = planner
+
+        def get(self, c, default=None):
+            try:
+                return self.p.kind_of(c)
+            except _Bail:
+                return default
+
+
+def _register_col(p: _Plan, pr, col: str, want_remap: bool):
+    """Register one owned column's stacked arrays in a plan (mirrors
+    fused_agg._plan_query's registration)."""
+    ix: Dict[str, int] = {"kind": pr.kind}
+    if pr.kind in ("planes", "float", "linear"):
+        ix["planes"] = _add(p, pr.planes_stack)
+        ix["refs"] = _add(p, jnp.asarray(pr.refs))
+        if pr.kind in ("float", "linear"):
+            ix["inv"] = _add(p, jnp.asarray(pr.inv))
+        if pr.kind == "float" and pr.patch_rows is not None:
+            ix["patch_rows"] = _add(p, jnp.asarray(pr.patch_rows))
+            ix["patch_vals"] = _add(p, jnp.asarray(pr.patch_vals))
+    else:
+        ix["codes"] = _add(p, pr.codes_stack)
+        if want_remap:
+            _build_vocab(pr)
+            ix["remap"] = _add(p, pr.remap_stack)
+    if pr.valid_stack is not None:
+        ix["valid"] = _add(p, pr.valid_stack)
+    p.spec_cols.append((col, tuple(sorted(ix.items()))))
+
+
+def _pred_groups(p: _Plan, planner: _StarPlanner, tbl: str, plan_scan,
+                 registered: set, resid_out: List, resid_cols: set):
+    """Lower a table's pushdown groups into the plan (interval / LUT
+    forms; mirrors _plan_query's predicate section).  A group touching
+    a linear-coded column has no packed interval form (values are not
+    monotone in the residual offsets), so it lowers to residual IR
+    (decode-and-compare inside the program) via the group's source
+    expression instead."""
+    kinds_view = _StarPlanner._KindsView(planner)
+    for g in plan_scan.pushdown:
+        if any(planner.prep_of(tbl, c).kind == "linear"
+               for c, _pred in g.alternatives):
+            ir, cols = _compile_bool(g.source, kinds_view,
+                                     planner.dictres)
+            resid_out.append(ir)
+            resid_cols |= cols
+            continue
+        alts = []
+        for c, pred in g.alternatives:
+            pr = planner.prep_of(tbl, c)
+            if c not in registered:
+                _register_col(p, pr, c, want_remap=False)
+                registered.add(c)
+            if pr.kind == "planes":
+                iv = _primitive_interval(pr.payloads, pred)
+                if iv is None:
+                    raise _Bail(f"predicate {pred.op} on {c}")
+                lo, hi, neg = iv
+                alts.append(("iv", c, _add(p, jnp.asarray(lo)),
+                             _add(p, jnp.asarray(hi)), neg))
+            elif pr.kind == "float":
+                iv = _float_interval(pr.payloads, pred)
+                if iv is None:
+                    raise _Bail(f"float predicate {pred.op} on {c}")
+                lo, hi, neg, clear, setw = iv
+                if clear is not None:
+                    alts.append(("ivp", c, _add(p, jnp.asarray(lo)),
+                                 _add(p, jnp.asarray(hi)), neg,
+                                 _add(p, jnp.asarray(clear)),
+                                 _add(p, jnp.asarray(setw))))
+                else:
+                    alts.append(("iv", c, _add(p, jnp.asarray(lo)),
+                                 _add(p, jnp.asarray(hi)), neg))
+            else:
+                lut = _dict_lut(pr.payloads, pred, pr.dmax)
+                if lut is None:
+                    raise _Bail(f"string predicate {pred.op} on {c}")
+                alts.append(("lut", c, _add(p, jnp.asarray(lut))))
+        p.pred_groups.append(tuple(alts))
+
+
+def _payload_type(planner: _StarPlanner, tbl: str, col: str) -> str:
+    k = planner.kind_of(col)
+    if k == "float":
+        return "f64"
+    if k == "dict":
+        return "gid"
+    return "i64"
+
+
+def _build_dim(planner: _StarPlanner, tbl: str) -> _Probe:
+    """Build (or reuse) one dimension's probe struct, children first."""
+    table = planner.tables[tbl]
+    plan_scan, blocks = planner._scan(tbl)
+    parent, pcol, key_col = None, None, planner.tree[tbl][2]
+
+    # children first (their probes feed this build)
+    child_probes: List[Tuple[str, _Probe]] = []
+    for ch in planner.children[tbl]:
+        child_probes.append((ch, _build_dim(planner, ch)))
+
+    # payload set: own exports + cascaded child exports
+    pays: List[Tuple[str, str]] = []
+    for c in sorted(planner.needed_by[tbl]):
+        pays.append((c, _payload_type(planner, tbl, c)))
+    for ch, pb in child_probes:
+        for name, (_v, _n, ptype) in sorted(pb.payload.items()):
+            pays.append((name, ptype))
+
+    if not blocks:
+        # empty dimension: nothing matches (INNER join annihilates)
+        probe = _Probe()
+        probe.idx = jnp.full((2,), -1, jnp.int32)
+        probe.lo = 0
+        probe.hi = -1  # impossible range: prunes the parent scan
+        probe.verified = True
+        for name, ptype in pays:
+            dt = jnp.float64 if ptype == "f64" else jnp.int64
+            probe.payload[name] = (jnp.zeros((1,), dt),
+                                   jnp.zeros((1,), jnp.bool_), ptype)
+        for ch, pb in child_probes:
+            probe.vocabs.update(pb.vocabs)
+        for c in sorted(planner.needed_by[tbl]):
+            if planner.kind_of(c) == "dict":
+                probe.vocabs[c] = planner.vocab_of(c) or []
+        probe.cache_key = ("empty", tbl, tuple(pays))
+        planner.all_probes.append(probe)
+        return probe
+
+    # key domain from the key column's block refs/widths (linear-coded
+    # keys -- sequential primary keys fit linear regression -- bound by
+    # residual domain + slope term)
+    kpr = planner.prep_of(tbl, key_col)
+    kb = payload_bounds(kpr)
+    if kb is None:
+        raise _Bail(f"join key kind {kpr.kind}")
+    lo, hi = kb
+    span = hi - lo
+    if span + 2 > MAX_DIM_SPAN:
+        raise _Bail(f"dim key domain {span} too wide")
+    tblsize = _next_pow2(int(span) + 2)
+
+    # residual IR over this table's own columns
+    kinds_view = _StarPlanner._KindsView(planner)
+    resids = []
+    resid_cols: set = set()
+    for e in plan_scan.residual:
+        ir, cols = _compile_bool(e, kinds_view, planner.dictres)
+        resids.append(ir)
+        resid_cols |= cols
+
+    p = _Plan()
+    registered: set = set()
+    _pred_groups(p, planner, tbl, plan_scan, registered, resids,
+                 resid_cols)
+
+    def reg(c: str, want_remap: bool = False):
+        if c in registered:
+            if want_remap:
+                # re-register with remap if missing
+                for i, (name, ix) in enumerate(p.spec_cols):
+                    if name == c and "remap" not in dict(ix):
+                        pr = planner.prep_of(tbl, c)
+                        _build_vocab(pr)
+                        d = dict(ix)
+                        d["remap"] = _add(p, pr.remap_stack)
+                        p.spec_cols[i] = (c, tuple(sorted(d.items())))
+            return
+        pr = planner.prep_of(tbl, c)
+        _register_col(p, pr, c, want_remap)
+        registered.add(c)
+
+    for c in sorted(resid_cols):
+        reg(c, want_remap=planner.kind_of(c) == "dict")
+    reg(key_col)
+
+    # child probes
+    probes = []
+    pay_specs: List[Tuple[str, str]] = []
+    vocabs: Dict[str, list] = {}
+    pay_bounds: Dict[str, tuple] = {}
+    for pid, (ch, pb) in enumerate(child_probes):
+        _cpar, cpcol, _ccol = planner.tree[ch]
+        reg(cpcol)
+        idx_ix = _add(p, pb.idx)
+        lo_ix = _add(p, jnp.asarray(np.int64(pb.lo)))
+        probes.append((pid, cpcol, idx_ix, lo_ix))
+        for name, (vals, nulls, ptype) in sorted(pb.payload.items()):
+            ix = {"kind": "pay", "probe": pid, "ptype": ptype,
+                  "vals": _add(p, vals)}
+            if nulls is not None:
+                ix["nulls"] = _add(p, nulls)
+            p.spec_cols.append((name, tuple(sorted(ix.items()))))
+        vocabs.update(pb.vocabs)
+        pay_bounds.update(pb.pay_bounds)
+
+    # own payload columns
+    for c in sorted(planner.needed_by[tbl]):
+        k = planner.kind_of(c)
+        reg(c, want_remap=(k == "dict"))
+        if k == "dict":
+            vocabs[c] = planner.vocab_of(c) or []
+        else:
+            b = payload_bounds(planner.prep_of(tbl, c))
+            if b is not None:
+                pay_bounds[c] = b
+    for name, ptype in pays:
+        pay_specs.append((name, ptype))
+
+    rv_ix = _add(p, _rowvalid(table, blocks))
+    klo_ix = _add(p, jnp.asarray(np.int64(lo)))
+
+    spec = (_freeze(p.spec_cols), _freeze(p.pred_groups),
+            _freeze(probes), _freeze(resids), key_col, tblsize,
+            tuple(pay_specs), rv_ix, klo_ix)
+
+    # cache: literals ride in traced arrays, so the cache key must pin
+    # them (plus payload identity for squeeze/evict invalidation)
+    lit_key = tuple(
+        (c, pred.op, pred.literal)
+        for g in plan_scan.pushdown for c, pred in g.alternatives)
+    pay_key = tuple(id(pp) for pp in kpr.payloads)
+    child_keys = tuple(pb.cache_key for _ch, pb in child_probes)
+    cache_key = (spec, lit_key, blocks, pay_key, child_keys)
+    cache = getattr(table, "_star_probe_cache", None)
+    if cache is None:
+        cache = table._star_probe_cache = {}
+    hit = cache.get(cache_key)
+    if hit is not None:
+        planner.all_probes.append(hit)
+        return hit
+
+    outs = _dim_build(spec, *p.arrays)
+    probe = _Probe()
+    probe.idx = outs[0]
+    probe.lo = int(lo)
+    probe.hi = int(hi)
+    probe.dup = outs[1]
+    probe.vocabs = vocabs
+    probe.pay_bounds = pay_bounds
+    probe.cache_key = cache_key
+    k = 2
+    for name, ptype in pay_specs:
+        probe.payload[name] = (outs[k], outs[k + 1], ptype)
+        k += 2
+    probe.nbytes = sum(int(a.size) * a.dtype.itemsize
+                       for a in outs if hasattr(a, "size"))
+    budget = table.cache.budget
+    if budget.try_reserve_memory(probe.nbytes):
+        if len(cache) >= 4:
+            old_key = next(iter(cache))
+            old = cache.pop(old_key)
+            budget.release_memory(old.nbytes)
+        cache[cache_key] = probe
+    else:
+        probe.nbytes = 0  # not cached, not charged
+    planner.all_probes.append(probe)
+    return probe
+
+
+def _plan_fact(planner: _StarPlanner, dims: Dict[str, _Probe]):
+    """Assemble the fact-side _Plan (columns, predicates, probes,
+    residuals, keys, slots)."""
+    from liquid_tpu.sql.device_agg import KeyCodec
+
+    fact = planner.fact
+    table = planner.tables[fact]
+
+    # dynamic probe-key bounds (ref dynamic-filter pruning,
+    # opener.rs:181-198): each dim's key domain becomes range conjuncts
+    # on the fact scan, pruning fact row groups before any IO; an empty
+    # dim yields an impossible range that empties the fact scan
+    assert fact not in planner.plans, "fact scan planned before bounds"
+    for child, probe in dims.items():
+        pcol = planner.tree[child][1]
+        if planner.owner[pcol] != fact:
+            continue
+        if not pa.types.is_integer(table.field(pcol).type):
+            continue
+        planner.per_table[fact].append(
+            ast.Binary(">=", ast.Column(pcol), ast.Literal(probe.lo)))
+        planner.per_table[fact].append(
+            ast.Binary("<=", ast.Column(pcol), ast.Literal(probe.hi)))
+
+    plan_scan, blocks = planner._scan(fact)
+    empty = not blocks
+
+    kinds_view = _StarPlanner._KindsView(planner)
+
+    # compile slot inputs + fact residuals + cross residuals first
+    # (discovers referenced columns)
+    slot_irs: Dict[str, Tuple[tuple, set]] = {}
+    for s in planner.slots:
+        if s.input is None:
+            continue
+        e = planner.rew_inputs[s.name]
+        if s.kind == "count" and isinstance(e, ast.Column) \
+                and planner.kind_of(e.name) == "dict":
+            slot_irs[s.name] = (("col", e.name, "i64"), {e.name})
+        else:
+            slot_irs[s.name] = _compile_expr(e, kinds_view,
+                                             planner.dictres)
+        if s.kind in ("min", "max") and isinstance(e, ast.Column):
+            t = planner.tables[planner.owner[e.name]].field(e.name).type
+            if pa.types.is_uint64(t):
+                raise _Bail("min/max over uint64")
+    resid_irs = []
+    resid_cols: set = set()
+    for e in list(plan_scan.residual) + planner.cross:
+        ir, cols = _compile_bool(e, kinds_view, planner.dictres)
+        resid_irs.append(ir)
+        resid_cols |= cols
+
+    p = _Plan()
+    p.keys = [ge.name for ge in planner.rew_keys]
+    p.key_out = list(planner.key_names)
+    p.resids = resid_irs
+
+    if empty:
+        # zero fact blocks: typed empty result, no probes needed
+        for c in p.keys:
+            _empty_key_decoder(planner, dims, p, c)
+        fields = _Fields(planner.tables.values())
+        _plan_slots(p, planner.slots, slot_irs, planner.rew_inputs,
+                    fields)
+        return p, ("grouped" if planner.key_names else "scalar"), True
+
+    registered: set = set()
+    _pred_groups(p, planner, fact, plan_scan, registered, resid_irs,
+                 resid_cols)
+
+    def reg(c: str, want_remap: bool = False):
+        tbl = planner.owner[c]
+        if tbl != fact:
+            return  # dim column: registered as payload below
+        if c in registered:
+            if want_remap:
+                for i, (name, ix) in enumerate(p.spec_cols):
+                    if name == c and "remap" not in dict(ix):
+                        pr = planner.prep_of(fact, c)
+                        _build_vocab(pr)
+                        d = dict(ix)
+                        d["remap"] = _add(p, pr.remap_stack)
+                        p.spec_cols[i] = (c, tuple(sorted(d.items())))
+            return
+        pr = planner.prep_of(fact, c)
+        _register_col(p, pr, c, want_remap)
+        registered.add(c)
+
+    # probes: fact-adjacent dims + their payload columns
+    probes = []
+    for pid, (child, probe) in enumerate(sorted(
+            (ch, pb) for ch, pb in dims.items()
+            if planner.tree[ch][0] == fact)):
+        pcol = planner.tree[child][1]
+        reg(pcol)
+        idx_ix = _add(p, probe.idx)
+        lo_ix = _add(p, jnp.asarray(np.int64(probe.lo)))
+        probes.append((pid, pcol, idx_ix, lo_ix))
+        for name, (vals, nulls, ptype) in sorted(probe.payload.items()):
+            ix = {"kind": "pay", "probe": pid, "ptype": ptype,
+                  "vals": _add(p, vals)}
+            if nulls is not None:
+                ix["nulls"] = _add(p, nulls)
+            p.spec_cols.append((name, tuple(sorted(ix.items()))))
+    p.probes = probes
+
+    # remaining referenced fact columns (slot inputs, residuals, keys)
+    all_needed: set = set(resid_cols)
+    for s in planner.slots:
+        if s.name in slot_irs:
+            all_needed |= slot_irs[s.name][1]
+    for c in p.keys:
+        all_needed.add(c)
+    for c in sorted(all_needed):
+        if planner.owner[c] == fact:
+            k = planner.kind_of(c)
+            want_remap = (k == "dict") and (
+                c in resid_cols or c in p.keys or any(
+                    c in slot_irs[s.name][1] and slot_irs[s.name][0][0]
+                    != "col" for s in planner.slots
+                    if s.name in slot_irs))
+            reg(c, want_remap=want_remap)
+
+    # key decoders
+    for c in p.keys:
+        tbl = planner.owner[c]
+        if tbl == fact:
+            k = planner.kind_of(c)
+            if k == "dict":
+                pr = planner.prep_of(fact, c)
+                _build_vocab(pr)
+                vt = table.field(c).type
+                if pa.types.is_dictionary(vt):
+                    vt = vt.value_type
+                p.key_decoders.append(("vocab", pr.vocab_list, vt))
+                reg(c, want_remap=True)
+            else:
+                p.key_decoders.append(("codec",
+                                       KeyCodec(table.field(c).type)))
+                b = payload_bounds(planner.prep_of(fact, c))
+                if b is not None:
+                    p.key_bounds[c] = b
+        else:
+            probe = dims[_fact_adjacent(planner, tbl)]
+            _v, _n, ptype = probe.payload[c]
+            ft = planner.tables[tbl].field(c).type
+            if ptype == "gid":
+                vt = ft.value_type if pa.types.is_dictionary(ft) else ft
+                p.key_decoders.append(("vocab", probe.vocabs[c], vt))
+            else:
+                p.key_decoders.append(("codec", KeyCodec(ft)))
+                if c in probe.pay_bounds:
+                    p.key_bounds[c] = probe.pay_bounds[c]
+
+    fields = _Fields(planner.tables.values())
+    _plan_slots(p, planner.slots, slot_irs, planner.rew_inputs, fields)
+    p.rv_ix = _add(p, _rowvalid(table, blocks))
+    return p, ("grouped" if planner.key_names else "scalar"), False
+
+
+def _fact_adjacent(planner: _StarPlanner, tbl: str) -> str:
+    """The fact-adjacent ancestor of a dim (whose probe carries the
+    dim's cascaded payloads)."""
+    while planner.tree[tbl][0] != planner.fact:
+        tbl = planner.tree[tbl][0]
+    return tbl
+
+
+def _empty_key_decoder(planner, dims, p: _Plan, c: str):
+    from liquid_tpu.sql.device_agg import KeyCodec
+    tbl = planner.owner[c]
+    t = planner.tables[tbl].field(c).type
+    k = planner.kind_of(c)
+    if k == "dict":
+        vt = t.value_type if pa.types.is_dictionary(t) else t
+        p.key_decoders.append(("vocab", [], vt))
+    else:
+        p.key_decoders.append(("codec", KeyCodec(t)))
+
+
+# -- public entry -------------------------------------------------------------
+
+def try_fused_star(executor, q, group, key_names, slots, rew_keys,
+                   rew_inputs, where) -> Optional[pa.Table]:
+    """Attempt the fused star-join aggregation.  Returns the merged
+    partial table (key columns + slot columns) or None to fall back to
+    the classic host join path."""
+    if os.environ.get("LIQUID_FUSED", "1") == "0":
+        return None
+    if os.environ.get("LIQUID_FUSED_STAR", "1") == "0":
+        return None
+    try:
+        planner = _StarPlanner(executor, q, group, key_names, slots,
+                               rew_keys, rew_inputs, where)
+        planner.detect()
+        for s in slots:
+            from liquid_tpu.sql.fused_agg import _AGG_KINDS
+            if s.kind not in _AGG_KINDS:
+                raise _Bail(f"aggregate kind {s.kind}")
+        # build the dim tree bottom-up (device programs)
+        dims: Dict[str, _Probe] = {}
+        for child in planner.tree:
+            if planner.tree[child][0] == planner.fact:
+                dims[child] = _build_dim(planner, child)
+        p, mode, empty = _plan_fact(planner, dims)
+    except _Bail as e:
+        STATS["star_bailouts"] += 1
+        STATS["star_last_bail"] = str(e)
+        return None
+    except Exception:
+        if os.environ.get("LIQUID_FUSED_STRICT"):
+            raise
+        STATS["star_bailouts"] += 1
+        return None
+
+    # one combined uniqueness fetch for every unverified dim (any
+    # depth: a snowflake's deep dims must be unique too)
+    unverified = [pb for pb in planner.all_probes if not pb.verified
+                  and pb.dup is not None]
+    if unverified:
+        flags = np.asarray(jnp.stack([pb.dup for pb in unverified]))
+        if flags.any():
+            # N:M join: classic path preserves exact multiplicity
+            STATS["star_dup_bails"] += 1
+            STATS["star_bailouts"] += 1
+            return None
+        for pb in unverified:
+            pb.verified = True
+    STATS["star_queries"] += 1
+    result = execute_plan(p, mode, empty, slots,
+                          planner.tables[planner.fact])
+    if result is None:
+        STATS["star_bailouts"] += 1
+    return result

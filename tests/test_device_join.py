@@ -188,11 +188,14 @@ def test_fallback_on_collision():
     assert dj.STATS["fallback_joins"] == before + 1
 
 
-def test_sql_join_uses_device_join():
-    """End-to-end: an executor join query routes through device_join."""
+def test_sql_join_uses_device_join(monkeypatch):
+    """End-to-end: an executor join query routes through device_join
+    (with the fused star path disabled: star handles this shape fully
+    on-device now, so device_join is the CLASSIC path's join engine)."""
     import tempfile
     import pyarrow.parquet as pq
     from liquid_tpu.sql.session import LiquidCacheLocalBuilder
+    monkeypatch.setenv("LIQUID_FUSED_STAR", "0")
 
     rng = np.random.default_rng(5)
     with tempfile.TemporaryDirectory() as d:
