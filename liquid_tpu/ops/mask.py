@@ -104,6 +104,28 @@ def none_set(n_rows: int) -> jax.Array:
     return jnp.zeros((num_words(n_rows),), dtype=_U32)
 
 
+@functools.lru_cache(maxsize=1024)
+def all_set_host(n_rows: int, length=None) -> np.ndarray:
+    """Host (numpy) twin of all_set: packed uint32 selection with the
+    first `length` bits set.  Read-only (cached)."""
+    if length is None:
+        length = n_rows
+    w = num_words(n_rows)
+    host = np.zeros(w, dtype=np.uint32)
+    full_words = min(length // WORD_BITS, w)
+    host[:full_words] = 0xFFFFFFFF
+    rem = length - full_words * WORD_BITS
+    if 0 < rem and full_words < w:
+        host[full_words] = (1 << rem) - 1
+    host.setflags(write=False)
+    return host
+
+
+def count_host(words: np.ndarray) -> int:
+    """Host popcount of a packed selection (no device dispatch)."""
+    return int(np.unpackbits(np.asarray(words).view(np.uint8)).sum())
+
+
 def count(words: jax.Array) -> jax.Array:
     """Popcount over packed mask -> int32 scalar."""
     return jax.lax.population_count(words).astype(jnp.int32).sum()

@@ -626,6 +626,19 @@ class DeviceScalarAggregator:
 
 # -- hybrid routing -----------------------------------------------------------
 
+def _prefer_host() -> bool:
+    """Classic-path chunks live in HOST memory (decoded Arrow); on a
+    real TPU backend shipping them across the PCIe/tunnel boundary per
+    query loses to a host hash aggregation every time (measured: ~10 s
+    of device fetches for a 1M-row arrow-mode GROUP BY vs ~0.3 s of
+    pyarrow).  Device execution wins only when the data is ALREADY
+    device-resident -- that is the fused path's job (sql/fused_agg,
+    sql/fused_star).  On the CPU backend both run on the host, so the
+    XLA path stays (it is what the multi-chip mesh shards)."""
+    import jax
+    return jax.default_backend() == "tpu"
+
+
 class HybridGroupedAggregator:
     """Routes to DeviceGroupedAggregator when supported, else to the
     pyarrow GroupedAggregator; the decision is made on the FIRST update
@@ -635,7 +648,8 @@ class HybridGroupedAggregator:
         self.key_names = key_names
         self.slots = slots
         self._impl = None
-        self._device_ok = all(s.kind in DEVICE_KINDS for s in slots)
+        self._device_ok = all(s.kind in DEVICE_KINDS for s in slots) \
+            and not _prefer_host()
 
     def update(self, keys, inputs, n_rows) -> None:
         if self._impl is None:
@@ -667,7 +681,8 @@ class HybridScalarAggregator:
     def __init__(self, slots):
         self.slots = slots
         self._impl = None
-        self._device_ok = all(s.kind in DEVICE_KINDS for s in slots)
+        self._device_ok = all(s.kind in DEVICE_KINDS for s in slots) \
+            and not _prefer_host()
 
     def update(self, inputs, n_rows) -> None:
         if self._impl is None:

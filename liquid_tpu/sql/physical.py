@@ -200,11 +200,30 @@ def scan_blocks(table, plan: ScanPlan, hints: Dict[str, object],
     syncs dominated the scan on TPU, PERF_NOTES.md).
     """
     import jax.numpy as jnp
+
+    # Selections are DUAL-representation: numpy uint32 words while every
+    # contributing mask is host-origin (arrow-mode pyarrow fallbacks,
+    # residual expressions), promoted to device words the moment an
+    # encoded predicate mask (device) joins in.  Arrow mode therefore
+    # never touches the device in this loop -- through the axon tunnel a
+    # single count fetch costs more than a whole 1M-row host popcount.
+    def _sel_and(a, b):
+        if isinstance(a, np.ndarray) and isinstance(b, np.ndarray):
+            return a & b
+        return jnp.asarray(a) & jnp.asarray(b)
+
+    def _sel_counts(live_sels):
+        if all(isinstance(s, np.ndarray) for s in live_sels):
+            return np.array([mops.count_host(s) for s in live_sels])
+        return np.asarray(mops.count_many(
+            jnp.stack([jnp.asarray(s) for s in live_sels])))
+
     rgs = table.prune_row_groups(plan.stats_preds)
     for rg in rgs:
         n_b = table.num_batches(rg)
         lengths = [table.batch_length(rg, b) for b in range(n_b)]
-        sels = [mops.all_set(BLOCK_ROWS, lengths[b]) for b in range(n_b)]
+        sels = [mops.all_set_host(BLOCK_ROWS, lengths[b])
+                for b in range(n_b)]
         alive = [True] * n_b
         deferred: List[List] = [[] for _ in range(n_b)]  # arrow-fallback exprs
         may = getattr(table, "batch_may_match", None)
@@ -244,10 +263,9 @@ def scan_blocks(table, plan: ScanPlan, hints: Dict[str, object],
                     deferred[b].append(group.source)
                 continue
             for b in live:
-                sels[b] = sels[b] & combined[b].to_selection()
+                sels[b] = _sel_and(sels[b], combined[b].to_selection())
             # ONE count fetch for the whole group across live batches
-            counts = np.asarray(mops.count_many(
-                jnp.stack([sels[b] for b in live])))
+            counts = _sel_counts([sels[b] for b in live])
             for j, b in enumerate(live):
                 if counts[j] == 0:
                     alive[b] = False
@@ -272,9 +290,8 @@ def scan_blocks(table, plan: ScanPlan, hints: Dict[str, object],
             if any(masks.get(b) is None for b in live):
                 continue  # best-effort: encoded path only
             for b in live:
-                sels[b] = sels[b] & masks[b].to_selection()
-            counts = np.asarray(mops.count_many(
-                jnp.stack([sels[b] for b in live])))
+                sels[b] = _sel_and(sels[b], masks[b].to_selection())
+            counts = _sel_counts([sels[b] for b in live])
             for j, b in enumerate(live):
                 if counts[j] == 0:
                     alive[b] = False
@@ -317,19 +334,26 @@ def scan_blocks(table, plan: ScanPlan, hints: Dict[str, object],
                 batch = Batch({c: _full(table, rg, b, c, cols_cache, hints)
                                for c in cols}, length)
                 m = _pred_to_expr_mask(batch, conj)
-                sel = sel & _bool_to_packed(m, length)
+                sel = _sel_and(sel, _bool_to_packed(m, length))
                 touched[b] = True
             final.append((b, sel))
-        # untouched full-scan selections are known: no device fetch at all
-        fetched = [b for b, _ in final if touched[b]]
+        # untouched full-scan selections are known: no device fetch at
+        # all; host-resident (numpy) selections unpack on the host
+        fetched = [b for b, s in final
+                   if touched[b] and not isinstance(s, np.ndarray)]
         if fetched:
-            stacked = jnp.stack([s for b, s in final if touched[b]])
+            stacked = jnp.stack([s for b, s in final if b in set(fetched)])
             # ONE host transfer for the whole row group's selections
             allbits = np.asarray(mops.unpack_many(stacked))
             row = {b: j for j, b in enumerate(fetched)}
-        for b, _ in final:
+        for b, s in final:
             if not touched[b]:
                 idx = np.arange(lengths[b], dtype=np.int64)
+            elif isinstance(s, np.ndarray):
+                idx = np.flatnonzero(
+                    mops.unpack_bits_host(s)[:lengths[b]])
+                if idx.size == 0:
+                    continue
             else:
                 idx = np.flatnonzero(allbits[row[b]][:lengths[b]])
                 if idx.size == 0:
@@ -427,12 +451,14 @@ def _full(table, rg, b, col, cache_dict, hints):
     return arr
 
 
-def _bool_to_packed(m: pa.Array, length: int):
-    import jax.numpy as jnp
+def _bool_to_packed(m: pa.Array, length: int) -> np.ndarray:
+    """pyarrow bool mask -> packed uint32 words, HOST-side: the mask
+    originates on the host, so packing must not pay a device round-trip
+    (scan_blocks promotes to device only when an encoded mask joins)."""
     vals = np.zeros(BLOCK_ROWS, dtype=bool)
     mm = np.asarray(m.fill_null(False).cast(pa.bool_()))[:length]
     vals[:length] = mm
-    return mops.pack_bools(jnp.asarray(vals))
+    return mops.pack_bools_host(vals)
 
 
 # -- aggregate execution ---------------------------------------------------
