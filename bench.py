@@ -87,15 +87,20 @@ def prepare_hits(rows: int) -> str:
     return out
 
 
-def prepare_lineitem(sf: float) -> str:
-    out = f"/tmp/liquid_bench_lineitem_{sf}.parquet"
-    if not os.path.exists(out):
+def prepare_tpch(sf: float) -> dict:
+    """lineitem + orders + customer parquet at scale `sf` (orders and
+    customer feed the q3 join)."""
+    names = ("lineitem", "orders", "customer")
+    paths = {n: f"/tmp/liquid_bench_{n}_{sf}.parquet" for n in names}
+    if not all(os.path.exists(p) for p in paths.values()):
         import pyarrow.parquet as pq
         from liquid_tpu.bench.tpch_data import generate
-        t = generate(sf)["lineitem"]
-        pq.write_table(t, out + ".tmp", row_group_size=1 << 20)
-        os.replace(out + ".tmp", out)
-    return out
+        t = generate(sf)
+        for n in names:
+            pq.write_table(t[n], paths[n] + ".tmp",
+                           row_group_size=1 << 20)
+            os.replace(paths[n] + ".tmp", paths[n])
+    return paths
 
 
 #: (name, table, needed columns, sql)
@@ -113,57 +118,87 @@ def queries(hits_rows, li_rows):
  FROM lineitem WHERE l_shipdate >= date '1994-01-01'
  AND l_shipdate < date '1995-01-01'
  AND l_discount between 0.05 and 0.07 AND l_quantity < 24"""
+    Q3 = """SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount))
+ as revenue, o_orderdate, o_shippriority
+ FROM customer, orders, lineitem
+ WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+ AND l_orderkey = o_orderkey AND o_orderdate < date '1995-03-15'
+ AND l_shipdate > date '1995-03-15'
+ GROUP BY l_orderkey, o_orderdate, o_shippriority
+ ORDER BY revenue desc, o_orderdate LIMIT 10"""
+    #: (name, {table: [warm columns]}, rows, sql)
     return [
-        ("cb_filter", "hits", hits_rows, ["AdvEngineID"],
+        ("cb_filter", {"hits": ["AdvEngineID"]}, hits_rows,
          'SELECT COUNT(*) FROM hits WHERE "AdvEngineID" <> 0'),
-        ("cb_groupby", "hits", hits_rows,
-         ["RegionID", "AdvEngineID", "ResolutionWidth"],
+        ("cb_groupby",
+         {"hits": ["RegionID", "AdvEngineID", "ResolutionWidth"]},
+         hits_rows,
          'SELECT "RegionID", SUM("AdvEngineID"), COUNT(*) AS c, '
          'AVG("ResolutionWidth") FROM hits GROUP BY "RegionID" '
          'ORDER BY c DESC LIMIT 10'),
-        ("cb_like", "hits", hits_rows, ["URL"],
+        ("cb_like", {"hits": ["URL"]}, hits_rows,
          'SELECT COUNT(*) FROM hits WHERE "URL" LIKE \'%yandex%\''),
-        ("tpch_q1", "lineitem", li_rows,
-         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
-          "l_discount", "l_tax", "l_shipdate"], Q1),
-        ("tpch_q6", "lineitem", li_rows,
-         ["l_extendedprice", "l_discount", "l_shipdate", "l_quantity"], Q6),
+        ("tpch_q1", {"lineitem": [
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax", "l_shipdate"]},
+         li_rows, Q1),
+        ("tpch_q6", {"lineitem": [
+            "l_extendedprice", "l_discount", "l_shipdate",
+            "l_quantity"]}, li_rows, Q6),
+        # the join headline (BASELINE config 3 names Q3 explicitly):
+        # fused star path builds customer/orders device index tables
+        # and probes them from the lineitem scan
+        ("tpch_q3", {"lineitem": ["l_orderkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"],
+                     "orders": ["o_orderkey", "o_custkey", "o_orderdate",
+                                "o_shippriority"],
+                     "customer": ["c_custkey", "c_mktsegment"]},
+         li_rows, Q3),
     ]
 
 
-def run_mode(mode, hits_path, li_path, qs):
+def run_mode(mode, paths, qs):
     from liquid_tpu.bench.runner import make_session
+    from liquid_tpu.sql.fused_agg import STATS
     import tempfile
     ctx, cache = make_session(mode, 16 << 30, tempfile.mkdtemp())
-    ctx.register_parquet("hits", hits_path)
-    ctx.register_parquet("lineitem", li_path)
+    for name, path in paths.items():
+        ctx.register_parquet(name, path)
     times = {}
     results = {}
+    routes = {}
     # warm-up phase 1: transcode (parquet read + encode, host-only)
     t0 = time.perf_counter()
-    for name, table, rows, cols, sql in qs:
-        pt = ctx._tables[table]
-        for rg in range(pt.num_row_groups):
-            for c in cols:
-                pt.ensure_cached(rg, c)
+    for name, tcols, rows, sql in qs:
+        for table, cols in tcols.items():
+            pt = ctx._tables[table]
+            for rg in range(pt.num_row_groups):
+                for c in cols:
+                    pt.ensure_cached(rg, c)
     t_transcode = time.perf_counter() - t0
     # warm-up phase 2: compile + first execution
     t0 = time.perf_counter()
-    for name, table, rows, cols, sql in qs:
+    for name, tcols, rows, sql in qs:
         results[name] = ctx.sql(sql).to_arrow()
     t_compile = time.perf_counter() - t0
     log(f"[{mode}] warm-up: transcode {t_transcode:.1f}s, "
         f"compile+first-exec {t_compile:.1f}s")
-    for name, table, rows, cols, sql in qs:
+    for name, tcols, rows, sql in qs:
         best = float("inf")
         for _ in range(ITERS):
+            b_f = STATS.get("fused_queries", 0)
+            b_s = STATS.get("star_queries", 0)
             t0 = time.perf_counter()
             ctx.sql(sql)
             best = min(best, time.perf_counter() - t0)
+            routes[name] = ("star" if STATS.get("star_queries", 0) > b_s
+                            else "fused"
+                            if STATS.get("fused_queries", 0) > b_f
+                            else "classic")
         times[name] = best
         log(f"[{mode}] {name}: {best * 1000:.1f} ms "
-            f"({rows / best / 1e6:.1f} Mrows/s)")
-    return times, results, (t_transcode, t_compile), ctx
+            f"({rows / best / 1e6:.1f} Mrows/s) [{routes[name]}]")
+    return times, results, (t_transcode, t_compile), ctx, routes
 
 
 def _timed_loop(fn, args, iters):
@@ -349,9 +384,10 @@ def main():
                               "1" if on_tpu else "0.02"))
     log(f"backend={jax.default_backend()} hits_rows={hits_rows} sf={sf}")
     hits_path = prepare_hits(hits_rows)
-    li_path = prepare_lineitem(sf)
+    tpch_paths = prepare_tpch(sf)
+    paths = dict(tpch_paths, hits=hits_path)
     import pyarrow.parquet as pq
-    li_rows = pq.ParquetFile(li_path).metadata.num_rows
+    li_rows = pq.ParquetFile(tpch_paths["lineitem"]).metadata.num_rows
     import pyarrow.compute as pc
     hits_t = pq.read_table(hits_path, columns=["URL", "RegionID"])
     card = {"url_distinct": pc.count_distinct(hits_t.column("URL")).as_py(),
@@ -359,13 +395,13 @@ def main():
                 pc.count_distinct(hits_t.column("RegionID")).as_py(),
             "hits_rows": hits_rows, "lineitem_rows": li_rows,
             "hits_bytes": os.path.getsize(hits_path),
-            "lineitem_bytes": os.path.getsize(li_path)}
+            "lineitem_bytes": os.path.getsize(tpch_paths["lineitem"])}
     del hits_t
     log(f"data: {card}")
     qs = queries(hits_rows, li_rows)
 
-    t_liquid, r_liquid, warm_l, ctx_l = run_mode(
-        "liquid", hits_path, li_path, qs)
+    t_liquid, r_liquid, warm_l, ctx_l, routes = run_mode(
+        "liquid", paths, qs)
     ops = operator_rooflines(ctx_l)
     for k, v in ops.items():
         if "rows_per_s" not in v:
@@ -375,13 +411,13 @@ def main():
             f"{v['gbytes_per_s']:.0f} GB/s, "
             f"roofline {v['roofline_frac'] * 100:.0f}%")
     del ctx_l
-    t_arrow, r_arrow, warm_a, ctx_a = run_mode(
-        "arrow", hits_path, li_path, qs)
+    t_arrow, r_arrow, warm_a, ctx_a, _routes_a = run_mode(
+        "arrow", paths, qs)
     del ctx_a
     # correctness gate: both modes must agree before any number is
     # reported (the reference's answer-verification, clickbench_client.rs)
     import pyarrow as pa
-    for name, _, _, _, _ in qs:
+    for name, _, _, _ in qs:
         a, b = r_liquid[name], r_arrow[name]
         assert a.num_rows == b.num_rows, (name, a.num_rows, b.num_rows)
         for col in range(a.num_columns):
@@ -394,7 +430,7 @@ def main():
                 assert ca.to_pylist() == cb.to_pylist(), name
     log("correctness gate: liquid == arrow on all queries")
 
-    total_rows = sum(rows for _, _, rows, _, _ in qs)
+    total_rows = sum(rows for _, _, rows, _ in qs)
     sum_liquid = sum(t_liquid.values())
     sum_arrow = sum(t_arrow.values())
     value = total_rows / sum_liquid
@@ -416,6 +452,7 @@ def main():
                      "arrow_transcode": round(warm_a[0], 1),
                      "arrow_compile": round(warm_a[1], 1)},
         "data": card,
+        "routes": routes,
         "operators": ops,
         "micro_packed_compare_rows_per_s": micro,
     }))

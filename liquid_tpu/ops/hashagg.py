@@ -110,11 +110,16 @@ def direct_reduce_packed(codes, knulls, valid, vals, vnulls, kinds,
 
     got = {}
     #: below this table size, masked streaming reductions beat scatter:
-    #: an XLA TPU scatter is latency-bound (~100ns/row) while a masked
+    #: an XLA TPU scatter is latency-bound (~100ns/row REGARDLESS of
+    #: payload width; dropped rows still cost ~67ns) while a masked
     #: full-array reduce runs at HBM bandwidth -- m passes over the
-    #: payloads cost m*n*8B of streamed traffic, a win while m is tiny
-    #: (the GROUP BY l_returnflag, l_linestatus shape)
+    #: payloads cost m*n*K*8B of streamed traffic.  Crossover measured
+    #: on v5e: streaming wins while m*K*8B/787GB/s < ~90ns, i.e.
+    #: m*K < ~8800; STREAM_ELEMS stays under it with margin.  Tiny m
+    #: unrolls (XLA fuses the passes); the middle tier rides fori_loop
+    #: to keep compile time flat.
     SMALL = 64
+    STREAM_ELEMS = 6144
 
     def run_batch(groups, op):
         for dt, cols in groups.items():
@@ -133,6 +138,27 @@ def direct_reduce_packed(codes, knulls, valid, vals, vnulls, kinds,
                         rows.append(jnp.where(
                             sel, stackv, _neutral(dt, "max")).max(axis=0))
                 tbl = jnp.stack(rows)
+            elif m * len(cols) <= STREAM_ELEMS:
+                if op == "add":
+                    neutral = jnp.zeros((), dt)
+                elif op == "min":
+                    neutral = _neutral(dt, "min")
+                else:
+                    neutral = _neutral(dt, "max")
+
+                def body(s, tbl):
+                    sel = (slot == s)[:, None]
+                    masked = jnp.where(sel, stackv, neutral)
+                    if op == "add":
+                        row = masked.sum(axis=0)
+                    elif op == "min":
+                        row = masked.min(axis=0)
+                    else:
+                        row = masked.max(axis=0)
+                    return tbl.at[s].set(row)
+
+                tbl = jax.lax.fori_loop(
+                    0, m, body, jnp.full((m, len(cols)), neutral, dt))
             elif op == "add":
                 tbl = jnp.zeros((m, len(cols)), dt
                                 ).at[slot].add(stackv, mode="drop")
@@ -160,22 +186,22 @@ def direct_reduce_packed(codes, knulls, valid, vals, vnulls, kinds,
         kreps.append(jnp.where(isnull, jnp.int64(0), idx + los[i]))
         nreps.append(isnull)
 
-    pos = jnp.cumsum(occ.astype(jnp.int32)) - 1
-    n_groups = occ.sum(dtype=jnp.int32)
-    dest = jnp.where(occ, pos, m)
-    ukeys = tuple(jnp.zeros((m,), jnp.int64).at[dest].set(
-        kreps[i], mode="drop") for i in range(nk))
-    uknulls = tuple(jnp.zeros((m,), jnp.bool_).at[dest].set(
-        nreps[i], mode="drop") for i in range(nk))
-    outs = tuple(jnp.zeros((m,), vals[j].dtype).at[dest].set(
-        got[("add" if kinds[j] == "sum" else kinds[j], "acc", j)],
-        mode="drop") for j in range(len(vals)))
-    vcounts = tuple(jnp.zeros((m,), jnp.int64).at[dest].set(
-        got[("add", "cnt", j)], mode="drop") for j in range(len(vals)))
+    # pack by searchsorted-gather (see hash_rounds_reduce_packed: the
+    # scatter-based prefix pack cost ~100ns per SLOT per column)
+    pos = jnp.cumsum(occ.astype(jnp.int32))
+    n_groups = pos[-1]
+    kcat = tuple(kreps)
+    ncat = tuple(nreps)
+    ocat = tuple(got[("add" if kinds[j] == "sum" else kinds[j],
+                      "acc", j)] for j in range(len(vals)))
+    ccat = tuple(got[("add", "cnt", j)] for j in range(len(vals)))
     w = min(m, PACK_CAP)
+    ukeys, uknulls, outs, vcounts = _pack_by_search(
+        pos, kcat, ncat, ocat, ccat, w)
     mat = _pack_outputs(jnp.bool_(True), n_groups, ukeys, uknulls, outs,
                         vcounts, w)
-    return (mat, jnp.bool_(True), n_groups, ukeys, uknulls, outs, vcounts)
+    return (mat, jnp.bool_(True), n_groups,
+            (occ,) + kcat + ncat + ocat + ccat)
 
 
 @partial(jax.jit, static_argnames=("kinds", "n_slots", "salt", "rounds"))
@@ -289,32 +315,58 @@ def hash_rounds_reduce_packed(codes, knulls, valid, vals, vnulls, kinds,
         live = live & dirty[jnp.clip(slot, 0, n_slots - 1)]
 
     clean = live.sum(dtype=jnp.int64) == 0
-    # concatenate rounds and prefix-pack clean groups
+    # Concatenate rounds (free: no data movement beyond the concat) and
+    # pack the leading PACK_CAP groups by SEARCHSORTED-GATHER.  The old
+    # form scattered every output column into a prefix-packed [m] array
+    # (m = rounds * n_slots): 16+ scatter passes of m indices each --
+    # ~100ns/index on a TPU whether the slot is occupied or not, which
+    # for a 4M-slot stage cost SECONDS per query.  A gather is 5x
+    # cheaper per element and only w=65k of them are needed.
     m = rounds * n_slots
-    occ_all = jnp.concatenate(occs)
-    pos = jnp.cumsum(occ_all.astype(jnp.int32)) - 1
-    n_groups = occ_all.sum(dtype=jnp.int32)
-    dest = jnp.where(occ_all, pos, m)
     nk = len(codes)
-    ukeys = tuple(
-        jnp.zeros((m,), codes[i].dtype).at[dest].set(
-            jnp.concatenate([kreps_r[r][i] for r in range(rounds)]),
-            mode="drop") for i in range(nk))
-    uknulls = tuple(
-        jnp.zeros((m,), jnp.bool_).at[dest].set(
-            jnp.concatenate([nreps_r[r][i] for r in range(rounds)]),
-            mode="drop") for i in range(nk))
-    outs = tuple(
-        jnp.zeros((m,), vals[j].dtype).at[dest].set(
-            jnp.concatenate([outs_r[r][j] for r in range(rounds)]),
-            mode="drop") for j in range(len(vals)))
-    vcounts = tuple(
-        jnp.zeros((m,), jnp.int64).at[dest].set(
-            jnp.concatenate([cnts_r[r][j] for r in range(rounds)]),
-            mode="drop") for j in range(len(vals)))
+    occ_all = jnp.concatenate(occs)
+    pos = jnp.cumsum(occ_all.astype(jnp.int32))
+    n_groups = pos[-1]
+    kcat = tuple(jnp.concatenate([kreps_r[r][i] for r in range(rounds)])
+                 for i in range(nk))
+    ncat = tuple(jnp.concatenate([nreps_r[r][i] for r in range(rounds)])
+                 for i in range(nk))
+    ocat = tuple(jnp.concatenate([outs_r[r][j] for r in range(rounds)])
+                 for j in range(len(vals)))
+    ccat = tuple(jnp.concatenate([cnts_r[r][j] for r in range(rounds)])
+                 for j in range(len(vals)))
     w = min(m, PACK_CAP)
+    ukeys, uknulls, outs, vcounts = _pack_by_search(
+        pos, kcat, ncat, ocat, ccat, w)
     mat = _pack_outputs(clean, n_groups, ukeys, uknulls, outs, vcounts, w)
-    return (mat, clean, n_groups, ukeys, uknulls, outs, vcounts)
+    # slot-ordered (unpacked) columns ride along for the g > PACK_CAP
+    # re-fetch (repack_groups); they are already materialized, so
+    # returning them costs nothing extra
+    return (mat, clean, n_groups, (occ_all,) + kcat + ncat + ocat + ccat)
+
+
+def _pack_by_search(pos, kcat, ncat, ocat, ccat, w: int):
+    """Gather the first `w` occupied groups: src[j] = first slot whose
+    inclusive occupancy cumsum reaches j+1 (binary search, no scatter)."""
+    src = jnp.clip(
+        jnp.searchsorted(pos, jnp.arange(1, w + 1, dtype=pos.dtype)),
+        0, pos.shape[0] - 1)
+    return (tuple(k[src] for k in kcat), tuple(n[src] for n in ncat),
+            tuple(o[src] for o in ocat), tuple(c[src] for c in ccat))
+
+
+@partial(jax.jit, static_argnames=("nk", "nv", "w"))
+def repack_groups(cols, nk: int, nv: int, w: int):
+    """Re-pack a reduction's slot-ordered outputs at a larger width
+    (the caller learned n_groups > PACK_CAP from the header): cols is
+    (occ, *ukeys[nk], *uknulls[nk], *outs[nv], *vcounts[nv])."""
+    occ = cols[0]
+    pos = jnp.cumsum(occ.astype(jnp.int32))
+    kcat = cols[1:1 + nk]
+    ncat = cols[1 + nk:1 + 2 * nk]
+    ocat = cols[1 + 2 * nk:1 + 2 * nk + nv]
+    ccat = cols[1 + 2 * nk + nv:]
+    return _pack_by_search(pos, kcat, ncat, ocat, ccat, w)
 
 
 def _pack_outputs(clean, ng, ukeys, uknulls, outs, vcounts, w):

@@ -61,7 +61,11 @@ _W = BLOCK_ROWS // 32
 #: the distributed session's _HASH_STAGES); every stage is exact
 _STAGES = ((1 << 13, 0x9E3779B97F4A7C15),
            (1 << 17, 0xC2B2AE3D27D4EB4F),
-           (1 << 20, 0x165667B19E3779F9))
+           (1 << 20, 0x165667B19E3779F9),
+           # million-group queries (TPC-H q3 at SF10 groups by
+           # l_orderkey: ~1.2M distinct): 4M slots keep the birthday
+           # load factor low enough for 3 rounds to converge
+           (1 << 22, 0x27D4EB2F165667C5))
 
 #: module counters (tests assert routing; bench reports them)
 STATS = {"fused_queries": 0, "fused_grouped": 0, "fused_scalar": 0,
@@ -1256,8 +1260,10 @@ def _plan_slots(p, slots, slot_irs, rew_inputs, table) -> None:
             p.slot_map.append((s.kind, (base,)))
         elif s.kind in ("sum", "avg", "min", "max"):
             ir, cols = slot_irs[s.name]
-            if s.kind == "avg":
-                ir = _as_f64(ir)
+            # avg over an INT input accumulates exactly in i64 and
+            # divides at decode: forcing f64 here would cost a second
+            # scatter pass (payload dtypes batch per pass, ~90 ns/row
+            # each) for zero precision gain
             dt = _ir_dtype(ir)
             p.rslots.append((s.kind if s.kind in ("min", "max") else "sum",
                              dt, ir, tuple(sorted(cols))))
@@ -1309,7 +1315,10 @@ def _decode_slot_value(kind, t: pa.DataType, acc: np.ndarray,
             return pa.array(acc.view(np.uint64), pa.uint64(), mask=m)
         return pa.array(acc, pa.int64(), mask=m)
     if kind == "avg":
-        v = acc.view(np.float64) if acc.dtype == np.int64 else acc
+        if dt == "i64":
+            v = acc.astype(np.float64)  # exact i64 accumulation
+        else:
+            v = acc.view(np.float64) if acc.dtype == np.int64 else acc
         with np.errstate(invalid="ignore", divide="ignore"):
             out = v / cnt.astype(np.float64)
         return pa.array(out, pa.float64(), mask=m)
@@ -1414,9 +1423,7 @@ def execute_plan(p: _Plan, mode: str, empty: bool, slots,
             g = int(mat[0, 1])
             if g <= mat.shape[1]:
                 return _parse_packed(p, slots, mat, g)
-            _, _, ng, ukeys, uknulls, outs, vcounts = out
-            return _parse_full(p, slots, g, ukeys, uknulls, outs,
-                               vcounts)
+            return _fetch_full(p, slots, g, out[3])
     hint_key = ("stage", keys)
     start = getattr(table, "_fused_stage_hint", {}).get(hint_key, 0)
     # static cardinality bound (dict vocab size / int domain span) picks
@@ -1448,9 +1455,7 @@ def execute_plan(p: _Plan, mode: str, empty: bool, slots,
             if g <= mat.shape[1]:
                 result = _parse_packed(p, slots, mat, g)
             else:
-                _, _, ng, ukeys, uknulls, outs, vcounts = out
-                result = _parse_full(p, slots, g, ukeys, uknulls, outs,
-                                     vcounts)
+                result = _fetch_full(p, slots, g, out[3])
             break
         STATS["fused_retries"] += 1
     return result
@@ -1552,6 +1557,17 @@ def _parse_packed(p: _Plan, slots, mat: np.ndarray, g: int) -> pa.Table:
     vcounts = [mat[r + j][:g] for j in range(nv)]
     return _build_result(p, slots, g, ukeys, uknulls, outs, vcounts,
                          packed_i64=True)
+
+
+def _fetch_full(p: _Plan, slots, g: int, cols) -> pa.Table:
+    """n_groups exceeded the packed-fetch cap: re-pack the reduction's
+    slot-ordered outputs at the next power-of-two width and fetch."""
+    nk, nv = len(p.keys), len(p.rslots)
+    w2 = 1
+    while w2 < g:
+        w2 <<= 1
+    ukeys, uknulls, outs, vcounts = hops.repack_groups(cols, nk, nv, w2)
+    return _parse_full(p, slots, g, ukeys, uknulls, outs, vcounts)
 
 
 def _parse_full(p: _Plan, slots, g, ukeys, uknulls, outs, vcounts):

@@ -1,0 +1,68 @@
+"""One engine, two placements (VERDICT r3 item 5): every TPC-H query
+text COMPLETES on DistributedSession -- distributed where the mesh
+planner supports the shape, gracefully degraded to the single-host
+engine elsewhere -- with results matching the independent pandas
+oracles.  The supported set is REPORTED (route_stats) and pinned so it
+can only grow."""
+import numpy as np
+import pandas as pd
+import pytest
+
+pytestmark = pytest.mark.slow
+
+from liquid_tpu.bench import tpch_data, tpch_queries, tpch_ref
+from liquid_tpu.parallel.session import DistributedSession
+
+SF = 0.01
+
+#: queries that MUST run distributed (regression fence; growth is
+#: welcome, shrinkage is a failure)
+EXPECT_DISTRIBUTED = {1, 3, 5, 6, 10, 12, 14, 19}
+
+
+@pytest.fixture(scope="module")
+def sess_and_oracle(tmp_path_factory):
+    tables = tpch_data.generate(SF)
+    sess = DistributedSession()
+    for name, t in tables.items():
+        sess.register_table(name, t)
+    pdt = tpch_ref.to_pandas_tables(tables)
+    return sess, pdt
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    out = df.reset_index(drop=True)
+    for c in out.columns:
+        if pd.api.types.is_datetime64_any_dtype(out[c]):
+            out[c] = out[c].dt.strftime("%Y-%m-%d")
+        elif out[c].dtype == object:
+            out[c] = out[c].map(
+                lambda v: str(pd.Timestamp(v).date())
+                if isinstance(v, (pd.Timestamp,)) or hasattr(v, "year")
+                else str(v))
+    return out
+
+
+@pytest.mark.parametrize("qid", sorted(tpch_queries.QUERIES))
+def test_tpch_completes_on_dist_session(sess_and_oracle, qid,
+                                        monkeypatch):
+    monkeypatch.delenv("LIQUID_DIST_STRICT", raising=False)
+    sess, pdt = sess_and_oracle
+    expect = tpch_ref.REFS[qid](pdt)
+    before = sess.route_stats["distributed"]
+    got = sess.sql(tpch_queries.QUERIES[qid]).to_pandas()
+    ran_dist = sess.route_stats["distributed"] > before
+    assert len(got) == len(expect), (qid, got, expect)
+    g, e = _norm(got), _norm(expect)
+    g.columns = list(e.columns)
+    for c in e.columns:
+        if pd.api.types.is_float_dtype(e[c]) \
+                or pd.api.types.is_float_dtype(g[c]):
+            gg = g[c].astype(float).to_numpy()
+            ee = e[c].astype(float).to_numpy()
+            nan = np.isnan(gg) & np.isnan(ee)
+            assert (nan | np.isclose(gg, ee, rtol=1e-6)).all(), (qid, c)
+        else:
+            assert list(g[c]) == list(e[c]), (qid, c)
+    if qid in EXPECT_DISTRIBUTED:
+        assert ran_dist, f"q{qid} regressed from distributed to fallback"

@@ -1,6 +1,12 @@
 """Distributed shuffle joins on the 8-device mesh (VERDICT item 4):
 TPC-H q3-shaped join + group-by vs pandas, exact-capacity exchange
 under pathological skew, and left-deep join chains."""
+import os
+
+# regressions must surface as failures here, not as silent
+# graceful-degradation fallbacks to the single-host engine
+os.environ["LIQUID_DIST_STRICT"] = "1"
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa

@@ -1,5 +1,11 @@
 """Distributed SQL on the 8-device mesh: answers must match the local
 engine / pandas exactly (SURVEY.md section 7 step 7)."""
+import os
+
+# regressions must surface as failures here, not as silent
+# graceful-degradation fallbacks to the single-host engine
+os.environ["LIQUID_DIST_STRICT"] = "1"
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa

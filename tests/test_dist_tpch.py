@@ -7,6 +7,12 @@ string conditions (q12/q14), post-aggregate arithmetic over aggregates
 through `DistributedSession.sql` on the 8-device virtual mesh and
 matches the independent pandas oracles (`bench/tpch_ref.py`).
 """
+import os
+
+# regressions must surface as failures here, not as silent
+# graceful-degradation fallbacks to the single-host engine
+os.environ["LIQUID_DIST_STRICT"] = "1"
+
 import numpy as np
 import pandas as pd
 import pytest

@@ -1,6 +1,12 @@
 """Multi-chip sharding tests on the 8-device virtual CPU mesh."""
 import jax
 import jax.numpy as jnp
+import os
+
+# regressions must surface as failures here, not as silent
+# graceful-degradation fallbacks to the single-host engine
+os.environ["LIQUID_DIST_STRICT"] = "1"
+
 import numpy as np
 import pytest
 
