@@ -44,7 +44,19 @@ _PACK_BITS = 62  # packed rank budget; 2 sentinel values live above it
 
 def try_device_join(left: pa.Table, right: pa.Table, lkeys: List[str],
                     rkeys: List[str], kind: str) -> Optional[pa.Table]:
-    """Join or None (caller falls back to the arrow join)."""
+    """Join or None (caller falls back to the arrow join).
+
+    On a real TPU backend the inputs here are HOST Arrow tables (the
+    classic path materialized them), and round-tripping them across
+    the PCIe/tunnel boundary for an XLA sort-merge join loses to the
+    host hash join every time (measured: 58 s vs 2.6 s for TPC-H q3 at
+    SF1) -- device joins win only on device-RESIDENT encodings, which
+    is sql/fused_star's path.  On the CPU backend the XLA join stays:
+    it is what the multi-chip mesh shards."""
+    from liquid_tpu.sql.device_agg import _prefer_host
+    if _prefer_host():
+        STATS["fallback_joins"] += 1
+        return None
     try:
         return _device_join(left, right, lkeys, rkeys, kind)
     except DeviceUnsupported:

@@ -84,6 +84,11 @@ def try_sort_indices(arrays: List[pa.Array],
     """
     if not arrays:
         return None
+    # host-origin keys on a real TPU backend: pyarrow's host sort beats
+    # a tunnel round-trip + XLA sort (same rationale as device_join)
+    from liquid_tpu.sql.device_agg import _prefer_host
+    if _prefer_host():
+        return None
     n = len(arrays[0])
     keys = []
     any_nulls = False

@@ -444,25 +444,33 @@ def _prep_column(payloads, arrow_type) -> _ColPrep:
     prep.arrow_type = arrow_type
     prep.payloads = list(payloads)
     p0 = payloads[0]
-    if isinstance(p0, LiquidLinearArray):
-        # value[i] = round(slope*i) + residual[i]: decode adds the
-        # per-block linear term on device; predicates bail (values are
-        # not monotone in residual offsets, so no interval form)
-        if any(not isinstance(p, LiquidLinearArray) for p in payloads):
-            raise _Bail("mixed payload classes")
-        prep.kind = "linear"
-        res = [p.residuals for p in payloads]
-        prep.planes_stack, prep.refs = _stack_planes(res)
-        prep.valid_stack = _stack_validity(res)
-        prep.inv = np.array([p.slope for p in payloads], np.float64)
-        return prep
-    if isinstance(p0, LiquidDecimalArray):
+    if any(isinstance(p, LiquidDecimalArray) for p in payloads):
         # subclasses LiquidPrimitiveArray but holds UNSCALED values:
         # raw-literal intervals / i64 sums would be silently wrong
         raise _Bail("decimal column")
+    if isinstance(p0, (LiquidLinearArray, LiquidPrimitiveArray)) and any(
+            isinstance(p, LiquidLinearArray) for p in payloads):
+        # value[i] = round(slope*i) + residual[i]: decode adds the
+        # per-block linear term on device.  The transcoder picks
+        # linear vs plain bit-planes PER BLOCK by fit quality, so a
+        # column routinely mixes both classes -- a plain primitive
+        # block is exactly a linear block with slope 0.
+        if any(not isinstance(p, (LiquidLinearArray,
+                                  LiquidPrimitiveArray))
+               for p in payloads):
+            raise _Bail("mixed payload classes")
+        prep.kind = "linear"
+        res = [p.residuals if isinstance(p, LiquidLinearArray) else p
+               for p in payloads]
+        prep.planes_stack, prep.refs = _stack_planes(res)
+        prep.valid_stack = _stack_validity(res)
+        prep.inv = np.array(
+            [p.slope if isinstance(p, LiquidLinearArray) else 0.0
+             for p in payloads], np.float64)
+        return prep
     if isinstance(p0, LiquidPrimitiveArray):
         if any(not isinstance(p, LiquidPrimitiveArray)
-               or isinstance(p, LiquidDecimalArray) for p in payloads):
+               for p in payloads):
             raise _Bail("mixed payload classes")
         prep.kind = "planes"
         prep.planes_stack, prep.refs = _stack_planes(payloads)
@@ -795,10 +803,44 @@ def _make_decoders(colmap, arrays, n, probe_j):
     return decode, col_nulls
 
 
+def _apply_fd_packed(mat, fd_spec, arrays):
+    """Rebuild the packed output matrix with FUNCTIONALLY-DERIVED group
+    keys: the reduction ran on the single representative key; each
+    derived key gathers through its dim's index table at PACK time
+    (w rows), costing nothing per input row.
+
+    fd_spec: (rep_pos, nk_full, entries) with entries
+    (out_pos, idx_ix, lo_ix, vals_ix, nulls_ix|-1, ptype)."""
+    rep_pos, nk_full, entries = fd_spec
+    hdr, kv, knl = mat[0], mat[1], mat[2]
+    keys_rows: List[Optional[jax.Array]] = [None] * nk_full
+    null_rows: List[Optional[jax.Array]] = [None] * nk_full
+    keys_rows[rep_pos] = kv
+    null_rows[rep_pos] = knl
+    for (pos, idx_ix, lo_ix, vals_ix, nulls_ix, ptype) in entries:
+        idxt = arrays[idx_ix]
+        rel = jnp.clip(kv - arrays[lo_ix], 0, idxt.shape[0] - 1)
+        j = idxt[rel]
+        vals = arrays[vals_ix]
+        jc = jnp.clip(j, 0, vals.shape[0] - 1)
+        v = vals[jc]
+        if ptype == "f64":
+            v = floatbits.f64_bits(v + 0.0)
+        else:
+            v = v.astype(jnp.int64)
+        nl = j < 0
+        if nulls_ix >= 0:
+            nl = nl | arrays[nulls_ix][jc]
+        keys_rows[pos] = v
+        null_rows[pos] = nl.astype(jnp.int64)
+    return jnp.stack([hdr] + keys_rows + null_rows
+                     + [mat[i] for i in range(3, mat.shape[0])])
+
+
 @partial(jax.jit, static_argnums=(0,))
 def _fused_run(spec, *arrays):
-    (mode, cols, pred_groups, probes, resids, keys, rslots, rv_ix,
-     n_slots, salt, extra) = spec
+    (mode, cols, pred_groups, probes, resids, keys, fd_spec, rslots,
+     rv_ix, n_slots, salt, extra) = spec
     colmap = {c[0]: dict(c[1]) for c in cols}
 
     # -- selection ----------------------------------------------------------
@@ -892,12 +934,17 @@ def _fused_run(spec, *arrays):
 
     if mode == "direct":
         # bijective dense-domain slots: no collision machinery at all
-        return hops.direct_reduce_packed(
+        res = hops.direct_reduce_packed(
             tuple(codes_l), tuple(knulls_l), selb, tuple(vals),
             tuple(vnulls), tuple(kinds), arrays[-1], spans=extra)
-    return hops.hash_rounds_reduce_packed(
-        tuple(codes_l), tuple(knulls_l), selb, tuple(vals), tuple(vnulls),
-        tuple(kinds), n_slots, salt, rounds=extra)
+    else:
+        res = hops.hash_rounds_reduce_packed(
+            tuple(codes_l), tuple(knulls_l), selb, tuple(vals),
+            tuple(vnulls), tuple(kinds), n_slots, salt, rounds=extra)
+    if not fd_spec:
+        return res
+    mat, clean, ng, colarrs = res
+    return (_apply_fd_packed(mat, fd_spec, arrays), clean, ng, colarrs)
 
 
 # -- planning + host driver ---------------------------------------------------
@@ -911,6 +958,8 @@ class _Plan:
         self.pred_groups: List[tuple] = []
         self.probes: List[tuple] = []    # star: (pid, key col, idx, lo)
         self.resids: List[tuple] = []    # star: residual boolean IR
+        self.fd = None                   # (rep_pos, nk_full, entries)
+        self.phys_keys: List[str] = []   # reduction keys under FD
         self.keys: List[str] = []        # source column names
         self.key_out: List[str] = []     # output column names (aliases)
         self.rslots: List[tuple] = []
@@ -1394,12 +1443,15 @@ def execute_plan(p: _Plan, mode: str, empty: bool, slots,
     probes = _freeze(p.probes)
     resids = _freeze(p.resids)
     rslots = _freeze(p.rslots)
-    keys = tuple(p.keys)
+    # under FD reduction the physical grouping runs on the single
+    # representative key; derived keys re-attach at pack time
+    keys = tuple(p.phys_keys) if p.fd else tuple(p.keys)
+    fd_spec = _freeze(p.fd) if p.fd else ()
 
     if mode == "scalar":
         STATS["fused_scalar"] += 1
         spec = ("scalar", spec_cols, pred_groups, probes, resids, keys,
-                rslots, p.rv_ix, 0, 0, 0)
+                (), rslots, p.rv_ix, 0, 0, 0)
         packed = np.asarray(_fused_run(spec, *p.arrays))
         ns = len(p.rslots)
         outs = packed[:ns]
@@ -1407,14 +1459,19 @@ def execute_plan(p: _Plan, mode: str, empty: bool, slots,
         return _finalize_scalar(p, slots, outs, counts)
 
     STATS["fused_grouped"] += 1
-    domains = _key_domains(p)
+    domains = _phys_domains(p)
     if domains is not None:
         m = 1
         for _, span in domains:
             m *= span + 2
-        if 0 < m <= hops.DIRECT_CAP:
+        # cap by table bytes, not a fixed slot count: a single-key FD
+        # reduction (q3's GROUP BY l_orderkey) tolerates tens of
+        # millions of slots when the payload column set is narrow
+        ncols = 1 + 2 * len(p.rslots) + 2 * len(keys)
+        cap = min(1 << 27, (3 << 30) // (8 * ncols))
+        if 0 < m <= cap:
             spec = ("direct", spec_cols, pred_groups, probes, resids,
-                    keys, rslots, p.rv_ix, 0, 0,
+                    keys, fd_spec, rslots, p.rv_ix, 0, 0,
                     tuple(span for _, span in domains))
             los = jnp.asarray(
                 np.array([lo for lo, _ in domains], np.int64))
@@ -1425,17 +1482,29 @@ def execute_plan(p: _Plan, mode: str, empty: bool, slots,
                 return _parse_packed(p, slots, mat, g)
             return _fetch_full(p, slots, g, out[3])
     hint_key = ("stage", keys)
-    start = getattr(table, "_fused_stage_hint", {}).get(hint_key, 0)
+    hint = getattr(table, "_fused_stage_hint", {}).get(hint_key)
     # static cardinality bound (dict vocab size / int domain span) picks
-    # a table the multi-round scatter converges in without a retry
+    # a table the multi-round scatter converges in without a retry;
+    # capped by the scanned row count -- distinct tuples can't exceed
+    # rows, and a multi-key DOMAIN product is wildly pessimistic (it
+    # would force the largest stage for a 100k-row scan)
     bound = _cardinality_bound(p)
-    if bound is not None:
+    if p.rv_ix >= 0:
+        n_upper = int(p.arrays[p.rv_ix].shape[0]) * BLOCK_ROWS
+        bound = n_upper if bound is None else min(bound, n_upper)
+    start = 0
+    if hint is not None:
+        # a stage PROVEN clean for this key set beats the static bound
+        # (the bound is an upper bound on cardinality; the ladder still
+        # verifies exactness and grows on failure)
+        start = hint
+    elif bound is not None:
         for si, (ns, _s) in enumerate(_STAGES):
             if ns >= 2 * bound:
-                start = max(start, si)
+                start = si
                 break
         else:
-            start = max(start, len(_STAGES) - 1)
+            start = len(_STAGES) - 1
     result = None
     for si in range(start, len(_STAGES)):
         n_slots, salt = _STAGES[si]
@@ -1444,7 +1513,7 @@ def execute_plan(p: _Plan, mode: str, empty: bool, slots,
         rounds = 1 if (bound is not None and bound * bound <= n_slots) \
             else 3
         spec = ("grouped", spec_cols, pred_groups, probes, resids, keys,
-                rslots, p.rv_ix, n_slots, salt, rounds)
+                fd_spec, rslots, p.rv_ix, n_slots, salt, rounds)
         out = _fused_run(spec, *p.arrays)
         mat = np.asarray(out[0])
         if mat[0, 0]:
@@ -1471,10 +1540,15 @@ def payload_bounds(prep: _ColPrep):
                  for pp in prep.payloads)
         return int(lo), int(hi)
     if prep.kind == "linear":
+        from liquid_tpu.arrays.linear import LiquidLinearArray
         lo = hi = None
         for pp in prep.payloads:
-            r = pp.residuals
-            lin = round(pp.slope * (BLOCK_ROWS - 1))
+            if isinstance(pp, LiquidLinearArray):
+                r = pp.residuals
+                lin = round(pp.slope * (BLOCK_ROWS - 1))
+            else:  # primitive block in a mixed linear prep (slope 0)
+                r = pp
+                lin = 0
             lb = r.reference_value + min(0, lin)
             hb = (r.reference_value + (1 << min(r.width, 62)) - 1
                   + max(0, lin))
@@ -1482,6 +1556,17 @@ def payload_bounds(prep: _ColPrep):
             hi = hb if hi is None else max(hi, hb)
         return int(lo), int(hi)
     return None
+
+
+def _phys_domains(p: _Plan):
+    """Domains of the PHYSICAL reduction keys: the FD representative
+    alone when FD reduction applies, else every group key."""
+    if not p.fd:
+        return _key_domains(p)
+    kb = p.key_bounds.get(p.phys_keys[0])
+    if kb is None or kb[1] - kb[0] >= (1 << 44):
+        return None
+    return [(kb[0], kb[1] - kb[0])]
 
 
 def _key_domains(p: _Plan):
@@ -1515,6 +1600,11 @@ def _key_domains(p: _Plan):
 def _cardinality_bound(p: _Plan) -> Optional[int]:
     """Upper bound on distinct key tuples, from dictionary sizes and
     integer domain spans; None when any key is unbounded (floats)."""
+    if p.fd:
+        kb = p.key_bounds.get(p.phys_keys[0])
+        if kb is None:
+            return None
+        return max(min(kb[1] - kb[0] + 1, 1 << 62), 1)
     total = 1
     for name, dec in zip(p.keys, p.key_decoders):
         if dec[0] == "vocab":
@@ -1562,11 +1652,37 @@ def _parse_packed(p: _Plan, slots, mat: np.ndarray, g: int) -> pa.Table:
 def _fetch_full(p: _Plan, slots, g: int, cols) -> pa.Table:
     """n_groups exceeded the packed-fetch cap: re-pack the reduction's
     slot-ordered outputs at the next power-of-two width and fetch."""
-    nk, nv = len(p.keys), len(p.rslots)
+    nv = len(p.rslots)
+    nk_red = len(p.phys_keys) if p.fd else len(p.keys)
     w2 = 1
     while w2 < g:
         w2 <<= 1
-    ukeys, uknulls, outs, vcounts = hops.repack_groups(cols, nk, nv, w2)
+    ukeys, uknulls, outs, vcounts = hops.repack_groups(
+        cols, nk_red, nv, w2)
+    if p.fd:
+        rep_pos, nk_full, entries = p.fd
+        kv = ukeys[0]
+        keys_full = [None] * nk_full
+        nulls_full = [None] * nk_full
+        keys_full[rep_pos] = kv
+        nulls_full[rep_pos] = uknulls[0]
+        for (pos, idx_ix, lo_ix, vals_ix, nulls_ix, ptype) in entries:
+            idxt = p.arrays[idx_ix]
+            rel = jnp.clip(kv - p.arrays[lo_ix], 0, idxt.shape[0] - 1)
+            j = idxt[rel]
+            valsa = p.arrays[vals_ix]
+            jc = jnp.clip(j, 0, valsa.shape[0] - 1)
+            v = valsa[jc]
+            if ptype == "f64":
+                v = floatbits.f64_bits(v + 0.0)
+            else:
+                v = v.astype(jnp.int64)
+            nl = j < 0
+            if nulls_ix >= 0:
+                nl = nl | p.arrays[nulls_ix][jc]
+            keys_full[pos] = v
+            nulls_full[pos] = nl
+        ukeys, uknulls = tuple(keys_full), tuple(nulls_full)
     return _parse_full(p, slots, g, ukeys, uknulls, outs, vcounts)
 
 

@@ -208,6 +208,7 @@ class _StarPlanner:
         self.blocks: Dict[str, tuple] = {}
         self.plans: Dict[str, object] = {}
         self.all_probes: List[_Probe] = []  # every dim, any depth
+        self.probe_by_dim: Dict[str, _Probe] = {}
 
     # -- shape detection ---------------------------------------------------
 
@@ -557,6 +558,7 @@ def _build_dim(planner: _StarPlanner, tbl: str) -> _Probe:
                 probe.vocabs[c] = planner.vocab_of(c) or []
         probe.cache_key = ("empty", tbl, tuple(pays))
         planner.all_probes.append(probe)
+        planner.probe_by_dim[tbl] = probe
         return probe
 
     # key domain from the key column's block refs/widths (linear-coded
@@ -660,6 +662,7 @@ def _build_dim(planner: _StarPlanner, tbl: str) -> _Probe:
     hit = cache.get(cache_key)
     if hit is not None:
         planner.all_probes.append(hit)
+        planner.probe_by_dim[tbl] = hit
         return hit
 
     outs = _dim_build(spec, *p.arrays)
@@ -687,7 +690,58 @@ def _build_dim(planner: _StarPlanner, tbl: str) -> _Probe:
     else:
         probe.nbytes = 0  # not cached, not charged
     planner.all_probes.append(probe)
+    planner.probe_by_dim[tbl] = probe
     return probe
+
+
+def _detect_fd(planner: _StarPlanner, p: _Plan) -> None:
+    """Functional-dependency group-key reduction: when one group key
+    determines every other (the others are payloads of the dim tree
+    hanging off it -- q3's GROUP BY l_orderkey, o_orderdate,
+    o_shippriority; q10's GROUP BY c_custkey, c_name, ...), the
+    reduction runs on that single representative key (direct-address
+    eligible, no multi-key collision machinery) and the derived keys
+    re-attach by probe gathers over the PACKED output rows.
+
+    The dependency is STRUCTURAL, not inferred: key-unique dims (always
+    verified on device) make dim attributes exact functions of the
+    join key value."""
+    key_cols = p.keys
+    if len(key_cols) < 2:
+        return
+    for rep_pos, rep in enumerate(key_cols):
+        cand = None
+        if planner.owner.get(rep) == planner.fact:
+            # rep is the fact-side probe key of a fact-adjacent dim
+            for child in planner.children[planner.fact]:
+                if planner.tree[child][1] == rep:
+                    cand = child
+                    break
+        else:
+            # rep is some dim's OWN key column riding up as a payload
+            for dname, (_par, _pcol, ccol) in planner.tree.items():
+                if ccol == rep:
+                    cand = dname
+                    break
+        if cand is None or cand not in planner.probe_by_dim:
+            continue
+        pb = planner.probe_by_dim[cand]
+        others = [(i, c) for i, c in enumerate(key_cols)
+                  if i != rep_pos]
+        if not all(c in pb.payload for _i, c in others):
+            continue
+        idx_ix = _add(p, pb.idx)
+        lo_ix = _add(p, jnp.asarray(np.int64(pb.lo)))
+        entries = []
+        for i, c in others:
+            vals, nulls, ptype = pb.payload[c]
+            vix = _add(p, vals)
+            nix = _add(p, nulls) if nulls is not None else -1
+            entries.append((i, idx_ix, lo_ix, vix, nix,
+                            "f64" if ptype == "f64" else "i64"))
+        p.fd = (rep_pos, len(key_cols), tuple(entries))
+        p.phys_keys = [rep]
+        return
 
 
 def _plan_fact(planner: _StarPlanner, dims: Dict[str, _Probe]):
@@ -813,6 +867,8 @@ def _plan_fact(planner: _StarPlanner, dims: Dict[str, _Probe]):
                     != "col" for s in planner.slots
                     if s.name in slot_irs))
             reg(c, want_remap=want_remap)
+
+    _detect_fd(planner, p)
 
     # key decoders
     for c in p.keys:

@@ -161,6 +161,48 @@ def _cast_like(values: np.ndarray, nulls: Optional[np.ndarray],
     return arr
 
 
+def _minmax_window(vals: pd.Series, nn: pd.Series, lo_i: np.ndarray,
+                   hi_i: np.ndarray, new_part: np.ndarray, name: str):
+    """min/max over per-row [lo_i, hi_i] index windows (monotone ends
+    within each partition): monotonic-deque sliding window; NULL inputs
+    never enter the deque; an empty/invalid window yields NULL."""
+    from collections import deque
+    v = vals.to_numpy(dtype=object)
+    nnv = nn.to_numpy()
+    n = len(v)
+    res = np.empty(n, dtype=object)
+    res[:] = None
+    cn = np.concatenate([[0], np.cumsum(nnv.astype(np.int64))])
+    cnt = np.zeros(n, dtype=np.int64)
+    if name == "min":
+        def keeps(a, b):
+            return a <= b
+    else:
+        def keeps(a, b):
+            return a >= b
+    pstarts = np.flatnonzero(new_part)
+    pends = np.append(pstarts[1:], n)
+    for s, e in zip(pstarts, pends):
+        dq = deque()  # indices with monotone values
+        nxt = s
+        for i in range(s, e):
+            hi = min(int(hi_i[i]), e - 1)
+            lo = max(int(lo_i[i]), s)
+            while nxt <= hi:
+                if nnv[nxt]:
+                    while dq and keeps(v[nxt], v[dq[-1]]):
+                        dq.pop()
+                    dq.append(nxt)
+                nxt += 1
+            while dq and dq[0] < lo:
+                dq.popleft()
+            if lo <= hi:
+                cnt[i] = cn[hi + 1] - cn[lo]
+                if dq and dq[0] <= hi:
+                    res[i] = v[dq[0]]
+    return res, cnt
+
+
 def compute_window(t: pa.Table, wf: ast.WindowFunc,
                    arg_names: List[str], part_names: List[str],
                    order_names: List[str]) -> pa.Array:
@@ -345,11 +387,36 @@ def compute_window(t: pa.Table, wf: ast.WindowFunc,
             return finish(res / cnt, cnt)
         return finish(res, cnt)
 
-    if unit != "rows":
-        raise NotImplementedError("bounded RANGE frames")
-    # bounded ROWS frame via prefix sums with clamped indices
-    lo_i = np.maximum(pos + int(lo), starts)
-    hi_i = np.minimum(pos + int(hi), ends)
+    if unit == "rows":
+        # bounded ROWS frame: clamped index offsets
+        lo_i = np.maximum(pos + int(lo), starts)
+        hi_i = np.minimum(pos + int(hi), ends)
+    else:
+        # bounded RANGE frame: every peer row whose ORDER value lies in
+        # [v_i + lo, v_i + hi]; SQL requires exactly one numeric/date
+        # order key for offset RANGE frames.  DESC negates the value
+        # axis so 'preceding' (larger values) maps to the same interval
+        # arithmetic.
+        if len(order_names) != 1:
+            raise ValueError("RANGE offset frame requires ONE order key")
+        oseries = _series(t, order_names[0]).iloc[sidx] \
+            .reset_index(drop=True)
+        if oseries.isna().any():
+            raise NotImplementedError(
+                "RANGE offset frame over NULL order key")
+        ov = pd.to_numeric(oseries).to_numpy(dtype=np.float64)
+        if wf.order_desc[0]:
+            ov = -ov
+        lo_i = np.empty(n, dtype=np.int64)
+        hi_i = np.empty(n, dtype=np.int64)
+        pstarts = np.flatnonzero(new_part)
+        pends = np.append(pstarts[1:], n)
+        for s, e in zip(pstarts, pends):
+            seg = ov[s:e]
+            lo_i[s:e] = s + np.searchsorted(seg, seg + float(lo),
+                                            side="left")
+            hi_i[s:e] = s + np.searchsorted(seg, seg + float(hi),
+                                            side="right") - 1
     valid = lo_i <= hi_i
     if name in ("sum", "avg", "count"):
         csum = vnum.fillna(0).groupby(part).cumsum().to_numpy()
@@ -365,12 +432,10 @@ def compute_window(t: pa.Table, wf: ast.WindowFunc,
             return finish(pd.Series(np.where(c > 0, s / np.maximum(c, 1),
                                              np.nan)), pd.Series(c))
         return finish(pd.Series(s), pd.Series(c))
-    # bounded min/max: pandas rolling (window ends at current row only)
-    if int(hi) != 0:
-        raise NotImplementedError("ROWS min/max with FOLLOWING bound")
-    w = -int(lo) + 1
-    r = vals.groupby(part).rolling(window=w, min_periods=1)
-    res = (r.min() if name == "min" else r.max()).reset_index(drop=True)
-    cnt = nn.groupby(part).rolling(window=w, min_periods=1).sum() \
-        .reset_index(drop=True)
-    return finish(res, cnt)
+    # bounded min/max over arbitrary [lo_i, hi_i] windows: both frame
+    # ends are monotone non-decreasing within a partition (ROWS by
+    # construction; RANGE because searchsorted over a sorted segment
+    # with a constant offset is monotone), so a monotonic deque gives
+    # each partition in O(rows)
+    res, cnt = _minmax_window(vals, nn, lo_i, hi_i, new_part, name)
+    return finish(pd.Series(res), pd.Series(cnt))
