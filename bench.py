@@ -370,6 +370,119 @@ def micro_kernel_line():
         return None
 
 
+def run_suite():
+    """Full-suite mode (BASELINE config 4 / VERDICT r3 item 3): all 43
+    ClickBench queries + all 22 TPC-H queries in liquid mode on the
+    chip, per-query ms + geomean + fused/star/classic routing from
+    fused_agg.STATS.  Writes SUITE json; enabled via
+    LIQUID_BENCH_SUITE=1 (the default driver contract single-line JSON
+    is unchanged)."""
+    import glob
+    import math
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/liquid_tpu_jit_cache_bench")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import liquid_tpu  # noqa: F401
+    from liquid_tpu.bench.runner import make_session
+    from liquid_tpu.bench import tpch_queries
+    from liquid_tpu.sql.fused_agg import STATS
+    import tempfile
+
+    on_tpu = jax.default_backend() == "tpu"
+    hits_rows = int(os.environ.get(
+        "LIQUID_BENCH_ROWS", str(4_000_000 if on_tpu else 100_000)))
+    sf = float(os.environ.get("LIQUID_BENCH_SF",
+                              "1" if on_tpu else "0.01"))
+    here = os.path.dirname(os.path.abspath(__file__))
+    hits_path = prepare_hits(hits_rows)
+
+    # all 8 TPC-H tables at scale `sf`
+    tdir = f"/tmp/liquid_bench_tpch_full_{sf}"
+    if not os.path.exists(os.path.join(tdir, "lineitem.parquet")):
+        import pyarrow.parquet as pq
+        from liquid_tpu.bench.tpch_data import generate
+        os.makedirs(tdir, exist_ok=True)
+        for name, t in generate(sf).items():
+            pq.write_table(t, f"{tdir}/{name}.parquet.tmp",
+                           row_group_size=1 << 20)
+            os.replace(f"{tdir}/{name}.parquet.tmp",
+                       f"{tdir}/{name}.parquet")
+
+    ctx, cache = make_session("liquid", 16 << 30, tempfile.mkdtemp())
+    ctx.register_parquet("hits", hits_path)
+    for p in sorted(glob.glob(f"{tdir}/*.parquet")):
+        ctx.register_parquet(os.path.basename(p)[:-8], p)
+
+    suite = []
+    for i in range(43):
+        with open(f"{here}/benchmark/clickbench/queries/q{i}.sql") as f:
+            suite.append((f"cb_q{i}", f.read().strip()))
+    for qid in sorted(tpch_queries.QUERIES):
+        suite.append((f"tpch_q{qid}", tpch_queries.QUERIES[qid]))
+
+    def run_one(sql):
+        if isinstance(sql, list):
+            out = None
+            for stmt in sql:
+                r = ctx.sql(stmt).to_arrow()
+                if r.num_columns:
+                    out = r
+            return out
+        return ctx.sql(sql).to_arrow()
+
+    results = {}
+    t_start = time.perf_counter()
+    for name, sql in suite:
+        try:
+            t0 = time.perf_counter()
+            run_one(sql)  # compile + first exec
+            first = time.perf_counter() - t0
+            best = float("inf")
+            route = "classic"
+            for _ in range(2):
+                b_f = STATS.get("fused_queries", 0)
+                b_s = STATS.get("star_queries", 0)
+                t0 = time.perf_counter()
+                run_one(sql)
+                best = min(best, time.perf_counter() - t0)
+                route = ("star" if STATS.get("star_queries", 0) > b_s
+                         else "fused"
+                         if STATS.get("fused_queries", 0) > b_f
+                         else "classic")
+            results[name] = {"ms": round(best * 1000, 1),
+                             "first_ms": round(first * 1000, 1),
+                             "route": route}
+            log(f"[suite] {name}: {best * 1000:.1f} ms [{route}] "
+                f"(first {first:.1f}s)")
+        except Exception as e:
+            results[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
+            log(f"[suite] {name}: ERROR {e}")
+    ok = [r["ms"] for r in results.values() if "ms" in r]
+    geomean = (math.exp(sum(math.log(max(v, 0.1)) for v in ok) / len(ok))
+               if ok else None)
+    routed = {}
+    for r in results.values():
+        routed[r.get("route", "error")] = routed.get(
+            r.get("route", "error"), 0) + 1
+    out = {
+        "metric": "suite_geomean_ms",
+        "value": geomean,
+        "unit": "ms",
+        "hits_rows": hits_rows, "tpch_sf": sf,
+        "completed": len(ok), "total": len(suite),
+        "routes": routed,
+        "wall_s": round(time.perf_counter() - t_start, 1),
+        "queries": results,
+    }
+    path = os.path.join(here, "SUITE_r04.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    log(f"suite written to {path}: geomean {geomean:.1f} ms, "
+        f"routes {routed}")
+    print(json.dumps({k: v for k, v in out.items() if k != "queries"}))
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -459,4 +572,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("LIQUID_BENCH_SUITE") == "1":
+        run_suite()
+    else:
+        main()

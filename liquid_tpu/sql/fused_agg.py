@@ -117,6 +117,14 @@ def _compile_expr(e: ast.Expr, col_kinds: Dict[str, str], dictres=None):
             "double", "float", "real", "decimal", "numeric"):
         x, cols = _compile_expr(e.operand, col_kinds, dictres)
         return _as_f64(x), cols
+    if isinstance(e, ast.Cast) and e.type_name in (
+            "int", "integer", "bigint", "smallint", "date"):
+        # ::INT / ::DATE over an integer image is a value passthrough
+        # (dates ARE day counts); float->int truncation bails
+        x, cols = _compile_expr(e.operand, col_kinds, dictres)
+        if _ir_dtype(x) == "i64":
+            return x, cols
+        raise _Bail("float->int cast")
     if isinstance(e, ast.Case) and dictres is not None:
         if e.operand is not None:
             raise _Bail("CASE <operand> form")
@@ -515,21 +523,27 @@ def _prep_column(payloads, arrow_type) -> _ColPrep:
 
 def _build_vocab(prep: _ColPrep) -> None:
     """Global dictionary vocabulary + per-block remap (lazy: only when
-    the column is a GROUP BY key)."""
+    the column participates as a key / in expression IR).  The vocab is
+    SORTED, so gid order == value order: MIN/MAX over gids decode to
+    the lexicographic min/max string (UTF-8 byte order preserves code
+    point order), and range comparisons on gids become possible."""
     if prep.vocab_list is not None:
         return
-    vocab: Dict[object, int] = {}
-    vocab_list: List[object] = []
-    remaps = np.zeros((len(prep.payloads), prep.dmax), np.int64)
-    for b, p in enumerate(prep.payloads):
+    per_block = []
+    values: set = set()
+    for p in prep.payloads:
         vals = p.dictionary.to_pylist()
+        per_block.append(vals)
+        values.update(vals)
+    has_none = None in values
+    vocab_list = sorted(v for v in values if v is not None)
+    if has_none:
+        vocab_list.append(None)
+    vocab = {v: i for i, v in enumerate(vocab_list)}
+    remaps = np.zeros((len(prep.payloads), prep.dmax), np.int64)
+    for b, vals in enumerate(per_block):
         for i, v in enumerate(vals):
-            gid = vocab.get(v)
-            if gid is None:
-                gid = len(vocab_list)
-                vocab[v] = gid
-                vocab_list.append(v)
-            remaps[b, i] = gid
+            remaps[b, i] = vocab[v]
     prep.vocab_list = vocab_list
     prep.remap_stack = jnp.asarray(remaps)
 
@@ -918,6 +932,21 @@ def _fused_run(spec, *arrays):
     # -- grouped: key codes + hash scatter-reduce ---------------------------
     codes_l, knulls_l = [], []
     for name in keys:
+        if isinstance(name, tuple) and name and name[0] == "expr":
+            # expression group key (GROUP BY 1 / arithmetic / CASE):
+            # evaluated in-program, keyed by value image
+            _, ir, dt = name
+            v, nl = eval_ir_nulls(ir, decode, col_nulls)
+            v = jnp.asarray(v)
+            if v.ndim == 0:
+                v = jnp.broadcast_to(v, selb.shape)
+            if jnp.ndim(nl) == 0:
+                nl = jnp.broadcast_to(nl, selb.shape)
+            code = (floatbits.f64_bits(v + 0.0) if dt == "f64"
+                    else v.astype(jnp.int64))
+            codes_l.append(jnp.where(nl, jnp.int64(0), code))
+            knulls_l.append(nl)
+            continue
         cix = colmap[name]
         kind = cix["kind"]
         if kind == "float" or (kind == "pay"
@@ -969,6 +998,7 @@ class _Plan:
         self.key_bounds: Dict[str, tuple] = {}   # star keys: (lo, hi)
         self.slot_map: List[tuple] = []   # per AggSlot: (kind, rslot indices)
         self.slot_types: Dict[str, pa.DataType] = {}
+        self.slot_vocabs: Dict[str, list] = {}  # min/max(string) gids
 
 
 def _add(plan: _Plan, arr) -> int:
@@ -1134,14 +1164,9 @@ def _plan_query(table, plan_scan, hints, group, key_names, slots,
                 rew_keys, rew_inputs) -> Tuple[_Plan, str, bool]:
     from liquid_tpu.cache.expressions import VariantGet
     p = _Plan()
-    if plan_scan.residual:
-        raise _Bail("residual predicates")
     for s in slots:
         if s.kind not in _AGG_KINDS:
             raise _Bail(f"aggregate kind {s.kind}")
-    for ge in rew_keys:
-        if not isinstance(ge, ast.Column):
-            raise _Bail("non-column group key")
 
     # block universe: rg stats/bloom + zone maps, metadata-only IO
     blocks = _select_blocks(table, plan_scan)
@@ -1149,9 +1174,8 @@ def _plan_query(table, plan_scan, hints, group, key_names, slots,
 
     # column universe
     pred_cols = {c for g in plan_scan.pushdown for c, _ in g.alternatives}
-    key_cols = [ge.name for ge in rew_keys]
     expr_cols: set = set()
-    needed = set(pred_cols) | set(key_cols)
+    needed = set(pred_cols)
     for c in needed:
         if c not in table.column_names:
             raise _Bail(f"unknown column {c}")
@@ -1177,8 +1201,9 @@ def _plan_query(table, plan_scan, hints, group, key_names, slots,
             if isinstance(hints.get(c), VariantGet):
                 raise _Bail("variant column")
             # empty scan: no payloads exist -- type-derived kind (no IO)
-            col_kinds[c] = (_schema_kind(table.field(c).type) if empty
-                            else prep_of(c).kind)
+            k = (_schema_kind(table.field(c).type) if empty
+                 else prep_of(c).kind)
+            col_kinds[c] = "planes" if k == "linear" else k
         return col_kinds[c]
 
     class _Kinds(dict):
@@ -1187,6 +1212,35 @@ def _plan_query(table, plan_scan, hints, group, key_names, slots,
                 return kind_of(c)
             except _Bail:
                 return default
+
+    remap_cols: set = set()
+
+    def dictres(cname, op, lit):
+        """String comparisons over the SORTED global vocabulary -> gid
+        sets for the expression IR (CASE conditions, IN lists, LIKE
+        inside residuals -- the single-table twin of the star path's
+        resolver)."""
+        try:
+            if kind_of(cname) != "dict":
+                return None
+        except _Bail:
+            return None
+        if empty:
+            return ()
+        pr = prep_of(cname)
+        _build_vocab(pr)
+        remap_cols.add(cname)
+        vocab = pr.vocab_list
+        if op == "=":
+            return tuple(i for i, v in enumerate(vocab) if v == lit)
+        if op == "like":
+            import re as _re
+            pat = _re.compile(
+                "^" + _re.escape(str(lit)).replace("%", ".*")
+                .replace("_", ".") + "$", _re.DOTALL)
+            return tuple(i for i, v in enumerate(vocab)
+                         if v is not None and pat.match(str(v)))
+        return None
 
     kinds_view = _Kinds()
     slot_irs: Dict[str, Tuple[tuple, set]] = {}
@@ -1198,32 +1252,101 @@ def _plan_query(table, plan_scan, hints, group, key_names, slots,
                 and kind_of(e.name) == "dict":
             # count(string_col): only nullness matters
             slot_irs[s.name] = (("col", e.name, "i64"), {e.name})
+        elif s.kind in ("min", "max") and isinstance(e, ast.Column) \
+                and kind_of(e.name) == "dict":
+            # min/max(string): sorted-vocab gids ARE value-ordered
+            if not empty:
+                pr = prep_of(e.name)
+                _build_vocab(pr)
+                if pr.vocab_list and pr.vocab_list[-1] is None:
+                    raise _Bail("min/max over null dictionary entry")
+                p.slot_vocabs[s.name] = pr.vocab_list
+            else:
+                p.slot_vocabs[s.name] = []
+            remap_cols.add(e.name)
+            slot_irs[s.name] = (("col", e.name, "i64"), {e.name})
+            p.slot_types[s.name] = _value_type(table.field(e.name).type)
         else:
-            slot_irs[s.name] = _compile_expr(e, kinds_view)
+            slot_irs[s.name] = _compile_expr(e, kinds_view, dictres)
         expr_cols |= slot_irs[s.name][1]
         if s.kind in ("min", "max") and isinstance(e, ast.Column):
             t = table.field(e.name).type
             if pa.types.is_uint64(t):
                 raise _Bail("min/max over uint64")  # i64 order differs
 
-    for c in key_cols:
-        kind_of(c)
+    # avg(int) accumulates exactly in i64 ONLY when the value bounds
+    # prove the sum cannot overflow (bounds x row count < 2^62); wide
+    # domains (hash-like ids) keep the f64 accumulator
+    n_upper = len(blocks) * BLOCK_ROWS
+    for s in slots:
+        if s.kind != "avg" or s.name not in slot_irs:
+            continue
+        ir, cols_ = slot_irs[s.name]
+        if _ir_dtype(ir) != "i64":
+            continue
+        safe = False
+        if ir[0] == "col" and not empty:
+            b = payload_bounds(prep_of(ir[1]))
+            if b is not None:
+                safe = max(abs(b[0]), abs(b[1])) * max(n_upper, 1) \
+                    < (1 << 62)
+        if not safe:
+            slot_irs[s.name] = (_as_f64(ir), cols_)
 
-    # validate key types decode cleanly
+    # residual predicates (arithmetic / IN / OR shapes classify_pushdown
+    # can't lower): boolean IR evaluated inside the program
+    for e in plan_scan.residual:
+        ir, cols = _compile_bool(e, kinds_view, dictres)
+        p.resids.append(ir)
+        expr_cols |= cols
+
+    # pushdown groups touching a linear-coded column have no packed
+    # interval form (values are not monotone in the residual offsets):
+    # lower the group's SOURCE expression to residual IR instead
+    skip_groups: set = set()
+    if not empty:
+        for gi, g in enumerate(plan_scan.pushdown):
+            if any(prep_of(c).kind == "linear"
+                   for c, _pred in g.alternatives):
+                ir, cols = _compile_bool(g.source, kinds_view, dictres)
+                p.resids.append(ir)
+                expr_cols |= cols
+                skip_groups.add(gi)
+
+    # group keys: plain columns key directly; other expressions compile
+    # to IR keys evaluated in-program (GROUP BY 1, arithmetic, CASE)
+    key_cols: List[object] = []
     from liquid_tpu.sql.device_agg import KeyCodec
-    for c in key_cols:
-        if kind_of(c) == "dict":
-            vt = _value_type(table.field(c).type)
-            if empty:
-                p.key_decoders.append(("vocab", [], vt))
+    for ge in rew_keys:
+        if isinstance(ge, ast.Column):
+            c = ge.name
+            kind_of(c)
+            key_cols.append(c)
+            if kind_of(c) == "dict":
+                vt = _value_type(table.field(c).type)
+                remap_cols.add(c)
+                if empty:
+                    p.key_decoders.append(("vocab", [], vt))
+                else:
+                    pr = prep_of(c)
+                    _build_vocab(pr)
+                    p.key_decoders.append(("vocab", pr.vocab_list, vt))
             else:
-                pr = prep_of(c)
-                _build_vocab(pr)
-                p.key_decoders.append(("vocab", pr.vocab_list, vt))
+                p.key_decoders.append(
+                    ("codec", KeyCodec(table.field(c).type)))
+                if not empty and prep_of(c).kind == "planes":
+                    p.key_payloads[c] = prep_of(c).payloads
+            needed.add(c)
         else:
-            p.key_decoders.append(("codec", KeyCodec(table.field(c).type)))
-            if not empty and prep_of(c).kind == "planes":
-                p.key_payloads[c] = prep_of(c).payloads
+            ir, cols = _compile_expr(ge, kinds_view, dictres)
+            dt = _ir_dtype(ir)
+            key_cols.append(("expr", _freeze(ir), dt))
+            expr_cols |= cols
+            if isinstance(ge, ast.Cast) and ge.type_name == "date":
+                kt = pa.date32()  # ::DATE expression keys stay dates
+            else:
+                kt = pa.float64() if dt == "f64" else pa.int64()
+            p.key_decoders.append(("codec", KeyCodec(kt)))
 
     needed |= expr_cols
 
@@ -1247,19 +1370,20 @@ def _plan_query(table, plan_scan, hints, group, key_names, slots,
                 ix["patch_vals"] = _add(p, jnp.asarray(pr.patch_vals))
         else:
             ix["codes"] = _add(p, pr.codes_stack)
-            if c in key_cols:
+            if c in remap_cols:
+                _build_vocab(pr)
                 ix["remap"] = _add(p, pr.remap_stack)
         if pr.valid_stack is not None:
             ix["valid"] = _add(p, pr.valid_stack)
         p.spec_cols.append((c, tuple(sorted(ix.items()))))
 
     # predicates
-    for g in plan_scan.pushdown:
+    for gi, g in enumerate(plan_scan.pushdown):
+        if gi in skip_groups:
+            continue
         alts = []
         for c, pred in g.alternatives:
             pr = preps[c]
-            if pr.kind == "linear":
-                raise _Bail(f"predicate on linear-coded column {c}")
             if pr.kind == "planes":
                 iv = _primitive_interval(pr.payloads, pred)
                 if iv is None:
@@ -1317,8 +1441,8 @@ def _plan_slots(p, slots, slot_irs, rew_inputs, table) -> None:
             p.rslots.append((s.kind if s.kind in ("min", "max") else "sum",
                              dt, ir, tuple(sorted(cols))))
             p.slot_map.append((s.kind, (base,)))
-            p.slot_types[s.name] = _slot_out_type(
-                s, ir, rew_inputs.get(s.name), table)
+            p.slot_types.setdefault(s.name, _slot_out_type(
+                s, ir, rew_inputs.get(s.name), table))
         elif s.kind in ("stddev", "var"):
             ir, cols = slot_irs[s.name]
             ir = _as_f64(ir)
@@ -1344,6 +1468,9 @@ def _slot_out_type(s, ir, input_expr, table) -> pa.DataType:
     if s.kind in ("min", "max"):
         if isinstance(input_expr, ast.Column):
             return table.field(input_expr.name).type
+        if isinstance(input_expr, ast.Cast) \
+                and input_expr.type_name == "date":
+            return pa.date32()
         return pa.float64() if dt == "f64" else pa.int64()
     return pa.float64()
 
@@ -1732,6 +1859,10 @@ def _build_result(p: _Plan, slots, g, ukeys, uknulls, outs, vcounts,
                                     mask=mask if mask.any() else None)
             continue
         t = p.slot_types.get(s.name, pa.int64())
+        vocab = p.slot_vocabs.get(s.name)
+        if vocab is not None and kind in ("min", "max"):
+            cols[s.name] = _decode_gid_minmax(vocab, t, acc, cnt)
+            continue
         cols[s.name] = _decode_slot_value(kind, t, acc, cnt, dt)
     if g == 0:
         return pa.table({k: v.slice(0, 0) for k, v in cols.items()}) \
@@ -1765,8 +1896,28 @@ def _finalize_scalar(p: _Plan, slots, outs: np.ndarray,
             cols[s.name] = pa.array([v], pa.float64())
             continue
         t = p.slot_types.get(s.name, pa.int64())
+        vocab = p.slot_vocabs.get(s.name)
+        if vocab is not None and kind in ("min", "max"):
+            cols[s.name] = _decode_gid_minmax(vocab, t, acc, cnt)
+            continue
         cols[s.name] = _decode_slot_value(kind, t, acc, cnt, dt)
     return pa.table(cols)
+
+
+def _decode_gid_minmax(vocab: list, t: pa.DataType, acc: np.ndarray,
+                       cnt: np.ndarray) -> pa.Array:
+    """min/max over a dict column: the accumulator holds SORTED-vocab
+    gids, so the extreme gid decodes to the extreme value."""
+    import pyarrow.compute as pc
+    mask = cnt == 0
+    if not len(vocab):
+        return pa.nulls(len(acc), t)
+    safe = np.clip(np.where(mask, 0, acc), 0, len(vocab) - 1)
+    va = pa.array(vocab, type=t)
+    vals = va.take(pa.array(safe.astype(np.int64), pa.int64()))
+    if mask.any():
+        vals = pc.if_else(pa.array(~mask), vals, pa.scalar(None, t))
+    return vals
 
 
 def _value_type(t: pa.DataType) -> pa.DataType:

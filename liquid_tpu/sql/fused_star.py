@@ -790,6 +790,33 @@ def _plan_fact(planner: _StarPlanner, dims: Dict[str, _Probe]):
             t = planner.tables[planner.owner[e.name]].field(e.name).type
             if pa.types.is_uint64(t):
                 raise _Bail("min/max over uint64")
+    # avg(int) i64 accumulation only when bounds prove no overflow
+    # (mirrors fused_agg._plan_query)
+    from liquid_tpu.sql.fused_agg import _as_f64, _ir_dtype
+    n_upper = len(blocks) * 8192
+    for s in planner.slots:
+        if s.kind != "avg" or s.name not in slot_irs:
+            continue
+        ir, cols_ = slot_irs[s.name]
+        if _ir_dtype(ir) != "i64":
+            continue
+        safe = False
+        if ir[0] == "col":
+            cname = ir[1]
+            if planner.owner.get(cname) == fact and not empty:
+                b = payload_bounds(planner.prep_of(fact, cname))
+            else:
+                b = None
+                for pb in dims.values():
+                    if cname in pb.pay_bounds:
+                        b = pb.pay_bounds[cname]
+                        break
+            if b is not None:
+                safe = max(abs(b[0]), abs(b[1])) * max(n_upper, 1) \
+                    < (1 << 62)
+        if not safe:
+            slot_irs[s.name] = (_as_f64(ir), cols_)
+
     resid_irs = []
     resid_cols: set = set()
     for e in list(plan_scan.residual) + planner.cross:

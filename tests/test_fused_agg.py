@@ -152,18 +152,37 @@ def test_grouped_matches_classic(ctxs, sql):
 
 
 def test_unsupported_shapes_fall_back(ctxs):
-    """DISTINCT / median / residual predicates route to the classic
-    path and still produce correct results."""
+    """DISTINCT / median route to the classic path and still produce
+    correct results."""
     for sql in [
         "SELECT count(DISTINCT cat) FROM t",
         "SELECT median(i) FROM t",
-        "SELECT cat, count(*) FROM t WHERE i + 1 > f GROUP BY cat "
-        "ORDER BY cat",  # residual predicate
     ]:
         before = fused_agg.STATS["fused_queries"]
         a, b = run_both(ctxs, sql)
         assert_same(a, b)
         assert fused_agg.STATS["fused_queries"] == before, sql
+
+
+def test_round4_shapes_fuse(ctxs):
+    """Round-4 fused-path extensions: residual predicates (arithmetic
+    over columns), expression group keys, and min/max over strings run
+    IN the fused program and match the classic path."""
+    for sql in [
+        "SELECT cat, count(*) FROM t WHERE i + 1 > f GROUP BY cat "
+        "ORDER BY cat",                     # residual predicate
+        "SELECT i - 2 AS k, count(*) c, sum(f) FROM t GROUP BY i - 2 "
+        "ORDER BY k",                       # expression group key
+        "SELECT 1 AS one, cat, count(*) c FROM t GROUP BY 1, cat "
+        "ORDER BY cat",                     # literal position key
+        "SELECT min(cat), max(cat) FROM t",  # string min/max
+        "SELECT i, min(cat) m FROM t GROUP BY i ORDER BY i",
+    ]:
+        before = fused_agg.STATS["fused_queries"]
+        a, b = run_both(ctxs, sql)
+        assert_same(a, b)
+        assert fused_agg.STATS["fused_queries"] > before, \
+            f"{sql} (last bail: {fused_agg.STATS.get('last_bail')})"
 
 
 def test_float_pred_with_patches_fuses(ctxs):
