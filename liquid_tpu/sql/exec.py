@@ -54,6 +54,21 @@ class QueryExecutor:
         with TRACER.span("sql.execute", sql=sql[:120]):
             return self._execute_sql_inner(sql)
 
+    def _try_fused_distinct(self, table, plan, hints, group, key_names,
+                            slots, rew_keys, rew_inputs):
+        from liquid_tpu.sql import fused_agg
+        if not any(s.kind == "count_distinct" for s in slots):
+            return None
+
+        def run_inner(g2, kn2, s2, rk2, ri2):
+            return self._try_fused(table, plan, hints, g2, kn2, s2,
+                                   rk2, ri2)
+
+        with TRACER.span("sql.fused_distinct"):
+            return fused_agg.distinct_two_level(
+                slots, group, key_names, rew_keys, rew_inputs,
+                run_inner)
+
     @staticmethod
     def _try_fused(table, plan, hints, group, key_names, slots,
                    rew_keys, rew_inputs):
@@ -792,6 +807,12 @@ class QueryExecutor:
                 # COUNT(*) with no filters: metadata only (ref: DataFusion
                 # statistics-based count)
                 agg.update({}, table.num_rows)
+            elif (fused_final := self._try_fused_distinct(
+                    table, plan, hints, group, key_names, slots,
+                    rew_keys, rew_inputs)) is not None:
+                # count(DISTINCT d): fused inner aggregation grouped by
+                # keys+[d] + host fold (fused_agg.distinct_two_level)
+                pass
             elif (fused_final := self._try_fused(
                     table, plan, hints, group, key_names, slots,
                     rew_keys, rew_inputs)) is not None:
@@ -837,10 +858,20 @@ class QueryExecutor:
             from liquid_tpu.sql.fused_star import try_fused_star
             rew_where = (self._rewrite_subqueries(q.where, scope)
                          if q.where is not None else None)
+            from liquid_tpu.sql import fused_agg as _fa
+
+            def _run_star(g2, kn2, s2, rk2, ri2):
+                return try_fused_star(self, q, g2, kn2, s2, rk2, ri2,
+                                      rew_where)
+
             with TRACER.span("sql.fused_star"):
-                fused_final = try_fused_star(
-                    self, q, group, key_names, slots, rew_keys,
-                    rew_inputs, rew_where)
+                fused_final = _fa.distinct_two_level(
+                    slots, group, key_names, rew_keys, rew_inputs,
+                    _run_star)
+                if fused_final is None:
+                    fused_final = try_fused_star(
+                        self, q, group, key_names, slots, rew_keys,
+                        rew_inputs, rew_where)
             if fused_final is None:
                 joined, _resid = self._join_source(q)
                 if joined.num_rows:

@@ -1922,3 +1922,142 @@ def _decode_gid_minmax(vocab: list, t: pa.DataType, acc: np.ndarray,
 
 def _value_type(t: pa.DataType) -> pa.DataType:
     return t.value_type if pa.types.is_dictionary(t) else t
+
+
+# -- count(DISTINCT) two-level execution --------------------------------------
+
+def distinct_two_level(slots, group, key_names, rew_keys, rew_inputs,
+                       run_inner) -> Optional[pa.Table]:
+    """agg(DISTINCT col) via ONE fused inner aggregation grouped by
+    keys + [distinct cols] (non-distinct aggregates ride as exact
+    partials: sums of sums, min of mins, avg as sum+count) and a small
+    host fold over the unique (keys, d...) rows.
+
+    `run_inner(group2, key_names2, slots2, rew_keys2, rew_inputs2)`
+    executes the inner aggregation on whichever fused engine the
+    caller owns (single-table or star) and returns its table or None.
+
+    Reference behavior: DataFusion's distinct-aggregate rewrite
+    (single_distinct_to_groupby), reshaped for the device pipeline.
+    """
+    import pandas as pd
+    from liquid_tpu.sql.physical import AggSlot
+    dslots = [s for s in slots if s.kind == "count_distinct"]
+    if not dslots:
+        return None
+    dcols: List[str] = []
+    for s in dslots:
+        e = rew_inputs.get(s.name)
+        if not isinstance(e, ast.Column):
+            return None
+        if e.name not in dcols:
+            dcols.append(e.name)
+
+    inner_slots: List = []
+    recipes: List[tuple] = []
+
+    def add_partial(kind, inp):
+        nm = f"__cd{len(inner_slots)}"
+        inner_slots.append(AggSlot(
+            ast.Func(kind if kind != "count_star" else "count",
+                     (inp,) if inp is not None else (),
+                     star=inp is None), nm,
+            kind, inp))
+        return nm
+
+    for s in slots:
+        if s.kind == "count_distinct":
+            recipes.append(("nunique", rew_inputs[s.name].name))
+        elif s.kind == "count_star":
+            recipes.append(("fold", "sum", add_partial("count_star",
+                                                       None), "i"))
+        elif s.kind == "count":
+            recipes.append(("fold", "sum", add_partial(
+                "count", rew_inputs[s.name]), "i"))
+        elif s.kind in ("sum", "min", "max"):
+            recipes.append(("fold", "sum" if s.kind == "sum" else s.kind,
+                            add_partial(s.kind, rew_inputs[s.name]),
+                            "v"))
+        elif s.kind == "avg":
+            n1 = add_partial("sum", rew_inputs[s.name])
+            n2 = add_partial("count", rew_inputs[s.name])
+            recipes.append(("ratio", n1, n2))
+        else:
+            return None
+
+    group2 = list(group) + [(ast.Column(d), f"__dk_{d}") for d in dcols]
+    key_names2 = [nm for _, nm in group2]
+    rew_keys2 = list(rew_keys) + [ast.Column(d) for d in dcols]
+    rew_inputs2 = {s.name: s.input for s in inner_slots
+                   if s.input is not None}
+    inner = run_inner(group2, key_names2, inner_slots, rew_keys2,
+                      rew_inputs2)
+    if inner is None:
+        return None
+
+    keyn = [nm for _, nm in group]
+    df = inner.to_pandas()
+
+    def fold(gr):
+        out = {}
+        for s, r in zip(slots, recipes):
+            if r[0] == "nunique":
+                out[s.name] = gr[f"__dk_{r[1]}"].nunique()
+            elif r[0] == "fold":
+                c = gr[r[2]]
+                if r[1] == "sum":
+                    nn = c.dropna()
+                    out[s.name] = nn.sum() if len(nn) else None
+                elif r[1] == "min":
+                    out[s.name] = c.min()
+                else:
+                    out[s.name] = c.max()
+            else:
+                cs, cc = gr[r[1]].sum(), gr[r[2]].sum()
+                out[s.name] = (cs / cc) if cc else None
+        return pd.Series(out)
+
+    if keyn:
+        if len(df) == 0:
+            cols = {nm: inner.column(nm).slice(0, 0) for nm in keyn}
+            for s in slots:
+                cols[s.name] = pa.array([], _fold_out_type(
+                    s, recipes[slots.index(s)], inner))
+            return pa.table(cols)
+        folded = df.groupby(keyn, dropna=False, sort=False) \
+            .apply(fold, include_groups=False).reset_index()
+    else:
+        if len(df) == 0:
+            folded = pd.DataFrame([{
+                s.name: (0 if s.kind in ("count_distinct", "count_star",
+                                         "count") else None)
+                for s in slots}])
+        else:
+            folded = fold(df).to_frame().T
+
+    cols = {}
+    for nm in keyn:
+        arr = pa.Array.from_pandas(folded[nm])
+        want = inner.schema.field(nm).type
+        try:
+            arr = arr.cast(want)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            pass
+        cols[nm] = arr
+    for s, r in zip(slots, recipes):
+        t = _fold_out_type(s, r, inner)
+        arr = pa.Array.from_pandas(folded[s.name])
+        try:
+            arr = arr.cast(t)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            pass
+        cols[s.name] = arr
+    return pa.table(cols)
+
+
+def _fold_out_type(s, recipe, inner: pa.Table) -> pa.DataType:
+    if s.kind in ("count_distinct", "count_star", "count"):
+        return pa.int64()
+    if recipe[0] == "ratio" or s.kind == "avg":
+        return pa.float64()
+    return inner.schema.field(recipe[2]).type

@@ -152,10 +152,9 @@ def test_grouped_matches_classic(ctxs, sql):
 
 
 def test_unsupported_shapes_fall_back(ctxs):
-    """DISTINCT / median route to the classic path and still produce
-    correct results."""
+    """median routes to the classic path and still produces correct
+    results."""
     for sql in [
-        "SELECT count(DISTINCT cat) FROM t",
         "SELECT median(i) FROM t",
     ]:
         before = fused_agg.STATS["fused_queries"]
@@ -177,6 +176,10 @@ def test_round4_shapes_fuse(ctxs):
         "ORDER BY cat",                     # literal position key
         "SELECT min(cat), max(cat) FROM t",  # string min/max
         "SELECT i, min(cat) m FROM t GROUP BY i ORDER BY i",
+        # count(DISTINCT): two-level fused (keys+[d] inner + host fold)
+        "SELECT count(DISTINCT cat) FROM t",
+        "SELECT cat, count(DISTINCT i) u, count(*) c, sum(f) s, "
+        "avg(i) a FROM t GROUP BY cat ORDER BY cat",
     ]:
         before = fused_agg.STATS["fused_queries"]
         a, b = run_both(ctxs, sql)
