@@ -100,5 +100,8 @@ def test_end_to_end_propagation_through_server(tmp_path):
     # cache hot-path spans recorded under the server's execution
     assert "cache.insert" in by_name
     assert ("cache.eval_predicate" in by_name
-            or "cache.eval_predicate_many" in by_name)
+            or "cache.eval_predicate_many" in by_name
+            # round 4: the whole-query fused program subsumes the
+            # per-block predicate spans for aggregate shapes
+            or "sql.fused_aggregate" in by_name)
     assert by_name["cache.insert"][0].trace_id == csql.trace_id
