@@ -27,6 +27,43 @@ from liquid_tpu.ops import mask as mops
 
 DATA_AXIS = "data"
 
+#: structural scaling diagnostics (VERDICT r3 item 7): collective op
+#: count + bytes are recorded at TRACE time (static shapes), so they
+#: reflect the compiled program's structure; exchange rows/balance are
+#: measured from the histogram pass at run time.  reset per query by
+#: DistributedSession.sql.
+DIAG = {"collectives": 0, "collective_bytes": 0, "exchanges": 0,
+        "exchange_rows": 0, "exchange_bytes": 0, "exchange_balance": 1.0}
+
+
+def reset_diag() -> None:
+    DIAG.update(collectives=0, collective_bytes=0, exchanges=0,
+                exchange_rows=0, exchange_bytes=0, exchange_balance=1.0)
+
+
+def _diag_count(x) -> None:
+    DIAG["collectives"] += 1
+    try:
+        DIAG["collective_bytes"] += (
+            int(np.prod(x.shape)) * x.dtype.itemsize)
+    except Exception:
+        pass
+
+
+def psum(x, axis):
+    _diag_count(x)
+    return jax.lax.psum(x, axis)
+
+
+def pmin(x, axis):
+    _diag_count(x)
+    return jax.lax.pmin(x, axis)
+
+
+def pmax(x, axis):
+    _diag_count(x)
+    return jax.lax.pmax(x, axis)
+
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
     devs = jax.devices()

@@ -163,6 +163,16 @@ def exchange_by_key(vt: VTable, key: str) -> VTable:
     cap = _pad_pow2(int(counts.max()) if counts.size else 1)
 
     names = sorted(vt.cols)
+    # structural diagnostics: rows shipped + destination balance
+    tot = int(counts.sum())
+    dist.DIAG["exchanges"] += 1
+    dist.DIAG["exchange_rows"] += tot
+    dist.DIAG["exchange_bytes"] += tot * (2 * len(names) + 1) * 8
+    dest_tot = counts.reshape(-1, n).sum(axis=0)
+    if dest_tot.size and dest_tot.mean() > 0:
+        dist.DIAG["exchange_balance"] = max(
+            dist.DIAG["exchange_balance"],
+            float(dest_tot.max() / dest_tot.mean()))
     payloads = []
     for c in names:
         payloads.append(vt.cols[c])

@@ -518,6 +518,7 @@ class DistributedSession:
                 if res.num_columns:
                     out = res
             return out
+        dist.reset_diag()
         try:
             out = self._sql_one(query)
             self.route_stats["distributed"] += 1
@@ -1054,20 +1055,20 @@ class DistributedSession:
             outs = []
             for kind, spec in agg_specs:
                 if kind == "count_star":
-                    outs.append(jax.lax.psum(
+                    outs.append(dist.psum(
                         mops.count(sel).astype(jnp.int64)[None],
                         dist.DATA_AXIS))
                     continue
                 v, mm, nulls, mm_enc = self._agg_value_spec(
                     cols, col_ix, dt, spec, kind, selb.shape)
                 contrib = selb & ~nulls
-                cnt = jax.lax.psum(
+                cnt = dist.psum(
                     contrib.sum(dtype=jnp.int64)[None], dist.DATA_AXIS)
                 if kind == "count":
                     outs.append(cnt)
                 elif kind in ("sum", "avg"):
                     z = jnp.where(contrib, v, jnp.zeros((), v.dtype))
-                    outs.append(jax.lax.psum(
+                    outs.append(dist.psum(
                         z.sum(dtype=v.dtype)[None], dist.DATA_AXIS))
                     outs.append(cnt)
                 else:  # min / max (encoded u64 domain for plain int cols)
@@ -1079,7 +1080,7 @@ class DistributedSession:
                         sent = _neutral(mm.dtype, kind)
                     z = jnp.where(contrib, mm, sent)
                     red = z.min() if kind == "min" else z.max()
-                    col = jax.lax.pmin if kind == "min" else jax.lax.pmax
+                    col = dist.pmin if kind == "min" else dist.pmax
                     outs.append(col(red[None], dist.DATA_AXIS))
                     outs.append(cnt)
             return tuple(outs)
@@ -1210,7 +1211,7 @@ class DistributedSession:
                 slot = slot + idx * jnp.int64(strides[i])
             slot = jnp.where(selb, slot, jnp.int64(m)).astype(jnp.int32)
 
-            occ_cnt = jax.lax.psum(
+            occ_cnt = dist.psum(
                 jnp.zeros((m,), jnp.int64).at[slot].add(
                     jnp.ones(selb.shape, jnp.int64), mode="drop"),
                 dist.DATA_AXIS)
@@ -1237,7 +1238,7 @@ class DistributedSession:
                     cols, col_ix, dt, spec, kind, selb.shape)
                 contrib = selb & ~nulls
                 cslot = jnp.where(contrib, slot, jnp.int32(m))
-                cnt = jax.lax.psum(
+                cnt = dist.psum(
                     jnp.zeros((m,), jnp.int64).at[cslot].add(
                         jnp.ones(selb.shape, jnp.int64), mode="drop"),
                     dist.DATA_AXIS)
@@ -1245,7 +1246,7 @@ class DistributedSession:
                     outs.append(cnt)
                 elif kind in ("sum", "avg"):
                     z = jnp.where(contrib, v, jnp.zeros((), v.dtype))
-                    outs.append(jax.lax.psum(
+                    outs.append(dist.psum(
                         jnp.zeros((m,), v.dtype).at[cslot].add(
                             z, mode="drop"), dist.DATA_AXIS))
                     outs.append(cnt)
@@ -1262,12 +1263,12 @@ class DistributedSession:
                         tb = jnp.full((m,), _neutral(zz.dtype, "min"),
                                       zz.dtype).at[cslot].min(
                             zz, mode="drop")
-                        outs.append(jax.lax.pmin(tb, dist.DATA_AXIS))
+                        outs.append(dist.pmin(tb, dist.DATA_AXIS))
                     else:
                         tb = jnp.full((m,), _neutral(zz.dtype, "max"),
                                       zz.dtype).at[cslot].max(
                             zz, mode="drop")
-                        outs.append(jax.lax.pmax(tb, dist.DATA_AXIS))
+                        outs.append(dist.pmax(tb, dist.DATA_AXIS))
                     outs.append(cnt)
             return (jnp.bool_(True),) + tuple(outs)
 
@@ -1534,24 +1535,24 @@ def hash_rounds_body(codes, knulls, live0, rspecs, n_slots, salt, rounds,
         slot = (h & _U64(n_slots - 1)).astype(jnp.int32)
         slot = jnp.where(live, slot, n_slots)  # OOB -> dropped
 
-        occ = jax.lax.psum(
+        occ = dist.psum(
             jnp.zeros((n_slots,), jnp.int32).at[slot].add(
                 jnp.ones((n_rows,), jnp.int32), mode="drop"), axis) > 0
         dirty = jnp.zeros((n_slots,), jnp.bool_)
         kreps = []
         nreps = []
         for c, nl in zip(codes, knulls):
-            cmin = jax.lax.pmin(
+            cmin = dist.pmin(
                 jnp.full((n_slots,), jnp.iinfo(jnp.int64).max, jnp.int64
                          ).at[slot].min(c, mode="drop"), axis)
-            cmax = jax.lax.pmax(
+            cmax = dist.pmax(
                 jnp.full((n_slots,), jnp.iinfo(jnp.int64).min, jnp.int64
                          ).at[slot].max(c, mode="drop"), axis)
             nl32 = nl.astype(jnp.int32)
-            nmin = jax.lax.pmin(
+            nmin = dist.pmin(
                 jnp.full((n_slots,), 2, jnp.int32
                          ).at[slot].min(nl32, mode="drop"), axis)
-            nmax = jax.lax.pmax(
+            nmax = dist.pmax(
                 jnp.full((n_slots,), -1, jnp.int32
                          ).at[slot].max(nl32, mode="drop"), axis)
             dirty = dirty | (occ & ((cmin != cmax) | (nmin != nmax)))
@@ -1565,7 +1566,7 @@ def hash_rounds_body(codes, knulls, live0, rspecs, n_slots, salt, rounds,
         for spec in rspecs:
             kind = spec["kind"]
             if kind == "count_star":
-                outs.append(jax.lax.psum(
+                outs.append(dist.psum(
                     jnp.zeros((n_slots,), jnp.int64).at[slot].add(
                         jnp.ones((n_rows,), jnp.int64), mode="drop"),
                     axis))
@@ -1573,14 +1574,14 @@ def hash_rounds_body(codes, knulls, live0, rspecs, n_slots, salt, rounds,
             nulls = spec["nulls"]
             contrib = live & ~nulls
             cslot = jnp.where(contrib, slot, n_slots)
-            cnt = jax.lax.psum(
+            cnt = dist.psum(
                 jnp.zeros((n_slots,), jnp.int64).at[cslot].add(
                     jnp.ones((n_rows,), jnp.int64), mode="drop"), axis)
             if kind == "count":
                 outs.append(cnt)
             elif kind in ("sum", "avg"):
                 v = spec["v"]
-                outs.append(jax.lax.psum(
+                outs.append(dist.psum(
                     jnp.zeros((n_slots,), v.dtype).at[cslot].add(
                         v, mode="drop"), axis))
                 outs.append(cnt)
@@ -1590,7 +1591,7 @@ def hash_rounds_body(codes, knulls, live0, rspecs, n_slots, salt, rounds,
                 t = jnp.full((n_slots,), sent, mm.dtype)
                 t = (t.at[cslot].min(mm, mode="drop") if kind == "min"
                      else t.at[cslot].max(mm, mode="drop"))
-                coll = jax.lax.pmin if kind == "min" else jax.lax.pmax
+                coll = dist.pmin if kind == "min" else dist.pmax
                 outs.append(coll(t, axis))
                 outs.append(cnt)
             else:
@@ -1599,5 +1600,5 @@ def hash_rounds_body(codes, knulls, live0, rspecs, n_slots, salt, rounds,
         # rows in dirty slots carry to the next round
         live = live & dirty[jnp.clip(slot, 0, n_slots - 1)]
 
-    leftover = jax.lax.psum(live.sum(dtype=jnp.int64), axis)
+    leftover = dist.psum(live.sum(dtype=jnp.int64), axis)
     return (leftover == 0,) + tuple(outs)

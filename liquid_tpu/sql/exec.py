@@ -71,7 +71,7 @@ class QueryExecutor:
 
     @staticmethod
     def _try_fused(table, plan, hints, group, key_names, slots,
-                   rew_keys, rew_inputs):
+                   rew_keys, rew_inputs, q=None):
         """Whole-query compiled scan->filter->aggregate on the resident
         device encodings; None when the shape is unsupported (classic
         scan path takes over)."""
@@ -79,7 +79,7 @@ class QueryExecutor:
         with TRACER.span("sql.fused_aggregate"):
             return try_fused_aggregate(table, plan, hints, group,
                                        key_names, slots, rew_keys,
-                                       rew_inputs)
+                                       rew_inputs, q)
 
     def _execute_sql_inner(self, sql: str) -> pa.Table:
         stmt = parse_statement(sql)
@@ -815,7 +815,7 @@ class QueryExecutor:
                 pass
             elif (fused_final := self._try_fused(
                     table, plan, hints, group, key_names, slots,
-                    rew_keys, rew_inputs)) is not None:
+                    rew_keys, rew_inputs, q)) is not None:
                 # whole-query compiled path: scan->filter->aggregate as
                 # ONE device program straight from the resident encodings
                 # (sql/fused_agg.py; VERDICT r2 #1)

@@ -963,9 +963,11 @@ def _fused_run(spec, *arrays):
 
     if mode == "direct":
         # bijective dense-domain slots: no collision machinery at all
+        spans, pseg = extra
         res = hops.direct_reduce_packed(
             tuple(codes_l), tuple(knulls_l), selb, tuple(vals),
-            tuple(vnulls), tuple(kinds), arrays[-1], spans=extra)
+            tuple(vnulls), tuple(kinds), arrays[-1], spans=spans,
+            pallas_seg=pseg)
     else:
         res = hops.hash_rounds_reduce_packed(
             tuple(codes_l), tuple(knulls_l), selb, tuple(vals),
@@ -999,6 +1001,7 @@ class _Plan:
         self.slot_map: List[tuple] = []   # per AggSlot: (kind, rslot indices)
         self.slot_types: Dict[str, pa.DataType] = {}
         self.slot_vocabs: Dict[str, list] = {}  # min/max(string) gids
+        self.rslot_maxabs: List[Optional[int]] = []  # i32-window bounds
 
 
 def _add(plan: _Plan, arr) -> int:
@@ -1412,15 +1415,37 @@ def _plan_query(table, plan_scan, hints, group, key_names, slots,
         p.pred_groups.append(tuple(alts))
 
     p.rv_ix = _add(p, _rowvalid(table, blocks))
-    _plan_slots(p, slots, slot_irs, rew_inputs, table)
+
+    def bounds_of(c):
+        try:
+            if kind_of(c) in ("planes", "float"):
+                return payload_bounds(prep_of(c))
+        except _Bail:
+            pass
+        return None
+
+    _plan_slots(p, slots, slot_irs, rew_inputs, table, bounds_of)
     return p, ("grouped" if key_names else "scalar"), False
 
 
-def _plan_slots(p, slots, slot_irs, rew_inputs, table) -> None:
+def _plan_slots(p, slots, slot_irs, rew_inputs, table,
+                bounds_of=None) -> None:
+    def maxabs_of(ir, dt):
+        """|value| bound for the pallas i32 accumulation window; None =
+        unbounded (expression / float / no prep info)."""
+        if dt != "i64" or bounds_of is None:
+            return None
+        if ir[0] == "col":
+            b = bounds_of(ir[1])
+            if b is not None:
+                return max(abs(b[0]), abs(b[1]), 1)
+        return None
+
     for s in slots:
         base = len(p.rslots)
         if s.kind == "count_star":
             p.rslots.append(("sum", "i64", ("ones",), ()))
+            p.rslot_maxabs.append(1)
             p.slot_map.append((s.kind, (base,)))
         elif s.kind == "count":
             ir, cols = slot_irs[s.name]
@@ -1430,6 +1455,7 @@ def _plan_slots(p, slots, slot_irs, rew_inputs, table) -> None:
             else:
                 # count(expr): count rows where the expr is non-NULL
                 p.rslots.append(("sum", "i64", ("nncount", ir), ()))
+            p.rslot_maxabs.append(1)
             p.slot_map.append((s.kind, (base,)))
         elif s.kind in ("sum", "avg", "min", "max"):
             ir, cols = slot_irs[s.name]
@@ -1440,6 +1466,8 @@ def _plan_slots(p, slots, slot_irs, rew_inputs, table) -> None:
             dt = _ir_dtype(ir)
             p.rslots.append((s.kind if s.kind in ("min", "max") else "sum",
                              dt, ir, tuple(sorted(cols))))
+            p.rslot_maxabs.append(
+                maxabs_of(ir, dt) if s.kind in ("sum", "avg") else None)
             p.slot_map.append((s.kind, (base,)))
             p.slot_types.setdefault(s.name, _slot_out_type(
                 s, ir, rew_inputs.get(s.name), table))
@@ -1450,6 +1478,7 @@ def _plan_slots(p, slots, slot_irs, rew_inputs, table) -> None:
             p.rslots.append(("sum", "f64",
                              ("bin", "*", "f64", ir, ir),
                              tuple(sorted(cols))))
+            p.rslot_maxabs.extend([None, None])
             p.slot_map.append((s.kind, (base, base + 1)))
         else:  # pragma: no cover (guarded above)
             raise _Bail(s.kind)
@@ -1515,7 +1544,7 @@ def _decode_slot_value(kind, t: pa.DataType, acc: np.ndarray,
 
 
 def try_fused_aggregate(table, plan_scan, hints, group, key_names, slots,
-                        rew_keys, rew_inputs) -> Optional[pa.Table]:
+                        rew_keys, rew_inputs, q=None) -> Optional[pa.Table]:
     """Attempt the fused device aggregation.  Returns the merged partial
     table in GroupedAggregator.finalize's schema (key columns + slot
     columns), or None to fall back to the classic scan path."""
@@ -1535,7 +1564,10 @@ def try_fused_aggregate(table, plan_scan, hints, group, key_names, slots,
         STATS["fused_bailouts"] += 1
         return None
     STATS["fused_queries"] += 1
-    result = execute_plan(p, mode, empty, slots, table)
+    topk = None
+    if q is not None and mode == "grouped" and not empty:
+        topk = plan_topk(q, slots, p)
+    result = execute_plan(p, mode, empty, slots, table, topk)
     if result is None:
         # cardinality defeated the ladder: classic path (exact, slower)
         STATS["fused_bailouts"] += 1
@@ -1543,7 +1575,7 @@ def try_fused_aggregate(table, plan_scan, hints, group, key_names, slots,
 
 
 def execute_plan(p: _Plan, mode: str, empty: bool, slots,
-                 table) -> Optional[pa.Table]:
+                 table, topk=None) -> Optional[pa.Table]:
     """Run a planned fused aggregation (single-table or star-join fact
     program): empty-scan shortcut, then scalar / direct-address /
     staged-hash grouped execution.  Returns the partial result table
@@ -1597,12 +1629,34 @@ def execute_plan(p: _Plan, mode: str, empty: bool, slots,
         ncols = 1 + 2 * len(p.rslots) + 2 * len(keys)
         cap = min(1 << 27, (3 << 30) // (8 * ncols))
         if 0 < m <= cap:
+            pseg = 0
+            if p.rv_ix >= 0 and p.rslot_maxabs \
+                    and all(b is not None for b in p.rslot_maxabs) \
+                    and all(r[0] == "sum" and r[1] == "i64"
+                            for r in p.rslots):
+                import jax as _jax
+                from liquid_tpu.ops import grouphist_pallas as gh
+                n_tblcols = 1 + 2 * len(p.rslots)
+                if (_jax.default_backend() == "tpu" and gh.HAVE_PALLAS
+                        and m + 1 <= gh.MAX_SLOTS
+                        and m * n_tblcols > 6144  # streaming tier wins below
+                        and n_tblcols <= gh.MAX_COLS):
+                    n_rows = int(p.arrays[p.rv_ix].shape[0]) * BLOCK_ROWS
+                    sp = gh.plan_segments(n_rows, max(p.rslot_maxabs))
+                    if sp:
+                        pseg = sp[1]
+                        STATS["fused_pallas"] = STATS.get(
+                            "fused_pallas", 0) + 1
             spec = ("direct", spec_cols, pred_groups, probes, resids,
                     keys, fd_spec, rslots, p.rv_ix, 0, 0,
-                    tuple(span for _, span in domains))
+                    (tuple(span for _, span in domains), pseg))
             los = jnp.asarray(
                 np.array([lo for lo, _ in domains], np.int64))
             out = _fused_run(spec, *p.arrays, los)
+            if topk is not None:
+                r = _try_topk_fetch(p, slots, out, topk)
+                if r is not None:
+                    return r
             mat = np.asarray(out[0])
             g = int(mat[0, 1])
             if g <= mat.shape[1]:
@@ -1642,6 +1696,22 @@ def execute_plan(p: _Plan, mode: str, empty: bool, slots,
         spec = ("grouped", spec_cols, pred_groups, probes, resids, keys,
                 fd_spec, rslots, p.rv_ix, n_slots, salt, rounds)
         out = _fused_run(spec, *p.arrays)
+        if topk is not None:
+            clean_now = bool(np.asarray(out[1]))  # tiny scalar fetch
+            if clean_now:
+                if not hasattr(table, "_fused_stage_hint"):
+                    table._fused_stage_hint = {}
+                table._fused_stage_hint[hint_key] = si
+                result = _try_topk_fetch(p, slots, out, topk)
+                if result is None:
+                    mat = np.asarray(out[0])
+                    g = int(mat[0, 1])
+                    result = (_parse_packed(p, slots, mat, g)
+                              if g <= mat.shape[1]
+                              else _fetch_full(p, slots, g, out[3]))
+                break
+            STATS["fused_retries"] += 1
+            continue
         mat = np.asarray(out[0])
         if mat[0, 0]:
             g = int(mat[0, 1])
@@ -2061,3 +2131,159 @@ def _fold_out_type(s, recipe, inner: pa.Table) -> pa.DataType:
     if recipe[0] == "ratio" or s.kind == "avg":
         return pa.float64()
     return inner.schema.field(recipe[2]).type
+
+
+# -- device top-k fetch -------------------------------------------------------
+#
+# The axon tunnel fetches device->host at ~8 MB/s with a ~35 ms floor
+# (measured round 4): a 65k-row packed matrix costs 100s of ms, yet
+# ORDER BY <agg> LIMIT k queries need ~k rows.  When the first ORDER BY
+# target is an aggregate output, the top-k superset (k2 = 4k+64 rows,
+# chosen by the first key's value with NULL placement folded in) is
+# selected ON DEVICE and only those rows are fetched.  Exactness is
+# host-verified: every unfetched group's value is <= the last fetched
+# value, so the result is exact unless the k-th row TIES the boundary
+# -- in which case the full fetch runs (rare, never wrong).
+
+TOPK_MARGIN = 64
+TOPK_MAX = 4096
+
+
+class TopKSpec:
+    __slots__ = ("slot_index", "desc", "nulls_first", "k")
+
+    def __init__(self, slot_index, desc, nulls_first, k):
+        self.slot_index = slot_index
+        self.desc = desc
+        self.nulls_first = nulls_first
+        self.k = k
+
+
+def plan_topk(q, slots, p: _Plan):
+    """-> TopKSpec or None (ORDER BY <agg output> ... LIMIT k with no
+    HAVING; the first order key decides the device selection, the host
+    finishes the full multi-key sort over the superset)."""
+    if q.limit is None or not q.order_by or q.having is not None:
+        return None
+    k = q.limit + (q.offset or 0)
+    if k * 4 + TOPK_MARGIN > TOPK_MAX:
+        return None
+    o = q.order_by[0]
+    e = o.expr
+    alias_map = {it.alias: it.expr for it in q.items if it.alias}
+    if isinstance(e, ast.Column) and e.name in alias_map:
+        e = alias_map[e.name]
+    for si, s in enumerate(slots):
+        if s.func == e:
+            kind, idxs = p.slot_map[si]
+            if kind in ("stddev", "var", "count_distinct"):
+                return None
+            j = idxs[0]
+            r = p.rslots[j]
+            if r[1] == "i64" and kind in ("sum", "avg", "min", "max"):
+                # i64 order values ride f64 for top_k: exact only
+                # within 2^53 -- require proven bounds
+                b = (p.rslot_maxabs[j] if j < len(p.rslot_maxabs)
+                     else None)
+                if b is None:
+                    return None
+            nf = o.desc if o.nulls_first is None else o.nulls_first
+            return TopKSpec((kind, idxs), bool(o.desc), bool(nf), k)
+    return None
+
+
+@partial(jax.jit, static_argnames=("spec", "nk", "nv", "k2"))
+def _topk_gather(cols, spec, nk, nv, k2):
+    """Select the top-k2 occupied slot rows by the order value and pack
+    them into one small i64 matrix: row 0 = [occ, nanflag] flags per
+    column... layout: [occ_row, val_row, keys(nk), knulls(nk),
+    outs(nv), counts(nv)] x k2."""
+    kind, j_acc, j_cnt, desc, nulls_first = spec
+    occ = cols[0]
+    acc = cols[1 + 2 * nk + j_acc]
+    cnt = cols[1 + 2 * nk + nv + j_acc]
+    if acc.dtype == jnp.float64:
+        val = acc
+    else:
+        val = acc.astype(jnp.float64)
+    if kind == "avg":
+        val = val / jnp.maximum(cnt, 1).astype(jnp.float64)
+    isnull = cnt == 0
+    # SQL placement folded into the ranking value (huge FINITE
+    # sentinels: -inf must remain exclusive to unoccupied slots so the
+    # occupied rows stay a prefix of the top-k2)
+    null_rank = jnp.float64(
+        1.7e308 if nulls_first == desc else -1.7e308)
+    val = jnp.where(isnull, null_rank, val)
+    nanflag = jnp.isnan(val).any() | jnp.isinf(
+        jnp.where(occ, val, 0.0)).any()
+    rank = jnp.where(occ, val if desc else -val, -jnp.inf)
+    _, idx = jax.lax.top_k(rank, k2)
+
+    def as_i64(x):
+        if x.dtype == jnp.float64:
+            x = floatbits.f64_bits(x)
+        elif x.dtype != jnp.int64:
+            x = x.astype(jnp.int64)
+        return x[idx]
+
+    rows = [occ[idx].astype(jnp.int64).at[0].add(
+        nanflag.astype(jnp.int64) << 32),
+        as_i64(val)]
+    for c in cols[1:]:
+        rows.append(as_i64(c))
+    return jnp.stack(rows)
+
+
+def _try_topk_fetch(p: _Plan, slots, out, topk: TopKSpec):
+    """Device top-k superset fetch; returns the partial table or None
+    when exactness can't be certified (caller full-fetches)."""
+    mat, clean, ng, cols = out
+    nk_red = len(p.phys_keys) if p.fd else len(p.keys)
+    nv = len(p.rslots)
+    kind, idxs = topk.slot_index
+    k2 = min(topk.k * 4 + TOPK_MARGIN, int(cols[0].shape[0]))
+    spec = (kind, idxs[0], idxs[0], topk.desc, topk.nulls_first)
+    mini = np.asarray(_topk_gather(tuple(cols), spec, nk_red, nv, k2))
+    occ = (mini[0] & 0xFFFFFFFF).astype(bool)
+    if (mini[0, 0] >> 32) & 1:
+        return None  # NaN order values: ordering unreliable
+    g2 = int(occ.sum())
+    vals = mini[1].view(np.float64)
+    if g2 == k2 and k2 > topk.k:
+        # more groups exist beyond the fetch: exact iff the k-th row's
+        # value beats the boundary strictly
+        vk, vlast = vals[topk.k - 1], vals[g2 - 1]
+        if not (vk > vlast if topk.desc else vk < vlast):
+            return None
+    rows = mini[2:, :g2]
+    ukeys = [rows[i] for i in range(nk_red)]
+    uknulls = [rows[nk_red + i].astype(bool) for i in range(nk_red)]
+    outs = [rows[2 * nk_red + j] for j in range(nv)]
+    vcounts = [rows[2 * nk_red + nv + j] for j in range(nv)]
+    if p.fd:
+        rep_pos, nk_full, entries = p.fd
+        kv = jnp.asarray(ukeys[0])
+        keys_full = [None] * nk_full
+        nulls_full = [None] * nk_full
+        keys_full[rep_pos] = ukeys[0]
+        nulls_full[rep_pos] = uknulls[0]
+        for (pos, idx_ix, lo_ix, vals_ix, nulls_ix, ptype) in entries:
+            idxt = p.arrays[idx_ix]
+            rel = jnp.clip(kv - p.arrays[lo_ix], 0, idxt.shape[0] - 1)
+            jj = idxt[rel]
+            va = p.arrays[vals_ix]
+            jc = jnp.clip(jj, 0, va.shape[0] - 1)
+            v = va[jc]
+            if ptype == "f64":
+                v = floatbits.f64_bits(v + 0.0)
+            else:
+                v = v.astype(jnp.int64)
+            nl = jj < 0
+            if nulls_ix >= 0:
+                nl = nl | p.arrays[nulls_ix][jc]
+            keys_full[pos] = np.asarray(v)
+            nulls_full[pos] = np.asarray(nl)
+        ukeys, uknulls = keys_full, nulls_full
+    return _build_result(p, slots, g2, ukeys, uknulls, outs, vcounts,
+                         packed_i64=True)

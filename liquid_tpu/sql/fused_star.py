@@ -929,7 +929,21 @@ def _plan_fact(planner: _StarPlanner, dims: Dict[str, _Probe]):
                     p.key_bounds[c] = probe.pay_bounds[c]
 
     fields = _Fields(planner.tables.values())
-    _plan_slots(p, planner.slots, slot_irs, planner.rew_inputs, fields)
+
+    def bounds_of(c):
+        tbl2 = planner.owner.get(c)
+        if tbl2 == fact:
+            try:
+                return payload_bounds(planner.prep_of(fact, c))
+            except _Bail:
+                return None
+        for pb2 in dims.values():
+            if c in pb2.pay_bounds:
+                return pb2.pay_bounds[c]
+        return None
+
+    _plan_slots(p, planner.slots, slot_irs, planner.rew_inputs, fields,
+                bounds_of)
     p.rv_ix = _add(p, _rowvalid(table, blocks))
     return p, ("grouped" if planner.key_names else "scalar"), False
 
@@ -1003,8 +1017,12 @@ def try_fused_star(executor, q, group, key_names, slots, rew_keys,
         for pb in unverified:
             pb.verified = True
     STATS["star_queries"] += 1
+    from liquid_tpu.sql.fused_agg import plan_topk
+    topk = None
+    if mode == "grouped" and not empty:
+        topk = plan_topk(q, slots, p)
     result = execute_plan(p, mode, empty, slots,
-                          planner.tables[planner.fact])
+                          planner.tables[planner.fact], topk)
     if result is None:
         STATS["star_bailouts"] += 1
     return result
