@@ -183,22 +183,29 @@ def run_mode(mode, paths, qs):
     t_compile = time.perf_counter() - t0
     log(f"[{mode}] warm-up: transcode {t_transcode:.1f}s, "
         f"compile+first-exec {t_compile:.1f}s")
+    spreads = {}
     for name, tcols, rows, sql in qs:
-        best = float("inf")
+        runs = []
         for _ in range(ITERS):
             b_f = STATS.get("fused_queries", 0)
             b_s = STATS.get("star_queries", 0)
             t0 = time.perf_counter()
             ctx.sql(sql)
-            best = min(best, time.perf_counter() - t0)
+            runs.append(time.perf_counter() - t0)
             routes[name] = ("star" if STATS.get("star_queries", 0) > b_s
                             else "fused"
                             if STATS.get("fused_queries", 0) > b_f
                             else "classic")
+        best = min(runs)
         times[name] = best
+        # run-to-run spread through the shared tunnel is 1.5-2x
+        # (PERF_NOTES round 4): report it so regressions are
+        # distinguishable from noise (VERDICT r3 weak #7)
+        spreads[name] = round(max(runs) / max(best, 1e-9), 2)
         log(f"[{mode}] {name}: {best * 1000:.1f} ms "
-            f"({rows / best / 1e6:.1f} Mrows/s) [{routes[name]}]")
-    return times, results, (t_transcode, t_compile), ctx, routes
+            f"({rows / best / 1e6:.1f} Mrows/s) [{routes[name]}] "
+            f"spread x{spreads[name]}")
+    return times, results, (t_transcode, t_compile), ctx, routes, spreads
 
 
 def _timed_loop(fn, args, iters):
@@ -513,7 +520,7 @@ def main():
     log(f"data: {card}")
     qs = queries(hits_rows, li_rows)
 
-    t_liquid, r_liquid, warm_l, ctx_l, routes = run_mode(
+    t_liquid, r_liquid, warm_l, ctx_l, routes, spreads = run_mode(
         "liquid", paths, qs)
     ops = operator_rooflines(ctx_l)
     for k, v in ops.items():
@@ -524,7 +531,7 @@ def main():
             f"{v['gbytes_per_s']:.0f} GB/s, "
             f"roofline {v['roofline_frac'] * 100:.0f}%")
     del ctx_l
-    t_arrow, r_arrow, warm_a, ctx_a, _routes_a = run_mode(
+    t_arrow, r_arrow, warm_a, ctx_a, _ra, _sa = run_mode(
         "arrow", paths, qs)
     del ctx_a
     # correctness gate: both modes must agree before any number is
@@ -566,6 +573,7 @@ def main():
                      "arrow_compile": round(warm_a[1], 1)},
         "data": card,
         "routes": routes,
+        "spread": spreads,
         "operators": ops,
         "micro_packed_compare_rows_per_s": micro,
     }))
