@@ -300,6 +300,42 @@ def operator_rooflines(ctx):
         emit("decode", n, nb, per, per * it)
     reg = prep_of("RegionID")
     if reg is not None and reg.kind == "planes":
+        # round 4: the engine's grouped path is the Pallas VMEM
+        # histogram (one pass, all columns); report it alongside the
+        # legacy XLA-scatter measurement.  Scatter work is LATENCY
+        # bound, so ns/row is the honest metric (HBM roofline fractions
+        # mislead for random RMW).
+        try:
+            from liquid_tpu.ops import bitpack as bp2
+            from liquid_tpu.ops import grouphist_pallas as gh
+            if gh.HAVE_PALLAS:
+                import jax
+                refs = jnp.asarray(reg.refs)
+                st = reg.planes_stack
+                n = st.shape[0] * 8192
+                M = 1 << 14
+
+                @jax.jit
+                def ghist(s):
+                    off = bp2.unpack_bitplanes_many(s, jnp.uint32)
+                    codes = (off.astype(jnp.int64)
+                             + refs[:, None]).reshape(-1)
+                    slot = jnp.clip(codes, 0, M).astype(jnp.int32)
+                    vals = jnp.stack(
+                        [jnp.ones(n, jnp.int32)] * 4, axis=1)
+                    tb = gh.group_accumulate(slot, vals, M, 128)
+                    return tb.sum(dtype=jnp.int64).astype(jnp.int32)
+
+                int(ghist(st))
+                best = min(_t1(ghist, (st,)) for _ in range(3))
+                out["grouped_accumulate_pallas"] = {
+                    "rows_per_s": n / best,
+                    "ns_per_row": best / n * 1e9,
+                    "cols": 4,
+                    "note": "latency-bound op: ns/row is the metric",
+                }
+        except Exception as e:
+            out["grouped_accumulate_pallas"] = {"error": str(e)[:120]}
         st = reg.planes_stack
         refs = jnp.asarray(reg.refs)
         n = st.shape[0] * 8192

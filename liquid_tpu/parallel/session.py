@@ -59,6 +59,12 @@ except ImportError:  # older jax
 
 P = jax.sharding.PartitionSpec
 
+#: unmodified TPC-DS queries measured to complete DISTRIBUTED on the
+#: virtual mesh (2026-08-21 probe at sf0.01, strict mode -- no
+#: fallback; tests/test_dist_tpcds.py oracle-verifies a subset each
+#: run, LIQUID_DIST_TPCDS_FULL=1 widens it)
+DIST_TPCDS_SUPPORTED = (3, 7, 13, 26, 37, 42, 52, 55, 82, 96)
+
 _CMP = {"=": "eq", "<>": "ne", "!=": "ne", "<": "lt", "<=": "le",
         ">": "gt", ">=": "ge"}
 

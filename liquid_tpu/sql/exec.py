@@ -55,16 +55,30 @@ class QueryExecutor:
             return self._execute_sql_inner(sql)
 
     def _try_fused_distinct(self, table, plan, hints, group, key_names,
-                            slots, rew_keys, rew_inputs):
+                            slots, rew_keys, rew_inputs, q=None):
         from liquid_tpu.sql import fused_agg
         if not any(s.kind == "count_distinct" for s in slots):
             return None
 
-        def run_inner(g2, kn2, s2, rk2, ri2):
-            return self._try_fused(table, plan, hints, g2, kn2, s2,
-                                   rk2, ri2)
-
         with TRACER.span("sql.fused_distinct"):
+            # fully-on-device two-level reduction first (only the final
+            # per-key rows transfer); host-fold two-level otherwise
+            try:
+                r = fused_agg.distinct_fused_device(
+                    table, plan, hints, group, key_names, slots,
+                    rew_keys, rew_inputs, q)
+            except Exception:
+                import os
+                if os.environ.get("LIQUID_FUSED_STRICT"):
+                    raise
+                r = None
+            if r is not None:
+                return r
+
+            def run_inner(g2, kn2, s2, rk2, ri2):
+                return self._try_fused(table, plan, hints, g2, kn2, s2,
+                                       rk2, ri2)
+
             return fused_agg.distinct_two_level(
                 slots, group, key_names, rew_keys, rew_inputs,
                 run_inner)
@@ -809,7 +823,7 @@ class QueryExecutor:
                 agg.update({}, table.num_rows)
             elif (fused_final := self._try_fused_distinct(
                     table, plan, hints, group, key_names, slots,
-                    rew_keys, rew_inputs)) is not None:
+                    rew_keys, rew_inputs, q)) is not None:
                 # count(DISTINCT d): fused inner aggregation grouped by
                 # keys+[d] + host fold (fused_agg.distinct_two_level)
                 pass

@@ -853,6 +853,10 @@ def _apply_fd_packed(mat, fd_spec, arrays):
 
 @partial(jax.jit, static_argnums=(0,))
 def _fused_run(spec, *arrays):
+    return _fused_core(spec, arrays)
+
+
+def _fused_core(spec, arrays):
     (mode, cols, pred_groups, probes, resids, keys, fd_spec, rslots,
      rv_ix, n_slots, salt, extra) = spec
     colmap = {c[0]: dict(c[1]) for c in cols}
@@ -1915,6 +1919,17 @@ def _build_result(p: _Plan, slots, g, ukeys, uknulls, outs, vcounts,
         acc = np.ascontiguousarray(outs[j])
         cnt = np.ascontiguousarray(vcounts[j], np.int64)
         dt = p.rslots[j][1]
+        if kind == "avg2":
+            # chained-distinct avg: merged sum / merged count
+            sv = (acc.view(np.float64) if dt == "f64"
+                  and acc.dtype == np.int64 else acc.astype(np.float64))
+            cv = np.ascontiguousarray(outs[idxs[1]]).astype(np.float64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                v = sv / cv
+            mask = cv == 0
+            cols[s.name] = pa.array(v, pa.float64(),
+                                    mask=mask if mask.any() else None)
+            continue
         if kind in ("stddev", "var"):
             ss = acc.view(np.float64) if acc.dtype == np.int64 else acc
             q = np.ascontiguousarray(outs[idxs[1]])
@@ -2176,7 +2191,7 @@ def plan_topk(q, slots, p: _Plan):
     for si, s in enumerate(slots):
         if s.func == e:
             kind, idxs = p.slot_map[si]
-            if kind in ("stddev", "var", "count_distinct"):
+            if kind in ("stddev", "var", "count_distinct", "avg2"):
                 return None
             j = idxs[0]
             r = p.rslots[j]
@@ -2287,3 +2302,218 @@ def _try_topk_fetch(p: _Plan, slots, out, topk: TopKSpec):
         ukeys, uknulls = keys_full, nulls_full
     return _build_result(p, slots, g2, ukeys, uknulls, outs, vcounts,
                          packed_i64=True)
+
+
+# -- device-chained count(DISTINCT) -------------------------------------------
+#
+# The host-fold form of distinct_two_level fetches every unique
+# (keys, d) row -- millions of rows x ~8 MB/s of tunnel for ClickBench's
+# COUNT(DISTINCT UserID) family.  This chained form runs BOTH
+# reductions in ONE device program: level 1 groups by keys + [d]
+# (partial aggregates ride along), level 2 re-reduces the level-1 SLOT
+# ARRAYS by the original keys -- nunique(d) is the sum of d-non-null
+# flags over unique (keys, d) slots -- and only the final per-key rows
+# transfer (with the device top-k fetch applying on top).
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _fused_distinct_run(spec1, l2, stage2, *arrays):
+    """l2: (recipes, kinds2) where recipes[j] picks the level-2 input:
+    ("nunique",) | ("out", j1) using level-1 rslot j1's acc/cnt."""
+    res1 = _fused_core(spec1, arrays)
+    mat1, clean1, ng1, cols1 = res1
+    keys1 = spec1[5]
+    nk1 = len(keys1)
+    nv1 = len(spec1[7])
+    occ = cols1[0]
+    kreps = cols1[1:1 + nk1]
+    nreps = cols1[1 + nk1:1 + 2 * nk1]
+    ocat = cols1[1 + 2 * nk1:1 + 2 * nk1 + nv1]
+    ccat = cols1[1 + 2 * nk1 + nv1:]
+    # d is the LAST level-1 key by construction
+    codes2 = tuple(k.astype(jnp.int64) if k.dtype != jnp.int64 else k
+                   for k in kreps[:-1])
+    knulls2 = tuple(n.astype(jnp.bool_) for n in nreps[:-1])
+    d_nonnull = ~nreps[-1].astype(jnp.bool_)
+    recipes, kinds2 = l2
+    vals2, vnulls2 = [], []
+    for r in recipes:
+        if r[0] == "nunique":
+            vals2.append((d_nonnull & occ).astype(jnp.int64))
+            vnulls2.append(~(d_nonnull & occ))
+        else:
+            j1 = r[1]
+            vals2.append(ocat[j1])
+            vnulls2.append(ccat[j1] == 0)
+    n_slots2, salt2, rounds2 = stage2
+    res2 = hops.hash_rounds_reduce_packed(
+        codes2, knulls2, occ, tuple(vals2), tuple(vnulls2), kinds2,
+        n_slots2, salt2, rounds=rounds2)
+    mat2, clean2, ng2, cols2 = res2
+    return (mat2, clean1 & clean2, ng2, cols2)
+
+
+def distinct_fused_device(table, plan_scan, hints, group, key_names,
+                          slots, rew_keys, rew_inputs,
+                          q=None) -> Optional[pa.Table]:
+    """count(DISTINCT d) fully on device (single parquet source).
+    Returns the partial result table or None (caller falls back to the
+    host-fold two-level, then the classic path)."""
+    from liquid_tpu.sql.physical import AggSlot
+    dslots = [s for s in slots if s.kind == "count_distinct"]
+    if not dslots:
+        return None
+    dcols = []
+    for s in dslots:
+        e = rew_inputs.get(s.name)
+        if not isinstance(e, ast.Column):
+            return None
+        if e.name not in dcols:
+            dcols.append(e.name)
+    if len(dcols) != 1:
+        return None  # one distinct column (covers the ClickBench set)
+    d = dcols[0]
+
+    # level-1 partial slots + level-2 recipes
+    inner_slots: List = []
+    recipes: List[tuple] = []
+    kinds2: List[str] = []
+    slot_map2: List[tuple] = []
+    slot_types2: Dict[str, pa.DataType] = {}
+
+    pending_types: List[tuple] = []
+
+    def partial_slot(kind, inp):
+        nm = f"__dp{len(inner_slots)}"
+        inner_slots.append(AggSlot(
+            ast.Func(kind if kind != "count_star" else "count",
+                     (inp,) if inp is not None else (),
+                     star=inp is None), nm, kind, inp))
+        return len(inner_slots) - 1
+
+    for s in slots:
+        base = len(recipes)
+        if s.kind == "count_distinct":
+            recipes.append(("nunique",))
+            kinds2.append("sum")
+            slot_map2.append(("count_star", (base,)))
+        elif s.kind == "count_star":
+            recipes.append(("out", partial_slot("count_star", None)))
+            kinds2.append("sum")
+            slot_map2.append(("count_star", (base,)))
+        elif s.kind == "count":
+            recipes.append(("out", partial_slot(
+                "count", rew_inputs[s.name])))
+            kinds2.append("sum")
+            slot_map2.append(("count_star", (base,)))
+        elif s.kind in ("sum", "min", "max"):
+            j1 = partial_slot(s.kind, rew_inputs[s.name])
+            recipes.append(("out", j1))
+            kinds2.append("sum" if s.kind == "sum" else s.kind)
+            slot_map2.append((s.kind, (base,)))
+            pending_types.append((s.name, inner_slots[j1].name))
+        elif s.kind == "avg":
+            recipes.append(("out", partial_slot(
+                "sum", rew_inputs[s.name])))
+            kinds2.append("sum")
+            recipes.append(("out", partial_slot(
+                "count", rew_inputs[s.name])))
+            kinds2.append("sum")
+            slot_map2.append(("avg2", (base, base + 1)))
+        else:
+            return None
+
+    group2 = list(group) + [(ast.Column(d), f"__dk_{d}")]
+    key_names2 = [nm for _, nm in group2]
+    rew_keys2 = list(rew_keys) + [ast.Column(d)]
+    rew_inputs2 = {s.name: s.input for s in inner_slots
+                   if s.input is not None}
+    try:
+        p1, mode, empty = _plan_query(table, plan_scan, hints, group2,
+                                      key_names2, inner_slots,
+                                      rew_keys2, rew_inputs2)
+    except _Bail:
+        return None
+    except Exception:
+        import os
+        if os.environ.get("LIQUID_FUSED_STRICT"):
+            raise
+        return None
+    if mode != "grouped" or empty or p1.fd:
+        return None
+
+    # level-2 pseudo-plan for the shared result decode / top-k machinery
+    p2 = _Plan()
+    p2.keys = p1.keys[:-1]
+    p2.key_out = list(key_names)
+    p2.key_decoders = p1.key_decoders[:-1]
+    p2.key_bounds = dict(p1.key_bounds)
+    p2.slot_map = slot_map2
+    p2.arrays = p1.arrays
+    for s in slots:
+        if s.kind == "count_distinct":
+            p2.slot_types[s.name] = pa.int64()
+    for outer, inner_nm in pending_types:
+        p2.slot_types[outer] = p1.slot_types.get(inner_nm, pa.int64())
+        if inner_nm in p1.slot_vocabs:
+            # gid-coded string min/max: the level-2 extreme gid decodes
+            # through the same sorted vocabulary
+            p2.slot_vocabs[outer] = p1.slot_vocabs[inner_nm]
+    # rslots for _build_result's dtype decode (dt strings per level-2
+    # output; avg decodes from two sum outputs)
+    for r, k2 in zip(recipes, kinds2):
+        if r[0] == "nunique":
+            p2.rslots.append(("sum", "i64", ("ones",), ()))
+            p2.rslot_maxabs.append(1)
+        else:
+            r1 = p1.rslots[r[1]]
+            p2.rslots.append((k2, r1[1], r1[2], r1[3]))
+            p2.rslot_maxabs.append(None)
+
+    bound = _cardinality_bound(p1)
+    if p1.rv_ix >= 0:
+        n_upper = int(p1.arrays[p1.rv_ix].shape[0]) * BLOCK_ROWS
+        bound = n_upper if bound is None else min(bound, n_upper)
+    start = 0
+    if bound is not None:
+        for si, (ns, _s) in enumerate(_STAGES):
+            if ns >= 2 * bound:
+                start = si
+                break
+        else:
+            start = len(_STAGES) - 1
+    hint_key = ("stage2", tuple(p1.keys))
+    hint = getattr(table, "_fused_stage_hint", {}).get(hint_key)
+    if hint is not None:
+        start = hint
+
+    spec1_base = (_freeze(p1.spec_cols), _freeze(p1.pred_groups),
+                  _freeze(p1.probes), _freeze(p1.resids),
+                  tuple(p1.keys), (), _freeze(p1.rslots), p1.rv_ix)
+    l2 = (_freeze(recipes), tuple(kinds2))
+    topk = plan_topk(q, slots, p2) if q is not None else None
+    for si in range(start, len(_STAGES)):
+        n_slots, salt = _STAGES[si]
+        rounds = 3
+        spec1 = ("grouped", spec1_base[0], spec1_base[1], spec1_base[2],
+                 spec1_base[3], spec1_base[4], spec1_base[5],
+                 spec1_base[6], spec1_base[7], n_slots, salt, rounds)
+        stage2 = (n_slots, salt ^ 0x5851F42D4C957F2D, rounds)
+        out = _fused_distinct_run(spec1, l2, stage2, *p1.arrays)
+        clean_now = bool(np.asarray(out[1]))
+        if clean_now:
+            if not hasattr(table, "_fused_stage_hint"):
+                table._fused_stage_hint = {}
+            table._fused_stage_hint[hint_key] = si
+            STATS["fused_queries"] += 1
+            STATS["fused_grouped"] += 1
+            if topk is not None:
+                r = _try_topk_fetch(p2, slots, out, topk)
+                if r is not None:
+                    return r
+            mat = np.asarray(out[0])
+            g = int(mat[0, 1])
+            if g <= mat.shape[1]:
+                return _parse_packed(p2, slots, mat, g)
+            return _fetch_full(p2, slots, g, out[3])
+        STATS["fused_retries"] += 1
+    return None
