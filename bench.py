@@ -479,7 +479,11 @@ def run_suite():
     for name, sql in suite:
         try:
             t0 = time.perf_counter()
-            run_one(sql)  # compile + first exec
+            try:
+                run_one(sql)  # compile + first exec
+            except Exception:
+                # transient remote-compile/tunnel hiccups: retry once
+                run_one(sql)
             first = time.perf_counter() - t0
             best = float("inf")
             route = "classic"
