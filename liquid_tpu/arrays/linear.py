@@ -26,6 +26,7 @@ from liquid_tpu.arrays.base import (
     BLOCK_ROWS, LiquidArray, Predicate, validity_mask_or_full,
 )
 from liquid_tpu.arrays.primitive import LiquidPrimitiveArray, _np_dtype_for
+from liquid_tpu.ops import bitpack as bp
 from liquid_tpu.ops import mask as mops
 
 
@@ -146,12 +147,29 @@ class LiquidLinearArray(LiquidArray):
                          ).astype(jnp.int64)
         return resid + pred, validity
 
+    def _decode_host(self) -> np.ndarray:
+        """Host decode from the residual planes twins: a per-block
+        device decode + tunnel fetch costs ~140 ms/block through axon
+        (measured: 130 s of TPC-H q7's classic scan was linear
+        to_arrow)."""
+        r = self.residuals
+        off = bp.unpack_bitplanes_host(r._planes) \
+            if isinstance(r._planes, np.ndarray) \
+            else np.asarray(bp.unpack_bitplanes(
+                r.planes,
+                jnp.uint64 if r.planes.shape[0] > 32 else jnp.uint32))
+        resid = off.astype(np.int64) + r.reference_value
+        pred = np.round(self.slope
+                        * np.arange(BLOCK_ROWS, dtype=np.float64)
+                        ).astype(np.int64)
+        return resid + pred
+
     def to_arrow(self) -> pa.Array:
-        vals, _ = self.to_device()
-        host = np.asarray(vals)[: self.length]
+        host = self._decode_host()[: self.length]
         np_dtype = _np_dtype_for(self._arrow_type)
         if self.validity is not None:
-            valid = np.asarray(mops.unpack_bits(self.validity))[: self.length]
+            valid = mops.unpack_bits_host(
+                np.asarray(self.validity))[: self.length]
             return pa.array(host.astype(np_dtype), type=self._arrow_type,
                             mask=~valid)
         return pa.array(host.astype(np_dtype), type=self._arrow_type)
@@ -231,11 +249,22 @@ class LiquidPrimitiveDeltaArray(LiquidArray):
         return jnp.cumsum(d) + jnp.int64(self.first_value), self._validity
 
     def to_arrow(self) -> pa.Array:
-        vals, _ = self.to_device()
-        host = np.asarray(vals)[: self.length]
+        # host decode (see LiquidLinearArray._decode_host): cumsum of
+        # the host-unpacked deltas + first value
+        d0 = self.deltas
+        if isinstance(d0._planes, np.ndarray):
+            off = bp.unpack_bitplanes_host(d0._planes)
+            d = (off.astype(np.int64) + d0.reference_value)
+            d[self.length:] = 0
+            d[0] = 0
+            host = (np.cumsum(d) + self.first_value)[: self.length]
+        else:
+            vals, _ = self.to_device()
+            host = np.asarray(vals)[: self.length]
         np_dtype = _np_dtype_for(self._arrow_type)
         if self.validity is not None:
-            valid = np.asarray(mops.unpack_bits(self.validity))[: self.length]
+            valid = mops.unpack_bits_host(
+                np.asarray(self.validity))[: self.length]
             return pa.array(host.astype(np_dtype), type=self._arrow_type,
                             mask=~valid)
         return pa.array(host.astype(np_dtype), type=self._arrow_type)
