@@ -240,8 +240,10 @@ def cmp_const_op_many(planes_stack: jax.Array, cs: jax.Array,
     elsewhere it lowers to the vmapped XLA chain.
     """
     bsz, bucket, w_words = planes_stack.shape
+    # SMEM holds the per-block constants: ~2k blocks is the ceiling
+    # (SF10 row groups overflow it and Mosaic refuses to compile)
     if (jax.default_backend() == "tpu" and bucket > 0 and bsz > 1
-            and w_words == 256):
+            and bsz <= 2048 and w_words == 256):
         from liquid_tpu.ops import bitpack_pallas as bpp
         lt, eq = bpp.cmp_const_many_pallas(planes_stack, cs,
                                            interpret=False)

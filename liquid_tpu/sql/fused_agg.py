@@ -681,8 +681,11 @@ def _in_interval_many(planes_stack, lo, hi):
     at memory speed (787 GB/s measured, PERF_NOTES.md); elsewhere the
     vmapped XLA chain."""
     bsz, bucket, w_words = planes_stack.shape
+    # the per-block constants table lives in SMEM (1 MB): beyond ~2k
+    # blocks (SF10-scale tables) it overflows and Mosaic refuses to
+    # compile -- the vmapped XLA chain takes over there
     if (jax.default_backend() == "tpu" and bucket > 0 and bsz > 1
-            and w_words == _W):
+            and bsz <= 2048 and w_words == _W):
         from liquid_tpu.ops import bitpack_pallas as bpp
         lt_lo, _ = bpp.cmp_const_many_pallas(planes_stack, lo,
                                              interpret=False)
