@@ -861,7 +861,7 @@ def _fused_run(spec, *arrays):
 
 def _fused_core(spec, arrays):
     (mode, cols, pred_groups, probes, resids, keys, fd_spec, rslots,
-     rv_ix, n_slots, salt, extra) = spec
+     rv_ix, n_slots, salt, extra, topk_spec) = spec
     colmap = {c[0]: dict(c[1]) for c in cols}
 
     # -- selection ----------------------------------------------------------
@@ -979,10 +979,21 @@ def _fused_core(spec, arrays):
         res = hops.hash_rounds_reduce_packed(
             tuple(codes_l), tuple(knulls_l), selb, tuple(vals),
             tuple(vnulls), tuple(kinds), n_slots, salt, rounds=extra)
-    if not fd_spec:
-        return res
-    mat, clean, ng, colarrs = res
-    return (_apply_fd_packed(mat, fd_spec, arrays), clean, ng, colarrs)
+    if fd_spec:
+        mat, clean, ng, colarrs = res
+        res = (_apply_fd_packed(mat, fd_spec, arrays), clean, ng,
+               colarrs)
+    if topk_spec:
+        # top-k INSIDE the program: the m-sized slot-ordered outputs
+        # never materialize (XLA keeps only the gathered k2 rows) --
+        # for a 67M-slot FD-direct table this saves gigabytes of
+        # writes per query
+        mat, clean, ng, colarrs = res
+        nk_red = len(keys)
+        nv = len(rslots)
+        mini = _topk_gather_core(colarrs, topk_spec, nk_red, nv)
+        return (mat, clean, ng, mini)
+    return res
 
 
 # -- planning + host driver ---------------------------------------------------
@@ -1617,7 +1628,7 @@ def execute_plan(p: _Plan, mode: str, empty: bool, slots,
     if mode == "scalar":
         STATS["fused_scalar"] += 1
         spec = ("scalar", spec_cols, pred_groups, probes, resids, keys,
-                (), rslots, p.rv_ix, 0, 0, 0)
+                (), rslots, p.rv_ix, 0, 0, 0, ())
         packed = np.asarray(_fused_run(spec, *p.arrays))
         ns = len(p.rslots)
         outs = packed[:ns]
@@ -1654,16 +1665,20 @@ def execute_plan(p: _Plan, mode: str, empty: bool, slots,
                         pseg = sp[1]
                         STATS["fused_pallas"] = STATS.get(
                             "fused_pallas", 0) + 1
+            tkspec = _mk_topk_spec(topk, m)  # slot arrays are m-long
             spec = ("direct", spec_cols, pred_groups, probes, resids,
                     keys, fd_spec, rslots, p.rv_ix, 0, 0,
-                    (tuple(span for _, span in domains), pseg))
+                    (tuple(span for _, span in domains), pseg), tkspec)
             los = jnp.asarray(
                 np.array([lo for lo, _ in domains], np.int64))
             out = _fused_run(spec, *p.arrays, los)
-            if topk is not None:
-                r = _try_topk_fetch(p, slots, out, topk)
+            if tkspec:
+                r = _finish_topk(p, slots, topk, np.asarray(out[3]))
                 if r is not None:
                     return r
+                # boundary tie: rerun without the in-program top-k
+                spec = spec[:-1] + ((),)
+                out = _fused_run(spec, *p.arrays, los)
             mat = np.asarray(out[0])
             g = int(mat[0, 1])
             if g <= mat.shape[1]:
@@ -1700,17 +1715,21 @@ def execute_plan(p: _Plan, mode: str, empty: bool, slots,
         # rounds would still pay full-row scatter passes
         rounds = 1 if (bound is not None and bound * bound <= n_slots) \
             else 3
+        tkspec = _mk_topk_spec(topk, rounds * n_slots)
         spec = ("grouped", spec_cols, pred_groups, probes, resids, keys,
-                fd_spec, rslots, p.rv_ix, n_slots, salt, rounds)
+                fd_spec, rslots, p.rv_ix, n_slots, salt, rounds, tkspec)
         out = _fused_run(spec, *p.arrays)
-        if topk is not None:
+        if tkspec:
             clean_now = bool(np.asarray(out[1]))  # tiny scalar fetch
             if clean_now:
                 if not hasattr(table, "_fused_stage_hint"):
                     table._fused_stage_hint = {}
                 table._fused_stage_hint[hint_key] = si
-                result = _try_topk_fetch(p, slots, out, topk)
+                result = _finish_topk(p, slots, topk,
+                                      np.asarray(out[3]))
                 if result is None:
+                    spec = spec[:-1] + ((),)
+                    out = _fused_run(spec, *p.arrays)
                     mat = np.asarray(out[0])
                     g = int(mat[0, 1])
                     result = (_parse_packed(p, slots, mat, g)
@@ -2212,11 +2231,15 @@ def plan_topk(q, slots, p: _Plan):
 
 @partial(jax.jit, static_argnames=("spec", "nk", "nv", "k2"))
 def _topk_gather(cols, spec, nk, nv, k2):
+    return _topk_gather_core(cols, spec + (k2,), nk, nv)
+
+
+def _topk_gather_core(cols, spec, nk, nv):
     """Select the top-k2 occupied slot rows by the order value and pack
     them into one small i64 matrix: row 0 = [occ, nanflag] flags per
     column... layout: [occ_row, val_row, keys(nk), knulls(nk),
     outs(nv), counts(nv)] x k2."""
-    kind, j_acc, j_cnt, desc, nulls_first = spec
+    kind, j_acc, j_cnt, desc, nulls_first, k2 = spec
     occ = cols[0]
     acc = cols[1 + 2 * nk + j_acc]
     cnt = cols[1 + 2 * nk + nv + j_acc]
@@ -2253,9 +2276,19 @@ def _topk_gather(cols, spec, nk, nv, k2):
     return jnp.stack(rows)
 
 
+def _mk_topk_spec(topk, m: int):
+    """Static in-program top-k spec (empty when top-k doesn't apply)."""
+    if topk is None:
+        return ()
+    kind, idxs = topk.slot_index
+    k2 = min(topk.k * 4 + TOPK_MARGIN, int(m))
+    return (kind, idxs[0], idxs[0], topk.desc, topk.nulls_first, k2)
+
+
 def _try_topk_fetch(p: _Plan, slots, out, topk: TopKSpec):
-    """Device top-k superset fetch; returns the partial table or None
-    when exactness can't be certified (caller full-fetches)."""
+    """Device top-k superset fetch (post-hoc gather form, used by the
+    chained-distinct path); returns the partial table or None when
+    exactness can't be certified (caller full-fetches)."""
     mat, clean, ng, cols = out
     nk_red = len(p.phys_keys) if p.fd else len(p.keys)
     nv = len(p.rslots)
@@ -2263,9 +2296,16 @@ def _try_topk_fetch(p: _Plan, slots, out, topk: TopKSpec):
     k2 = min(topk.k * 4 + TOPK_MARGIN, int(cols[0].shape[0]))
     spec = (kind, idxs[0], idxs[0], topk.desc, topk.nulls_first)
     mini = np.asarray(_topk_gather(tuple(cols), spec, nk_red, nv, k2))
+    return _finish_topk(p, slots, topk, mini)
+
+
+def _finish_topk(p: _Plan, slots, topk: TopKSpec, mini: np.ndarray):
+    nk_red = len(p.phys_keys) if p.fd else len(p.keys)
+    nv = len(p.rslots)
     occ = (mini[0] & 0xFFFFFFFF).astype(bool)
     if (mini[0, 0] >> 32) & 1:
         return None  # NaN order values: ordering unreliable
+    k2 = mini.shape[1]
     g2 = int(occ.sum())
     vals = mini[1].view(np.float64)
     if g2 == k2 and k2 > topk.k:
@@ -2499,7 +2539,8 @@ def distinct_fused_device(table, plan_scan, hints, group, key_names,
         rounds = 3
         spec1 = ("grouped", spec1_base[0], spec1_base[1], spec1_base[2],
                  spec1_base[3], spec1_base[4], spec1_base[5],
-                 spec1_base[6], spec1_base[7], n_slots, salt, rounds)
+                 spec1_base[6], spec1_base[7], n_slots, salt, rounds,
+                 ())
         stage2 = (n_slots, salt ^ 0x5851F42D4C957F2D, rounds)
         out = _fused_distinct_run(spec1, l2, stage2, *p1.arrays)
         clean_now = bool(np.asarray(out[1]))
