@@ -505,6 +505,17 @@ def run_suite():
         except Exception as e:
             results[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
             log(f"[suite] {name}: ERROR {e}")
+        _write_suite(here, results, suite, hits_rows, sf, t_start)
+    out = _write_suite(here, results, suite, hits_rows, sf, t_start)
+    log(f"suite written: geomean {out['value']:.1f} ms, "
+        f"routes {out['routes']}")
+    print(json.dumps({k: v for k, v in out.items() if k != "queries"}))
+
+
+def _write_suite(here, results, suite, hits_rows, sf, t_start):
+    """Write SUITE_r04.json incrementally (a wall-clock-killed run
+    still leaves every completed query on disk)."""
+    import math
     ok = [r["ms"] for r in results.values() if "ms" in r]
     geomean = (math.exp(sum(math.log(max(v, 0.1)) for v in ok) / len(ok))
                if ok else None)
@@ -523,11 +534,10 @@ def run_suite():
         "queries": results,
     }
     path = os.path.join(here, "SUITE_r04.json")
-    with open(path, "w") as f:
+    with open(path + ".tmp", "w") as f:
         json.dump(out, f, indent=1)
-    log(f"suite written to {path}: geomean {geomean:.1f} ms, "
-        f"routes {routed}")
-    print(json.dumps({k: v for k, v in out.items() if k != "queries"}))
+    os.replace(path + ".tmp", path)
+    return out
 
 
 def main():
