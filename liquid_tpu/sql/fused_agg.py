@@ -2528,6 +2528,12 @@ def distinct_fused_device(table, plan_scan, hints, group, key_names,
     hint = getattr(table, "_fused_stage_hint", {}).get(hint_key)
     if hint is not None:
         start = hint
+    if _STAGES[start][0] > (1 << 20):
+        # near-row-count distinct cardinality (ClickBench's
+        # COUNT(DISTINCT UserID) family at full scale): the two-level
+        # rounds machinery risks exhausting the ladder and paying its
+        # full cost before falling back -- the host-fold form wins
+        return None
 
     spec1_base = (_freeze(p1.spec_cols), _freeze(p1.pred_groups),
                   _freeze(p1.probes), _freeze(p1.resids),
