@@ -900,6 +900,13 @@ class QueryExecutor:
         final = (fused_final if fused_final is not None
                  else agg.finalize() if group
                  else agg.finalize(input_types))
+        if final.num_rows == 0 and single is not None:
+            # zero updates leave the classic aggregators without type
+            # information; recover key/slot types from the schema so
+            # empty results type identically on every path (the fused
+            # empty path already does)
+            final = _retype_empty(final, group, slots, rew_inputs,
+                                  self.catalog[single[0].name])
 
         # post-projection over keys + slots
         mapping: Dict[ast.Expr, str] = {}
@@ -1377,6 +1384,42 @@ class QueryExecutor:
         t = self.execute(inner_q)
         return ast.CorrLookup(keys=tuple(keys), key_cols=tuple(inner_keys),
                               kind="scalar", table=t)
+
+
+def _retype_empty(final: pa.Table, group, slots, rew_inputs,
+                  table) -> pa.Table:
+    """Cast null-typed columns of an EMPTY aggregate result to their
+    schema-derived types (plain-column keys and aggregate inputs)."""
+    cols = {}
+    slot_by_name = {s.name: s for s in slots}
+    for i, name in enumerate(final.column_names):
+        col = final.column(i)
+        if not pa.types.is_null(col.type):
+            cols[name] = col
+            continue
+        t = None
+        for ge, nm in group:
+            if nm == name and isinstance(ge, ast.Column)                     and ge.name in table.column_names:
+                t = table.field(ge.name).type
+        s = slot_by_name.get(name)
+        if s is not None:
+            e = rew_inputs.get(s.name)
+            it = (table.field(e.name).type
+                  if isinstance(e, ast.Column)
+                  and e.name in table.column_names else None)
+            if s.kind in ("count_star", "count", "count_distinct"):
+                t = pa.int64()
+            elif s.kind in ("avg", "stddev", "var"):
+                t = pa.float64()
+            elif s.kind in ("min", "max", "median") and it is not None:
+                t = it
+            elif s.kind == "sum" and it is not None:
+                from liquid_tpu.sql.physical import _sum_type
+                t = _sum_type(it)
+        if pa.types.is_dictionary(t) if t is not None else False:
+            t = t.value_type
+        cols[name] = pa.array([], t) if t is not None else col
+    return pa.table(cols)
 
 
 def _setop_apply(left: pa.Table, right: pa.Table, op: str, all_: bool,
