@@ -577,9 +577,13 @@ def main():
         if "rows_per_s" not in v:
             log(f"[op] {k}: below timing floor, not reported")
             continue
-        log(f"[op] {k}: {v['rows_per_s'] / 1e9:.2f} Grows/s, "
-            f"{v['gbytes_per_s']:.0f} GB/s, "
-            f"roofline {v['roofline_frac'] * 100:.0f}%")
+        if "gbytes_per_s" in v:
+            log(f"[op] {k}: {v['rows_per_s'] / 1e9:.2f} Grows/s, "
+                f"{v['gbytes_per_s']:.0f} GB/s, "
+                f"roofline {v['roofline_frac'] * 100:.0f}%")
+        else:  # latency-bound ops report ns/row
+            log(f"[op] {k}: {v['rows_per_s'] / 1e6:.0f} Mrows/s, "
+                f"{v.get('ns_per_row', 0):.1f} ns/row")
     del ctx_l
     t_arrow, r_arrow, warm_a, ctx_a, _ra, _sa = run_mode(
         "arrow", paths, qs)
