@@ -5,11 +5,17 @@ rows/s/chip on ClickBench hot queries + TPC-H q1/q6, executed through
 the public `LiquidCacheLocalBuilder` SQL path on the real chip --
 scan -> encoded predicate -> fused device aggregation -> result.
 
-`vs_baseline` compares the SAME queries on the SAME chip in arrow mode
-(transcode disabled: raw arrow batches, pyarrow predicate fallback) --
-i.e. the reference's own "liquid vs arrow cache" axis (BenchmarkMode,
-liquid-cache benchmark/src/lib.rs:293-308).  >1 means the liquid
-encodings win end-to-end, not just in a micro-kernel.
+`vs_baseline` compares the SAME queries on the SAME host in arrow mode
+-- since round 4 an HONEST baseline: a host-native pyarrow engine
+(hash agg/join/sort on the CPU), i.e. the reference's own "liquid vs
+arrow cache" axis (BenchmarkMode, benchmark/src/lib.rs:293-308) with a
+competent denominator (round 3's 68.8x was measured against this
+repo's own per-block fallback; that strawman is gone).  Per-query:
+liquid wins the encoded filter/LIKE class 1.7-5x; scatter-bound
+grouped aggregation loses to the CPU's caches (random RMW is the
+TPU's weak shape -- ~100ns/row scatters, PERF_NOTES round 4), and the
+~8 MB/s tunnel taxes every result fetch.  The `routes`/`spread` maps
+and SUITE_r04.json (all 43+22 queries) carry the full picture.
 
 Round-3 changes (VERDICT r2 items 1/2/7/8):
 - queries run through the fused whole-query device path (sql/fused_agg)
