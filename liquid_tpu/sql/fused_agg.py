@@ -198,13 +198,37 @@ def _compile_bool(e: ast.Expr, col_kinds: Dict[str, str], dictres):
                 codes.update(got)
             ir = ("incodes", name, tuple(sorted(codes)))
         else:
-            ir = None
+            # flat membership over numeric literals: a right-deep OR
+            # chain recurses per item (a rewritten IN-subquery can
+            # carry thousands) and costs one compare pass each;
+            # jnp.isin is one fused pass
+            vals = []
+            has_null = False
+            any_float = False
             for it in e.items:
-                one, _ = _compile_bool(
-                    ast.Binary("=", e.operand, it), col_kinds, dictres)
-                ir = one if ir is None else ("bor", ir, one)
-            if ir is None:
+                if isinstance(it, ast.Unary) and it.op == "neg" \
+                        and isinstance(it.operand, ast.Literal) \
+                        and isinstance(it.operand.value, (int, float)) \
+                        and not isinstance(it.operand.value, bool):
+                    it = ast.Literal(-it.operand.value)
+                if not isinstance(it, ast.Literal):
+                    raise _Bail("IN list item")
+                v = it.value
+                if v is None:
+                    has_null = True
+                    continue
+                if isinstance(v, bool) or not isinstance(v, (int, float)):
+                    raise _Bail(f"IN item {v!r}")
+                any_float = any_float or isinstance(v, float)
+                vals.append(v)
+            if has_null and e.negated:
+                # x NOT IN (..., NULL) is never TRUE
+                raise _Bail("NOT IN with NULL item")
+            if not vals:
                 raise _Bail("empty IN list")
+            dt = "f64" if (any_float
+                           or col_kinds.get(name) == "float") else "i64"
+            ir = ("inints", name, tuple(vals), dt)
         return (("bnot", ir) if e.negated else ir), {name}
     if isinstance(e, ast.Binary) and e.op == "like":
         if not (isinstance(e.left, ast.Column)
@@ -244,7 +268,7 @@ def bool_ir_columns(ir) -> set:
     tag = ir[0]
     if tag == "col":
         return {ir[1]}
-    if tag == "incodes":
+    if tag in ("incodes", "inints"):
         return {ir[1]}
     if tag == "lit":
         return set()
@@ -285,6 +309,11 @@ def eval_ir(ir, col):
         if want.size == 0:
             return jnp.zeros(codes.shape, jnp.bool_)
         return jnp.isin(codes, want)
+    if tag == "inints":
+        v = col(ir[1], ir[3])
+        want = jnp.asarray(np.array(
+            ir[2], np.float64 if ir[3] == "f64" else np.int64))
+        return jnp.isin(v, want)
     if tag == "band":
         return eval_ir(ir[1], col) & eval_ir(ir[2], col)
     if tag == "bor":
@@ -328,7 +357,7 @@ def eval_ir_nulls(ir, col, nul):
         tv, tn = eval_ir_nulls(t, col, nul)
         fv, fn = eval_ir_nulls(f, col, nul)
         return jnp.where(cv, tv, fv), jnp.where(cv, tn, fn)
-    if tag in ("cmp", "incodes", "band", "bor", "bnot"):
+    if tag in ("cmp", "incodes", "inints", "band", "bor", "bnot"):
         return _bool_nonnull(ir, col, nul), jnp.bool_(False)
     _, op, _, l, r = ir
     lv, ln = eval_ir_nulls(l, col, nul)
@@ -359,6 +388,11 @@ def _bool_nonnull(ir, col, nul):
         v = (jnp.zeros(codes.shape, jnp.bool_) if want.size == 0
              else jnp.isin(codes, want))
         return v & ~nul(ir[1])
+    if tag == "inints":
+        vv = col(ir[1], ir[3])
+        want = jnp.asarray(np.array(
+            ir[2], np.float64 if ir[3] == "f64" else np.int64))
+        return jnp.isin(vv, want) & ~nul(ir[1])
     if tag == "band":
         return _bool_nonnull(ir[1], col, nul) & _bool_nonnull(ir[2], col, nul)
     if tag == "bor":
@@ -970,11 +1004,11 @@ def _fused_core(spec, arrays):
 
     if mode == "direct":
         # bijective dense-domain slots: no collision machinery at all
-        spans, pseg = extra
+        spans, pseg, having = extra
         res = hops.direct_reduce_packed(
             tuple(codes_l), tuple(knulls_l), selb, tuple(vals),
             tuple(vnulls), tuple(kinds), arrays[-1], spans=spans,
-            pallas_seg=pseg)
+            pallas_seg=pseg, having=having)
     else:
         res = hops.hash_rounds_reduce_packed(
             tuple(codes_l), tuple(knulls_l), selb, tuple(vals),
@@ -1008,6 +1042,7 @@ class _Plan:
         self.probes: List[tuple] = []    # star: (pid, key col, idx, lo)
         self.resids: List[tuple] = []    # star: residual boolean IR
         self.fd = None                   # (rep_pos, nk_full, entries)
+        self.having = None               # (rslot, op, literal) device
         self.phys_keys: List[str] = []   # reduction keys under FD
         self.keys: List[str] = []        # source column names
         self.key_out: List[str] = []     # output column names (aliases)
@@ -1585,6 +1620,7 @@ def try_fused_aggregate(table, plan_scan, hints, group, key_names, slots,
     topk = None
     if q is not None and mode == "grouped" and not empty:
         topk = plan_topk(q, slots, p)
+        p.having = plan_having(q, slots, p)
     result = execute_plan(p, mode, empty, slots, table, topk)
     if result is None:
         # cardinality defeated the ladder: classic path (exact, slower)
@@ -1668,7 +1704,8 @@ def execute_plan(p: _Plan, mode: str, empty: bool, slots,
             tkspec = _mk_topk_spec(topk, m)  # slot arrays are m-long
             spec = ("direct", spec_cols, pred_groups, probes, resids,
                     keys, fd_spec, rslots, p.rv_ix, 0, 0,
-                    (tuple(span for _, span in domains), pseg), tkspec)
+                    (tuple(span for _, span in domains), pseg,
+                     p.having or ()), tkspec)
             los = jnp.asarray(
                 np.array([lo for lo, _ in domains], np.int64))
             out = _fused_run(spec, *p.arrays, los)
@@ -2194,6 +2231,49 @@ class TopKSpec:
         self.desc = desc
         self.nulls_first = nulls_first
         self.k = k
+
+
+_HAVING_OPS = {">": "gt", ">=": "ge", "<": "lt", "<=": "le",
+               "=": "eq", "<>": "ne", "!=": "ne"}
+_HAVING_FLIP = {"gt": "lt", "ge": "le", "lt": "gt", "le": "ge",
+                "eq": "eq", "ne": "ne"}
+
+
+def plan_having(q, slots, p: _Plan):
+    """-> (rslot_index, op, literal) when HAVING is a single comparison
+    of one sum/count aggregate against a numeric literal (f64-exact by
+    proven bounds); the host still re-applies the predicate, so this is
+    purely a fetch reducer."""
+    if q is None or getattr(q, "having", None) is None:
+        return None
+    e = q.having
+    if not (isinstance(e, ast.Binary) and e.op in _HAVING_OPS):
+        return None
+    l, r = e.left, e.right
+    op = _HAVING_OPS[e.op]
+    if isinstance(l, ast.Literal):
+        l, r = r, l
+        op = _HAVING_FLIP[op]
+    if not (isinstance(r, ast.Literal)
+            and isinstance(r.value, (int, float))
+            and not isinstance(r.value, bool)):
+        return None
+    for si, s in enumerate(slots):
+        if s.func == l:
+            kind, idxs = p.slot_map[si]
+            if kind not in ("sum", "count_star", "count"):
+                return None
+            j = idxs[0]
+            if p.rslots[j][1] == "i64" and kind == "sum":
+                b = (p.rslot_maxabs[j]
+                     if j < len(p.rslot_maxabs) else None)
+                if b is None or p.rv_ix < 0:
+                    return None
+                n_upper = int(p.arrays[p.rv_ix].shape[0]) * BLOCK_ROWS
+                if b * n_upper >= (1 << 53):
+                    return None  # f64 compare could misorder
+            return (j, op, float(r.value))
+    return None
 
 
 def plan_topk(q, slots, p: _Plan):

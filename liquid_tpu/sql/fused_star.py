@@ -1017,10 +1017,11 @@ def try_fused_star(executor, q, group, key_names, slots, rew_keys,
         for pb in unverified:
             pb.verified = True
     STATS["star_queries"] += 1
-    from liquid_tpu.sql.fused_agg import plan_topk
+    from liquid_tpu.sql.fused_agg import plan_having, plan_topk
     topk = None
     if mode == "grouped" and not empty:
         topk = plan_topk(q, slots, p)
+        p.having = plan_having(q, slots, p)
     result = execute_plan(p, mode, empty, slots,
                           planner.tables[planner.fact], topk)
     if result is None:
