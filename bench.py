@@ -131,7 +131,10 @@ def queries(hits_rows, li_rows):
  AND l_orderkey = o_orderkey AND o_orderdate < date '1995-03-15'
  AND l_shipdate > date '1995-03-15'
  GROUP BY l_orderkey, o_orderdate, o_shippriority
- ORDER BY revenue desc, o_orderdate LIMIT 10"""
+ ORDER BY revenue desc, o_orderdate, l_orderkey LIMIT 10"""
+    # NOTE: l_orderkey rides as a trailing sort key so the LIMIT
+    # boundary is a TOTAL order -- two correct engines could otherwise
+    # legally return different tie rows and fail the equality gate.
     #: (name, {table: [warm columns]}, rows, sql)
     return [
         ("cb_filter", {"hits": ["AdvEngineID"]}, hits_rows,
@@ -141,7 +144,7 @@ def queries(hits_rows, li_rows):
          hits_rows,
          'SELECT "RegionID", SUM("AdvEngineID"), COUNT(*) AS c, '
          'AVG("ResolutionWidth") FROM hits GROUP BY "RegionID" '
-         'ORDER BY c DESC LIMIT 10'),
+         'ORDER BY c DESC, "RegionID" LIMIT 10'),
         ("cb_like", {"hits": ["URL"]}, hits_rows,
          'SELECT COUNT(*) FROM hits WHERE "URL" LIKE \'%yandex%\''),
         ("tpch_q1", {"lineitem": [

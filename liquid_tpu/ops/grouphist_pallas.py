@@ -99,7 +99,11 @@ def group_accumulate(slot: jax.Array, vals: jax.Array, m: int,
     n_tiles = n // TILE
     nseg = -(-n_tiles // seg)
     mp = ((m + 1 + 7) // 8) * 8  # sublane-rounded table rows
-    slot = jnp.minimum(slot, jnp.int32(mp - 1))
+    # clip BOTH sides: planner invariants prove slots in [0, m], but a
+    # bound bug must degrade to wrong trash-row accounting, never an
+    # out-of-bounds VMEM write (negatives route to the trash row m)
+    slot = jnp.clip(jnp.where(slot < 0, jnp.int32(m), slot),
+                    0, jnp.int32(mp - 1))
     with jax.enable_x64(False):
         segs = pl.pallas_call(
             partial(_kernel, seg),

@@ -466,7 +466,10 @@ def execute_dist_join(sess, q) -> pa.Table:
     merged_scols = {}
     for t in tables:
         merged_scols.update(dts[t].columns)
-    merged_kinds = {c: sc.kind for c, sc in merged_scols.items()}
+    from liquid_tpu.sql.fused_agg import KindsWithTypes
+    merged_kinds = KindsWithTypes(
+        {c: sc.kind for c, sc in merged_scols.items()},
+        lambda c: getattr(merged_scols.get(c), "arrow_type", None))
     dictres = make_dictres(merged_scols)
     per_table: Dict[str, list] = {t: [] for t in tables}
     residual_ir: List[tuple] = []  # compiled bool IR over joined rows

@@ -332,7 +332,10 @@ def plan_agg_items(q, columns):
             assert isinstance(g, ast.Column), \
                 "distributed GROUP BY: plain columns"
             key_cols.append(g.name)
-    kinds = {c: sc.kind for c, sc in columns.items()}
+    from liquid_tpu.sql.fused_agg import KindsWithTypes
+    kinds = KindsWithTypes(
+        {c: sc.kind for c, sc in columns.items()},
+        lambda c: getattr(columns.get(c), "arrow_type", None))
     dictres = make_dictres(columns)
     aggs: List[Tuple[str, object]] = []
     names: List[str] = []
@@ -639,17 +642,24 @@ class DistributedSession:
         import pandas as pd
         from liquid_tpu.sql.eval import Batch, Evaluator
         from liquid_tpu.sql.physical import find_aggs, substitute
+        # shape guards must raise (not assert) so they survive `-O` and
+        # still route into the graceful single-host fallback
         darg = distinct_aggs[0].args[0]
-        assert isinstance(darg, ast.Column), \
-            "distributed DISTINCT aggregate over expressions"
+        if not isinstance(darg, ast.Column):
+            raise NotImplementedError(
+                "distributed DISTINCT aggregate over expressions")
         for a in distinct_aggs:
-            assert a.args and a.args[0] == darg, \
-                "distributed DISTINCT: one distinct column per query"
-            assert a.name in ("count", "sum", "avg", "approx_distinct")
+            if not (a.args and a.args[0] == darg):
+                raise NotImplementedError(
+                    "distributed DISTINCT: one distinct column per query")
+            if a.name not in ("count", "sum", "avg", "approx_distinct"):
+                raise NotImplementedError(
+                    f"distributed DISTINCT aggregate {a.name}")
         keys: List[ast.Expr] = list(q.group_by)
         for g in keys:
-            assert isinstance(g, ast.Column), \
-                "distributed GROUP BY: plain columns"
+            if not isinstance(g, ast.Column):
+                raise NotImplementedError(
+                    "distributed GROUP BY: plain columns")
         key_names = [g.name for g in keys]
 
         all_aggs: List[ast.Func] = []

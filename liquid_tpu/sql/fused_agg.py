@@ -79,6 +79,22 @@ class _Bail(Exception):
     """Unsupported shape: fall back to the classic scan path."""
 
 
+class KindsWithTypes(dict):
+    """col->kind mapping that also resolves arrow types.
+
+    `_compile_expr` consults ``arrow_type(col)`` (when the mapping
+    provides it) to validate value-preserving casts -- e.g. ``::date``
+    is only a passthrough over date32/integer images, never timestamps
+    (whose i64 image is epoch seconds/us, not day counts)."""
+
+    def __init__(self, kinds, typeres):
+        super().__init__(kinds)
+        self._typeres = typeres
+
+    def arrow_type(self, c):
+        return self._typeres(c)
+
+
 # -- expression IR -----------------------------------------------------------
 #
 # Nodes carry their dtype ("i64" | "f64"); casts are explicit so the
@@ -118,13 +134,33 @@ def _compile_expr(e: ast.Expr, col_kinds: Dict[str, str], dictres=None):
         x, cols = _compile_expr(e.operand, col_kinds, dictres)
         return _as_f64(x), cols
     if isinstance(e, ast.Cast) and e.type_name in (
-            "int", "integer", "bigint", "smallint", "date"):
-        # ::INT / ::DATE over an integer image is a value passthrough
-        # (dates ARE day counts); float->int truncation bails
+            "int", "integer", "bigint", "smallint"):
+        # ::INT over an integer image is a value passthrough;
+        # float->int truncation bails
         x, cols = _compile_expr(e.operand, col_kinds, dictres)
         if _ir_dtype(x) == "i64":
             return x, cols
         raise _Bail("float->int cast")
+    if isinstance(e, ast.Cast) and e.type_name == "date":
+        # ::DATE is a passthrough ONLY when the operand's i64 image is
+        # already day counts (date32/date64-as-days columns) or a plain
+        # integer.  A timestamp column's image is epoch seconds/us --
+        # passing it through would emit garbage date32 values, so it
+        # bails to the classic path (which converts correctly).
+        root = e.operand  # peel value-preserving int casts (::INT::DATE)
+        while isinstance(root, ast.Cast) and root.type_name in (
+                "int", "integer", "bigint", "smallint"):
+            root = root.operand
+        if not isinstance(root, ast.Column):
+            raise _Bail("::date over non-column")
+        x, cols = _compile_expr(e.operand, col_kinds, dictres)
+        atype = getattr(col_kinds, "arrow_type", None)
+        t = atype(root.name) if atype is not None else None
+        if _ir_dtype(x) == "i64" and t is not None and (
+                pa.types.is_date32(t) or pa.types.is_integer(t)
+                or pa.types.is_boolean(t)):
+            return x, cols
+        raise _Bail(f"::date over {t}")
     if isinstance(e, ast.Case) and dictres is not None:
         if e.operand is not None:
             raise _Bail("CASE <operand> form")
@@ -1268,6 +1304,11 @@ def _plan_query(table, plan_scan, hints, group, key_names, slots,
                 return kind_of(c)
             except _Bail:
                 return default
+
+        def arrow_type(self, c):
+            if c in table.column_names:
+                return table.field(c).type
+            return None
 
     remap_cols: set = set()
 

@@ -70,6 +70,23 @@ STATS.setdefault("star_queries", 0)
 STATS.setdefault("star_bailouts", 0)
 STATS.setdefault("star_dup_bails", 0)
 
+#: payload-identity generations for the probe cache.  `id()` can be
+#: reused by CPython after squeeze/evict frees a payload; a per-object
+#: monotone generation stamped on first sight can't collide (a reborn
+#: object at the same address lacks the attribute and gets a fresh one).
+_PAYLOAD_GEN = iter(range(1, 1 << 62)).__next__
+
+
+def _gen_of(pp) -> int:
+    g = getattr(pp, "_liquid_gen", None)
+    if g is None:
+        g = _PAYLOAD_GEN()
+        try:
+            pp._liquid_gen = g
+        except AttributeError:  # __slots__ payloads: fall back to id
+            return id(pp)
+    return g
+
 
 # -- dim build program --------------------------------------------------------
 
@@ -438,6 +455,12 @@ class _StarPlanner:
             except _Bail:
                 return default
 
+        def arrow_type(self, c):
+            tbl = self.p.owner.get(c)
+            if tbl is None:
+                return None
+            return self.p.tables[tbl].field(c).type
+
 
 def _register_col(p: _Plan, pr, col: str, want_remap: bool):
     """Register one owned column's stacked arrays in a plan (mirrors
@@ -653,7 +676,7 @@ def _build_dim(planner: _StarPlanner, tbl: str) -> _Probe:
     lit_key = tuple(
         (c, pred.op, pred.literal)
         for g in plan_scan.pushdown for c, pred in g.alternatives)
-    pay_key = tuple(id(pp) for pp in kpr.payloads)
+    pay_key = tuple(_gen_of(pp) for pp in kpr.payloads)
     child_keys = tuple(pb.cache_key for _ch, pb in child_probes)
     cache_key = (spec, lit_key, blocks, pay_key, child_keys)
     cache = getattr(table, "_star_probe_cache", None)
