@@ -60,7 +60,7 @@ DIRECT_CAP = 1 << 21
 @partial(jax.jit, static_argnames=("kinds", "spans", "pallas_seg",
                                    "having"))
 def direct_reduce_packed(codes, knulls, valid, vals, vnulls, kinds,
-                         los, spans, pallas_seg=0, having=()):
+                         los, spans, pallas_seg=(), having=()):
     """Grouped reduction by DIRECT ADDRESSING: when every key column's
     value domain is densely boundable (int domain span, dictionary
     size, date range), slot = mixed-radix index of (code - lo) -- the
@@ -173,22 +173,42 @@ def direct_reduce_packed(codes, knulls, valid, vals, vnulls, kinds,
                 got[(op,) + tag] = tbl[:, k]
 
     # Pallas VMEM-histogram fast path (grouphist_pallas): one pass over
-    # the data for every i32-bound-safe sum column vs ~100ns/row per
-    # XLA scatter pass; the planner proves the bounds (pallas_seg > 0)
+    # the data for every bound-safe sum column vs ~100ns/row per XLA
+    # scatter pass; the planner proves the bounds and passes
+    # pallas_seg = (seg, ntab, wide) where wide[j] marks acc columns
+    # needing the hi/lo i32 split (scaled-int decimal sums)
     use_pallas = False
     if pallas_seg and not min_cols and not max_cols \
             and list(add_cols) == [jnp.int64]:
         from liquid_tpu.ops import grouphist_pallas as gh
-        if gh.HAVE_PALLAS and len(add_cols[jnp.int64]) <= gh.MAX_COLS:
+        if gh.HAVE_PALLAS:
             use_pallas = True
     if use_pallas:
         from liquid_tpu.ops import grouphist_pallas as gh
-        cols_list = add_cols[jnp.int64]
-        stackv = jnp.stack([v.astype(jnp.int32) for _, v in cols_list],
-                           axis=1)
-        tb = gh.group_accumulate(slot, stackv, m, pallas_seg)
-        for k2, (tag, _v) in enumerate(cols_list):
-            got[("add",) + tag] = tb[:m, k2]
+        seg, ntab, wide = pallas_seg
+        parts = []       # (tag, "plain" | "hi" | "lo")
+        stack_cols = []
+        for tag, v in add_cols[jnp.int64]:
+            if tag[0] == "acc" and wide[tag[1]]:
+                hi, lo = gh.split_hilo(v)
+                stack_cols += [hi, lo]
+                parts += [(tag, "hi"), (tag, "lo")]
+            else:
+                stack_cols.append(v.astype(jnp.int32))
+                parts.append((tag, "plain"))
+        stackv = jnp.stack(stack_cols, axis=1)
+        tb = gh.group_accumulate(slot, stackv, m, seg, ntab)
+        acc_map = {}
+        for k2, (tag, part) in enumerate(parts):
+            col = tb[:m, k2]
+            if part == "hi":
+                acc_map[tag] = col << gh.SPLIT
+            elif part == "lo":
+                acc_map[tag] = acc_map[tag] + col
+            else:
+                acc_map[tag] = col
+        for tag, v in acc_map.items():
+            got[("add",) + tag] = v
     else:
         run_batch(add_cols, "add")
         run_batch(min_cols, "min")

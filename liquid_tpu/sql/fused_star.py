@@ -965,8 +965,24 @@ def _plan_fact(planner: _StarPlanner, dims: Dict[str, _Probe]):
                 return pb2.pay_bounds[c]
         return None
 
+    from liquid_tpu.sql.fused_agg import _scaled_col_info
+    scaled_cache: Dict[str, object] = {}
+
+    def scaledres(c):
+        if c in scaled_cache:
+            return scaled_cache[c]
+        out = None
+        try:
+            if planner.owner.get(c) == fact \
+                    and planner.kind_of(c) == "float":
+                out = _scaled_col_info(p, c, planner.prep_of(fact, c))
+        except _Bail:
+            out = None
+        scaled_cache[c] = out
+        return out
+
     _plan_slots(p, planner.slots, slot_irs, planner.rew_inputs, fields,
-                bounds_of)
+                bounds_of, scaledres, len(blocks) * 8192)
     p.rv_ix = _add(p, _rowvalid(table, blocks))
     return p, ("grouped" if planner.key_names else "scalar"), False
 
