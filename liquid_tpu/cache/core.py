@@ -199,6 +199,10 @@ class LiquidCache:
         self._entries: Dict[int, CacheEntry] = {}
         self._hints: Dict[int, HintVote] = {}
         self._lock = _sync.RLock()
+        #: bumped on every entry-state mutation (insert/evict/squeeze/
+        #: hydrate): cheap coarse invalidation key for derived caches
+        #: (fused plan cache, prep stacks)
+        self.epoch = 0
 
     # -- hints -------------------------------------------------------------
 
@@ -256,6 +260,7 @@ class LiquidCache:
                 self._release_entry(entry_id, old)
             self._entries[entry_id] = CacheEntry(state, payload,
                                                  mem_bytes=nbytes, hint=hint)
+            self.epoch += 1
             self.cache_policy.notify_inserted(entry_id, _KIND_OF_STATE[state])
         self.observer.event("Insert", entry_id, state)
         return True
@@ -277,6 +282,7 @@ class LiquidCache:
             self._entries[entry_id] = CacheEntry(
                 new_state, None, disk_range=self.store.range_of(entry_id),
                 mem_bytes=0, hint=hint)
+            self.epoch += 1
             self.cache_policy.notify_inserted(entry_id, pol.DISK)
         self.observer.event("EvictToDisk", entry_id, "insert_overflow")
         return False
@@ -312,6 +318,7 @@ class LiquidCache:
 
     def _release_entry(self, entry_id: int, e: CacheEntry) -> None:
         """Release all budgets held by `e` (caller holds the lock)."""
+        self.epoch += 1
         if e.mem_bytes:
             self.budget.release_memory(e.mem_bytes)
         freed = self.store.remove(entry_id)
@@ -356,6 +363,7 @@ class LiquidCache:
             self.budget.force_update_memory_usage(e.mem_bytes, new_mem)
             e.state, e.payload, e.disk_range, e.mem_bytes = (
                 new_state, new_payload, rng, new_mem)
+            self.epoch += 1
             self.cache_policy.notify_state_changed(
                 entry_id, _KIND_OF_STATE[new_state])
         self.observer.stats.bump("squeezes")
@@ -475,6 +483,7 @@ class LiquidCache:
         if not self.budget.try_update_memory_usage(e.mem_bytes, nbytes):
             return  # no room: stay on disk
         e.state, e.payload, e.mem_bytes = state, payload, nbytes
+        self.epoch += 1
         self.cache_policy.notify_state_changed(entry_id, _KIND_OF_STATE[state])
         self.observer.stats.bump("hydrations")
         self.observer.event("Hydrate", entry_id, state)

@@ -477,8 +477,10 @@ def _register_col(p: _Plan, pr, col: str, want_remap: bool):
     else:
         ix["codes"] = _add(p, pr.codes_stack)
         if want_remap:
+            from liquid_tpu.sql.fused_agg import _gid_stack
             _build_vocab(pr)
             ix["remap"] = _add(p, pr.remap_stack)
+            ix["gids"] = _add(p, _gid_stack(pr))
     if pr.valid_stack is not None:
         ix["valid"] = _add(p, pr.valid_stack)
     p.spec_cols.append((col, tuple(sorted(ix.items()))))
@@ -873,10 +875,12 @@ def _plan_fact(planner: _StarPlanner, dims: Dict[str, _Probe]):
             if want_remap:
                 for i, (name, ix) in enumerate(p.spec_cols):
                     if name == c and "remap" not in dict(ix):
+                        from liquid_tpu.sql.fused_agg import _gid_stack
                         pr = planner.prep_of(fact, c)
                         _build_vocab(pr)
                         d = dict(ix)
                         d["remap"] = _add(p, pr.remap_stack)
+                        d["gids"] = _add(p, _gid_stack(pr))
                         p.spec_cols[i] = (c, tuple(sorted(d.items())))
             return
         pr = planner.prep_of(fact, c)
@@ -1009,6 +1013,38 @@ def _empty_key_decoder(planner, dims, p: _Plan, c: str):
 
 # -- public entry -------------------------------------------------------------
 
+def _star_cache_key(executor, q, group, key_names, slots, rew_keys,
+                    rew_inputs):
+    """Textual identity of a star query + the session's cache epoch
+    (same rationale as fused_agg._plan_cache_key: replanning pays ~20
+    tunnel-floor device uploads per query)."""
+    from liquid_tpu.sql.fused_agg import _plan_cache_key
+    from liquid_tpu.sql.physical import render
+
+    class _Scan:  # adapt the star inputs to _plan_cache_key's shape
+        pushdown = ()
+        residual = ()
+    base = _plan_cache_key(_Scan, {}, group, key_names, slots,
+                           rew_keys, rew_inputs, q)
+    frm = []
+    f = q.from_
+    while isinstance(f, ast.Join):
+        frm.append((f.kind, render(f.on) if f.on is not None else None))
+        frm.append(getattr(f.right, "name", None))
+        f = f.left
+    frm.append(getattr(f, "name", None))
+    epoch = 0
+    tabs = []
+    for name, t in sorted(getattr(executor, "catalog", {}).items()):
+        c = getattr(t, "cache", None)
+        if c is not None:
+            epoch = max(epoch, getattr(c, "epoch", 0))
+        tabs.append((name, id(t)))
+    return (base, tuple(frm),
+            render(q.where) if q.where is not None else None,
+            tuple(tabs), epoch)
+
+
 def try_fused_star(executor, q, group, key_names, slots, rew_keys,
                    rew_inputs, where) -> Optional[pa.Table]:
     """Attempt the fused star-join aggregation.  Returns the merged
@@ -1018,51 +1054,74 @@ def try_fused_star(executor, q, group, key_names, slots, rew_keys,
         return None
     if os.environ.get("LIQUID_FUSED_STAR", "1") == "0":
         return None
+    cache = getattr(executor, "_star_plan_cache", None)
+    if cache is None:
+        cache = executor._star_plan_cache = {}
     try:
-        planner = _StarPlanner(executor, q, group, key_names, slots,
-                               rew_keys, rew_inputs, where)
-        planner.detect()
-        for s in slots:
-            from liquid_tpu.sql.fused_agg import _AGG_KINDS
-            if s.kind not in _AGG_KINDS:
-                raise _Bail(f"aggregate kind {s.kind}")
-        # build the dim tree bottom-up (device programs)
-        dims: Dict[str, _Probe] = {}
-        for child in planner.tree:
-            if planner.tree[child][0] == planner.fact:
-                dims[child] = _build_dim(planner, child)
-        p, mode, empty = _plan_fact(planner, dims)
-    except _Bail as e:
-        STATS["star_bailouts"] += 1
-        STATS["star_last_bail"] = str(e)
-        return None
+        ck = _star_cache_key(executor, q, group, key_names, slots,
+                             rew_keys, rew_inputs)
     except Exception:
-        if os.environ.get("LIQUID_FUSED_STRICT"):
-            raise
+        ck = None
+    hit = cache.get(ck) if ck is not None else None
+    if hit is not None and hit[0] is None:
         STATS["star_bailouts"] += 1
         return None
-
-    # one combined uniqueness fetch for every unverified dim (any
-    # depth: a snowflake's deep dims must be unique too)
-    unverified = [pb for pb in planner.all_probes if not pb.verified
-                  and pb.dup is not None]
-    if unverified:
-        flags = np.asarray(jnp.stack([pb.dup for pb in unverified]))
-        if flags.any():
-            # N:M join: classic path preserves exact multiplicity
-            STATS["star_dup_bails"] += 1
+    if hit is not None:
+        p, mode, empty, fact_table = hit
+    else:
+        try:
+            planner = _StarPlanner(executor, q, group, key_names, slots,
+                                   rew_keys, rew_inputs, where)
+            planner.detect()
+            for s in slots:
+                from liquid_tpu.sql.fused_agg import _AGG_KINDS
+                if s.kind not in _AGG_KINDS:
+                    raise _Bail(f"aggregate kind {s.kind}")
+            # build the dim tree bottom-up (device programs)
+            dims: Dict[str, _Probe] = {}
+            for child in planner.tree:
+                if planner.tree[child][0] == planner.fact:
+                    dims[child] = _build_dim(planner, child)
+            p, mode, empty = _plan_fact(planner, dims)
+        except _Bail as e:
+            STATS["star_bailouts"] += 1
+            STATS["star_last_bail"] = str(e)
+            if ck is not None:
+                if len(cache) >= 8:
+                    cache.pop(next(iter(cache)))
+                cache[ck] = (None, None, None, None)
+            return None
+        except Exception:
+            if os.environ.get("LIQUID_FUSED_STRICT"):
+                raise
             STATS["star_bailouts"] += 1
             return None
-        for pb in unverified:
-            pb.verified = True
+
+        # one combined uniqueness fetch for every unverified dim (any
+        # depth: a snowflake's deep dims must be unique too)
+        unverified = [pb for pb in planner.all_probes if not pb.verified
+                      and pb.dup is not None]
+        if unverified:
+            flags = np.asarray(jnp.stack([pb.dup for pb in unverified]))
+            if flags.any():
+                # N:M join: classic path preserves exact multiplicity
+                STATS["star_dup_bails"] += 1
+                STATS["star_bailouts"] += 1
+                return None
+            for pb in unverified:
+                pb.verified = True
+        fact_table = planner.tables[planner.fact]
+        if ck is not None:
+            if len(cache) >= 8:
+                cache.pop(next(iter(cache)))
+            cache[ck] = (p, mode, empty, fact_table)
     STATS["star_queries"] += 1
     from liquid_tpu.sql.fused_agg import plan_having, plan_topk
     topk = None
     if mode == "grouped" and not empty:
         topk = plan_topk(q, slots, p)
         p.having = plan_having(q, slots, p)
-    result = execute_plan(p, mode, empty, slots,
-                          planner.tables[planner.fact], topk)
+    result = execute_plan(p, mode, empty, slots, fact_table, topk)
     if result is None:
         STATS["star_bailouts"] += 1
     return result
