@@ -1063,9 +1063,13 @@ def _apply_fd_packed(mat, fd_spec, arrays):
     keys_rows[rep_pos] = kv
     null_rows[rep_pos] = knl
     for (pos, idx_ix, lo_ix, vals_ix, nulls_ix, ptype) in entries:
-        idxt = arrays[idx_ix]
-        rel = jnp.clip(kv - arrays[lo_ix], 0, idxt.shape[0] - 1)
-        j = idxt[rel]
+        if idx_ix < 0:
+            # probe-index mode: kv IS the dim row id
+            j = kv.astype(jnp.int32)
+        else:
+            idxt = arrays[idx_ix]
+            rel = jnp.clip(kv - arrays[lo_ix], 0, idxt.shape[0] - 1)
+            j = idxt[rel]
         vals = arrays[vals_ix]
         jc = jnp.clip(j, 0, vals.shape[0] - 1)
         v = vals[jc]
@@ -1167,6 +1171,13 @@ def _fused_core(spec, arrays):
     # -- grouped: key codes + hash scatter-reduce ---------------------------
     codes_l, knulls_l = [], []
     for name in keys:
+        if isinstance(name, tuple) and name and name[0] == "probe":
+            # probe-index grouping: the key is the dense dim-row id j
+            # (computed above for the star probe); value recovery is a
+            # vals[j] gather at pack time (_apply_fd_packed)
+            codes_l.append(probe_j[name[1]].astype(jnp.int64))
+            knulls_l.append(jnp.zeros(selb.shape, jnp.bool_))
+            continue
         if isinstance(name, tuple) and name and name[0] == "expr":
             # expression group key (GROUP BY 1 / arithmetic / CASE):
             # evaluated in-program, keyed by value image
@@ -2287,9 +2298,13 @@ def _fetch_full(p: _Plan, slots, g: int, cols) -> pa.Table:
         keys_full[rep_pos] = kv
         nulls_full[rep_pos] = uknulls[0]
         for (pos, idx_ix, lo_ix, vals_ix, nulls_ix, ptype) in entries:
-            idxt = p.arrays[idx_ix]
-            rel = jnp.clip(kv - p.arrays[lo_ix], 0, idxt.shape[0] - 1)
-            j = idxt[rel]
+            if idx_ix < 0:  # probe-index mode: kv IS the dim row id
+                j = jnp.asarray(kv).astype(jnp.int32)
+            else:
+                idxt = p.arrays[idx_ix]
+                rel = jnp.clip(kv - p.arrays[lo_ix], 0,
+                               idxt.shape[0] - 1)
+                j = idxt[rel]
             valsa = p.arrays[vals_ix]
             jc = jnp.clip(j, 0, valsa.shape[0] - 1)
             v = valsa[jc]
@@ -2777,9 +2792,13 @@ def _finish_topk(p: _Plan, slots, topk: TopKSpec, mini: np.ndarray):
         keys_full[rep_pos] = ukeys[0]
         nulls_full[rep_pos] = uknulls[0]
         for (pos, idx_ix, lo_ix, vals_ix, nulls_ix, ptype) in entries:
-            idxt = p.arrays[idx_ix]
-            rel = jnp.clip(kv - p.arrays[lo_ix], 0, idxt.shape[0] - 1)
-            jj = idxt[rel]
+            if idx_ix < 0:  # probe-index mode: kv IS the dim row id
+                jj = jnp.asarray(ukeys[0]).astype(jnp.int32)
+            else:
+                idxt = p.arrays[idx_ix]
+                rel = jnp.clip(kv - p.arrays[lo_ix], 0,
+                               idxt.shape[0] - 1)
+                jj = idxt[rel]
             va = p.arrays[vals_ix]
             jc = jnp.clip(jj, 0, va.shape[0] - 1)
             v = va[jc]

@@ -147,7 +147,7 @@ class _Probe:
     """Runtime handle for one built dimension (device arrays)."""
 
     __slots__ = ("idx", "lo", "hi", "dup", "verified", "payload",
-                 "vocabs", "pay_bounds", "nbytes", "cache_key")
+                 "vocabs", "pay_bounds", "nbytes", "cache_key", "nrows")
 
     def __init__(self):
         self.dup = None          # device bool scalar, None once verified
@@ -156,6 +156,7 @@ class _Probe:
         self.vocabs = {}         # name -> vocab_list (gid payloads)
         self.pay_bounds = {}     # name -> (lo, hi) value bounds
         self.nbytes = 0
+        self.nrows = 1           # dim scan rows: probe j in [0, nrows)
 
 
 class _Fields:
@@ -557,9 +558,14 @@ def _build_dim(planner: _StarPlanner, tbl: str) -> _Probe:
     for ch in planner.children[tbl]:
         child_probes.append((ch, _build_dim(planner, ch)))
 
-    # payload set: own exports + cascaded child exports
+    # payload set: own exports + cascaded child exports.  The dim's
+    # OWN join-key column always exports too: probe-INDEX grouping
+    # (group by the dense dim-row id j instead of the key's value
+    # domain) recovers the key by vals[j] at pack time.
     pays: List[Tuple[str, str]] = []
-    for c in sorted(planner.needed_by[tbl]):
+    own = set(planner.needed_by[tbl])
+    own.add(key_col)
+    for c in sorted(own):
         pays.append((c, _payload_type(planner, tbl, c)))
     for ch, pb in child_probes:
         for name, (_v, _n, ptype) in sorted(pb.payload.items()):
@@ -695,6 +701,7 @@ def _build_dim(planner: _StarPlanner, tbl: str) -> _Probe:
     probe.idx = outs[0]
     probe.lo = int(lo)
     probe.hi = int(hi)
+    probe.nrows = len(blocks) * 8192
     probe.dup = outs[1]
     probe.vocabs = vocabs
     probe.pay_bounds = pay_bounds
@@ -732,9 +739,11 @@ def _detect_fd(planner: _StarPlanner, p: _Plan) -> None:
     verified on device) make dim attributes exact functions of the
     join key value."""
     key_cols = p.keys
-    if len(key_cols) < 2:
+    if not key_cols:
         return
     for rep_pos, rep in enumerate(key_cols):
+        if not isinstance(rep, str):
+            continue  # expression keys can't be FD representatives
         cand = None
         if planner.owner.get(rep) == planner.fact:
             # rep is the fact-side probe key of a fact-adjacent dim
@@ -755,6 +764,36 @@ def _detect_fd(planner: _StarPlanner, p: _Plan) -> None:
                   if i != rep_pos]
         if not all(c in pb.payload for _i, c in others):
             continue
+        ccol = planner.tree[cand][2]
+        fact_adjacent = planner.tree[cand][0] == planner.fact
+        if fact_adjacent and ccol in pb.payload:
+            # PROBE-INDEX grouping: the physical key is the dense dim-
+            # row id j (already computed for the probe), not the key's
+            # value domain -- the direct-address table shrinks from the
+            # key span (67M for TPC-H orderkey @SF10) to the dim's row
+            # count (15M), and EVERY key incl. the representative
+            # re-attaches by a direct vals[j] gather at pack time.
+            pid = None
+            for (pid2, pcol2, _ix, _lo) in p.probes:
+                if pcol2 == planner.tree[cand][1]:
+                    pid = pid2
+                    break
+            if pid is not None:
+                entries = []
+                for i, c in [(rep_pos, ccol)] + [
+                        (i, c) for i, c in others]:
+                    vals, nulls, ptype = pb.payload[c if i != rep_pos
+                                                    else ccol]
+                    vix = _add(p, vals)
+                    nix = _add(p, nulls) if nulls is not None else -1
+                    entries.append((i, -1, -1, vix, nix,
+                                    "f64" if ptype == "f64" else "i64"))
+                p.fd = (rep_pos, len(key_cols), tuple(entries))
+                p.phys_keys = [("probe", pid)]
+                p.key_bounds[("probe", pid)] = (0, pb.nrows - 1)
+                return
+        if len(key_cols) < 2:
+            continue  # value-mode FD only pays with derived keys
         idx_ix = _add(p, pb.idx)
         lo_ix = _add(p, jnp.asarray(np.int64(pb.lo)))
         entries = []
