@@ -473,26 +473,52 @@ def run_suite():
     for qid in sorted(tpch_queries.QUERIES):
         suite.append((f"tpch_q{qid}", tpch_queries.QUERIES[qid]))
 
-    def run_one(sql):
+    # answer verification (VERDICT r4 item 3; mirrors the reference's
+    # stored-answer checks, .github/workflows/ci.yml:139-320): every
+    # timed on-chip result compares against the HOST arrow engine's
+    # answer for the same query+data, computed once and disk-cached.
+    adir = f"/tmp/liquid_bench_answers_{hits_rows}_{sf}"
+    os.makedirs(adir, exist_ok=True)
+    actx = None
+
+    def arrow_answer(name, sql):
+        nonlocal actx
+        import pyarrow.parquet as apq
+        path = f"{adir}/{name}.parquet"
+        if os.path.exists(path):
+            return apq.read_table(path)
+        if actx is None:
+            actx, _ = make_session("arrow", 16 << 30, tempfile.mkdtemp())
+            actx.register_parquet("hits", hits_path)
+            for p in sorted(glob.glob(f"{tdir}/*.parquet")):
+                actx.register_parquet(os.path.basename(p)[:-8], p)
+        r = run_one(sql, actx)
+        apq.write_table(r, path + ".tmp")
+        os.replace(path + ".tmp", path)
+        return r
+
+    def run_one(sql, c=None):
+        c = c if c is not None else ctx
         if isinstance(sql, list):
             out = None
             for stmt in sql:
-                r = ctx.sql(stmt).to_arrow()
+                r = c.sql(stmt).to_arrow()
                 if r.num_columns:
                     out = r
             return out
-        return ctx.sql(sql).to_arrow()
+        return c.sql(sql).to_arrow()
 
     results = {}
     t_start = time.perf_counter()
+    verify = os.environ.get("LIQUID_SUITE_VERIFY", "1") == "1"
     for name, sql in suite:
         try:
             t0 = time.perf_counter()
             try:
-                run_one(sql)  # compile + first exec
+                got = run_one(sql)  # compile + first exec
             except Exception:
                 # transient remote-compile/tunnel hiccups: retry once
-                run_one(sql)
+                got = run_one(sql)
             first = time.perf_counter() - t0
             best = float("inf")
             route = "classic"
@@ -500,7 +526,7 @@ def run_suite():
                 b_f = STATS.get("fused_queries", 0)
                 b_s = STATS.get("star_queries", 0)
                 t0 = time.perf_counter()
-                run_one(sql)
+                got = run_one(sql)
                 best = min(best, time.perf_counter() - t0)
                 route = ("star" if STATS.get("star_queries", 0) > b_s
                          else "fused"
@@ -509,8 +535,14 @@ def run_suite():
             results[name] = {"ms": round(best * 1000, 1),
                              "first_ms": round(first * 1000, 1),
                              "route": route}
+            if verify:
+                # the timed result itself is checked, not a rerun: a
+                # wrong answer is an ERROR entry, never a timing
+                _assert_tables_equal(name, got, arrow_answer(name, sql))
+                results[name]["verified"] = True
             log(f"[suite] {name}: {best * 1000:.1f} ms [{route}] "
-                f"(first {first:.1f}s)")
+                f"(first {first:.1f}s)"
+                + (" verified" if verify else ""))
         except Exception as e:
             results[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
             log(f"[suite] {name}: ERROR {e}")
@@ -519,6 +551,53 @@ def run_suite():
     log(f"suite written: geomean {out['value']:.1f} ms, "
         f"routes {out['routes']}")
     print(json.dumps({k: v for k, v in out.items() if k != "queries"}))
+
+
+def _assert_tables_equal(name, a, b):
+    """Multiset equality with float tolerance: both tables sort by every
+    column (floats rounded to 9 significant digits for the sort key), so
+    legally-different tie ORDERS pass while any wrong value/row fails."""
+    import pyarrow as pa
+    if a is None or b is None:
+        assert a is None and b is None, (name, "one side empty")
+        return
+    assert a.num_rows == b.num_rows, (
+        f"{name}: rows {a.num_rows} != {b.num_rows}")
+    assert a.num_columns == b.num_columns, (
+        f"{name}: cols {a.num_columns} != {b.num_columns}")
+
+    def norm(t):
+        cols = []
+        keys = []
+        for i in range(t.num_columns):
+            c = t.column(i).combine_chunks()
+            if pa.types.is_floating(c.type) or pa.types.is_decimal(c.type):
+                v = np.asarray(c.cast(pa.float64()), dtype=float)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    mag = np.where(v == 0, 1.0, np.abs(v))
+                    r = np.round(v / mag, 9) * mag  # ~9 sig digits
+                cols.append(("f", v))
+                keys.append(np.where(np.isnan(r), np.inf, r))
+            else:
+                v = np.asarray(
+                    [repr(x) for x in c.to_pylist()], dtype=object)
+                cols.append(("o", v))
+                keys.append(v)
+        order = np.lexsort(keys[::-1]) if keys else np.arange(0)
+        return [(k, v[order]) for k, v in cols]
+
+    na, nb = norm(a), norm(b)
+    for i, ((ka, va), (_kb, vb)) in enumerate(zip(na, nb)):
+        if ka == "f":
+            ok = np.isclose(va, vb, rtol=1e-6, atol=1e-9, equal_nan=True)
+            assert ok.all(), (
+                f"{name}: float col {i} mismatch at "
+                f"{np.argmin(ok)}: {va[~ok][:3]} vs {vb[~ok][:3]}")
+        else:
+            ok = va == vb
+            assert ok.all(), (
+                f"{name}: col {i} mismatch: "
+                f"{va[~ok][:3]} vs {vb[~ok][:3]}")
 
 
 def _write_suite(here, results, suite, hits_rows, sf, t_start):

@@ -27,6 +27,13 @@ import jax.numpy as jnp
 from liquid_tpu.ops import floatbits
 from liquid_tpu.ops.groupby import _neutral
 
+#: canonical dtype key for the per-(op,dtype) scatter batches.  Mixing
+#: the jnp.int64 CLASS with np.dtype('int64') (what v.dtype yields)
+#: silently created TWO dict entries -- the i64 batch ran as two
+#: scatter passes and the single-dtype Pallas gate never fired.
+import numpy as _np
+_I64 = _np.dtype('int64')
+
 #: largest slot table (2^21 slots x ~10 i64 columns ~= 170 MB HBM)
 MAX_SLOTS = 1 << 21
 
@@ -93,11 +100,11 @@ def direct_reduce_packed(codes, knulls, valid, vals, vnulls, kinds,
     add_cols = {}
     min_cols = {}
     max_cols = {}
-    add_cols.setdefault(jnp.int64, []).append(
+    add_cols.setdefault(_I64, []).append(
         (("occ", 0), jnp.ones((n,), jnp.int64)))
     for j, (v, vn, kind) in enumerate(zip(vals, vnulls, kinds)):
         contrib = valid & ~vn
-        add_cols.setdefault(jnp.int64, []).append(
+        add_cols.setdefault(_I64, []).append(
             (("cnt", j), contrib.astype(jnp.int64)))
         if kind == "sum":
             z = jnp.where(contrib, v, jnp.zeros((), v.dtype))
@@ -179,7 +186,7 @@ def direct_reduce_packed(codes, knulls, valid, vals, vnulls, kinds,
     # needing the hi/lo i32 split (scaled-int decimal sums)
     use_pallas = False
     if pallas_seg and not min_cols and not max_cols \
-            and list(add_cols) == [jnp.int64]:
+            and list(add_cols) == [_I64]:
         from liquid_tpu.ops import grouphist_pallas as gh
         if gh.HAVE_PALLAS:
             use_pallas = True
@@ -188,7 +195,7 @@ def direct_reduce_packed(codes, knulls, valid, vals, vnulls, kinds,
         seg, ntab, wide = pallas_seg
         parts = []       # (tag, "plain" | "hi" | "lo")
         stack_cols = []
-        for tag, v in add_cols[jnp.int64]:
+        for tag, v in add_cols[_I64]:
             if tag[0] == "acc" and wide[tag[1]]:
                 hi, lo = gh.split_hilo(v)
                 stack_cols += [hi, lo]
@@ -296,15 +303,15 @@ def hash_rounds_reduce_packed(codes, knulls, valid, vals, vnulls, kinds,
             min_cols.setdefault(c.dtype, []).append((("kmin", i), c))
             max_cols.setdefault(c.dtype, []).append((("kmax", i), c))
             valid_flag = (~nl).astype(jnp.int64)
-            min_cols.setdefault(jnp.int64, []).append(
+            min_cols.setdefault(_I64, []).append(
                 (("nmin", i), valid_flag))
-            max_cols.setdefault(jnp.int64, []).append(
+            max_cols.setdefault(_I64, []).append(
                 (("nmax", i), valid_flag))
-        add_cols.setdefault(jnp.int64, []).append(
+        add_cols.setdefault(_I64, []).append(
             (("occ", 0), jnp.ones((n,), jnp.int64)))
         for j, (v, vn, kind) in enumerate(zip(vals, vnulls, kinds)):
             contrib = live & ~vn
-            add_cols.setdefault(jnp.int64, []).append(
+            add_cols.setdefault(_I64, []).append(
                 (("cnt", j), contrib.astype(jnp.int64)))
             if kind == "sum":
                 z = jnp.where(contrib, v, jnp.zeros((), v.dtype))
