@@ -538,7 +538,12 @@ def run_suite():
             if verify:
                 # the timed result itself is checked, not a rerun: a
                 # wrong answer is an ERROR entry, never a timing
-                _assert_tables_equal(name, got, arrow_answer(name, sql))
+                resolver = _order_info(sql)
+                oidx = resolver(got) if (resolver and got is not None) \
+                    else None
+                _assert_tables_equal(name, got, arrow_answer(name, sql),
+                                     order_idx=oidx,
+                                     limited=oidx is not None)
                 results[name]["verified"] = True
             log(f"[suite] {name}: {best * 1000:.1f} ms [{route}] "
                 f"(first {first:.1f}s)"
@@ -553,11 +558,32 @@ def run_suite():
     print(json.dumps({k: v for k, v in out.items() if k != "queries"}))
 
 
-def _assert_tables_equal(name, a, b):
-    """Multiset equality with float tolerance: both tables sort by every
-    column (floats rounded to 9 significant digits for the sort key), so
-    legally-different tie ORDERS pass while any wrong value/row fails."""
+def _cell_reprs(t):
+    """Per-column canonical string cells (floats rounded to ~9 sig
+    digits so either engine's rounding noise normalizes away)."""
     import pyarrow as pa
+    out = []
+    for i in range(t.num_columns):
+        c = t.column(i).combine_chunks()
+        if pa.types.is_floating(c.type) or pa.types.is_decimal(c.type):
+            v = np.asarray(c.cast(pa.float64()), dtype=float)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                mag = np.where((v == 0) | ~np.isfinite(v), 1.0, np.abs(v))
+                r = np.round(v / mag, 9) * mag
+            out.append(np.asarray([repr(float(x)) for x in r], object))
+        else:
+            out.append(np.asarray([repr(x) for x in c.to_pylist()],
+                                  object))
+    return out
+
+
+def _assert_tables_equal(name, a, b, order_idx=None, limited=False):
+    """Answer equality, tolerant of the ONE legal divergence between
+    correct engines: tie selection at a LIMIT/OFFSET boundary.  The
+    ORDER BY key columns must match as exact multisets; full rows must
+    match as multisets except rows whose key tuple equals a boundary
+    (extreme) key tuple -- those may legally differ when tied."""
+    from collections import Counter
     if a is None or b is None:
         assert a is None and b is None, (name, "one side empty")
         return
@@ -565,44 +591,89 @@ def _assert_tables_equal(name, a, b):
         f"{name}: rows {a.num_rows} != {b.num_rows}")
     assert a.num_columns == b.num_columns, (
         f"{name}: cols {a.num_columns} != {b.num_columns}")
+    ca, cb = _cell_reprs(a), _cell_reprs(b)
+    rows_a = list(zip(*ca)) if ca else []
+    rows_b = list(zip(*cb)) if cb else []
+    diff = Counter(rows_a)
+    diff.subtract(Counter(rows_b))
+    bad = {r for r, c in diff.items() if c != 0}
+    if not bad:
+        return
+    if not (limited and order_idx):
+        raise AssertionError(
+            f"{name}: {len(bad)} differing rows, e.g. "
+            f"{sorted(bad)[:2]}")
+    # key multisets must agree exactly
+    keys_a = Counter(zip(*[ca[i] for i in order_idx]))
+    keys_b = Counter(zip(*[cb[i] for i in order_idx]))
+    assert keys_a == keys_b, (
+        f"{name}: ORDER BY key multisets differ: "
+        f"{sorted((keys_a - keys_b).items())[:2]} vs "
+        f"{sorted((keys_b - keys_a).items())[:2]}")
+    # every differing row must sit at a boundary key tuple (first/last
+    # in either table's own order -- LIMIT head, OFFSET tail)
+    bounds = set()
+    for cells, n in ((ca, a.num_rows), (cb, b.num_rows)):
+        if n:
+            bounds.add(tuple(cells[i][0] for i in order_idx))
+            bounds.add(tuple(cells[i][-1] for i in order_idx))
+    for r in bad:
+        k = tuple(r[i] for i in order_idx)
+        assert k in bounds, (
+            f"{name}: non-boundary row differs: {r} (key {k}, "
+            f"bounds {sorted(bounds)[:4]})")
 
-    def norm(t):
-        cols = []
-        keys = []
-        for i in range(t.num_columns):
-            c = t.column(i).combine_chunks()
-            if pa.types.is_floating(c.type) or pa.types.is_decimal(c.type):
-                v = np.asarray(c.cast(pa.float64()), dtype=float)
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    mag = np.where(v == 0, 1.0, np.abs(v))
-                    r = np.round(v / mag, 9) * mag  # ~9 sig digits
-                cols.append(("f", v))
-                keys.append(np.where(np.isnan(r), np.inf, r))
-            else:
-                v = np.asarray(
-                    [repr(x) for x in c.to_pylist()], dtype=object)
-                cols.append(("o", v))
-                keys.append(v)
-        order = np.lexsort(keys[::-1]) if keys else np.arange(0)
-        return [(k, v[order]) for k, v in cols]
 
-    na, nb = norm(a), norm(b)
-    for i, ((ka, va), (_kb, vb)) in enumerate(zip(na, nb)):
-        if ka == "f":
-            ok = np.isclose(va, vb, rtol=1e-6, atol=1e-9, equal_nan=True)
-            assert ok.all(), (
-                f"{name}: float col {i} mismatch at "
-                f"{np.argmin(ok)}: {va[~ok][:3]} vs {vb[~ok][:3]}")
+def _order_info(sql):
+    """(order column indices resolver, limited) for tie-aware answer
+    comparison; returns a function of the result table."""
+    from liquid_tpu.sql.parser import parse_statement
+    from liquid_tpu.sql.physical import render
+    from liquid_tpu.sql import ast as sqlast
+    text = sql[-1] if isinstance(sql, list) else sql
+    try:
+        stmt = parse_statement(text)
+        if stmt[0] != "select":
+            return None
+        q = stmt[1]
+    except Exception:
+        return None
+    if q.limit is None or not q.order_by:
+        return None
+    names = []
+    for o in q.order_by:
+        e = o.expr
+        if isinstance(e, sqlast.Literal) and isinstance(e.value, int):
+            names.append(("pos", e.value - 1))
         else:
-            ok = va == vb
-            assert ok.all(), (
-                f"{name}: col {i} mismatch: "
-                f"{va[~ok][:3]} vs {vb[~ok][:3]}")
+            names.append(("name", render(e)))
+    alias_of = {render(it.expr): (it.alias or render(it.expr))
+                for it in q.items}
+
+    def resolve(table):
+        idx = []
+        cols = list(table.column_names)
+        for kind, v in names:
+            if kind == "pos":
+                if not (0 <= v < len(cols)):
+                    return None
+                idx.append(v)
+                continue
+            nm = alias_of.get(v, v)
+            if nm in cols:
+                idx.append(cols.index(nm))
+            elif v in cols:
+                idx.append(cols.index(v))
+            else:
+                return None
+        return idx
+    return resolve
 
 
 def _write_suite(here, results, suite, hits_rows, sf, t_start):
-    """Write SUITE_r04.json incrementally (a wall-clock-killed run
-    still leaves every completed query on disk)."""
+    """Write the suite artifact incrementally (a wall-clock-killed run
+    still leaves every completed query on disk).  Default SUITE_r05.json;
+    override with LIQUID_SUITE_OUT for scratch runs."""
     import math
     ok = [r["ms"] for r in results.values() if "ms" in r]
     geomean = (math.exp(sum(math.log(max(v, 0.1)) for v in ok) / len(ok))
@@ -621,7 +692,8 @@ def _write_suite(here, results, suite, hits_rows, sf, t_start):
         "wall_s": round(time.perf_counter() - t_start, 1),
         "queries": results,
     }
-    path = os.path.join(here, "SUITE_r04.json")
+    path = os.environ.get("LIQUID_SUITE_OUT",
+                          os.path.join(here, "SUITE_r05.json"))
     with open(path + ".tmp", "w") as f:
         json.dump(out, f, indent=1)
     os.replace(path + ".tmp", path)
