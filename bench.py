@@ -568,8 +568,11 @@ def _cell_reprs(t):
         if pa.types.is_floating(c.type) or pa.types.is_decimal(c.type):
             v = np.asarray(c.cast(pa.float64()), dtype=float)
             with np.errstate(invalid="ignore", divide="ignore"):
-                mag = np.where((v == 0) | ~np.isfinite(v), 1.0, np.abs(v))
-                r = np.round(v / mag, 9) * mag
+                ok = np.isfinite(v) & (v != 0)
+                ex = np.where(ok, np.floor(np.log10(
+                    np.where(ok, np.abs(v), 1.0))), 0.0)
+                q = np.power(10.0, ex - 8)  # keep ~9 significant digits
+                r = np.where(ok, np.round(v / q) * q, v)
             out.append(np.asarray([repr(float(x)) for x in r], object))
         else:
             out.append(np.asarray([repr(x) for x in c.to_pylist()],

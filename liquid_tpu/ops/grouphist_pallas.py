@@ -88,6 +88,10 @@ def plan_segments(n_rows: int, max_abs: int):
         return None
     n_tiles = n_rows // TILE
     per_tile = max(int(max_abs), 1) * TILE
+    if per_tile > (1 << 30):
+        # even ONE tile can overflow the i32 window: no segment
+        # cadence is safe (callers split hi/lo or keep scatter)
+        return None
     seg = max(1, (1 << 30) // per_tile)
     nseg = -(-n_tiles // seg)
     if nseg > MAX_SEGS:

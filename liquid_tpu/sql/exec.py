@@ -85,7 +85,7 @@ class QueryExecutor:
 
     @staticmethod
     def _try_fused(table, plan, hints, group, key_names, slots,
-                   rew_keys, rew_inputs, q=None):
+                   rew_keys, rew_inputs, q=None, eprobes=()):
         """Whole-query compiled scan->filter->aggregate on the resident
         device encodings; None when the shape is unsupported (classic
         scan path takes over)."""
@@ -93,7 +93,113 @@ class QueryExecutor:
         with TRACER.span("sql.fused_aggregate"):
             return try_fused_aggregate(table, plan, hints, group,
                                        key_names, slots, rew_keys,
-                                       rew_inputs, q)
+                                       rew_inputs, q, eprobes)
+
+    def _plan_exist_probes(self, where, fact_table):
+        """Split `where` into (remaining, probe_specs): each spec fuses
+        one EXISTS / NOT EXISTS / [NOT] IN <subquery> conjunct as a
+        device existence probe (fused_star.build_exist_probe).  Returns
+        (where, ()) when nothing applies; specs carry their conjunct's
+        render for the plan-cache key."""
+        from liquid_tpu.sql.fused_star import build_exist_probe
+        if where is None:
+            return where, ()
+        conjs = split_conjuncts(where)
+        specs, rest = [], []
+        for e in conjs:
+            s = self._exist_spec(e, fact_table)
+            if s is None:
+                rest.append(e)
+                continue
+            inner_t, key_col, local, mm_inner, mode, fcol, fmm = s
+            probe = build_exist_probe(
+                inner_t, key_col, local, mm_inner,
+                require_nonnull_key=(mode == "anti_nn"))
+            if probe is None:
+                rest.append(e)
+                continue
+            specs.append({"mode": mode, "col": fcol, "mmcol": fmm,
+                          "probe": probe, "key": render(e)})
+        if not specs:
+            return where, ()
+        return _and_all(rest), tuple(specs)
+
+    def _exist_spec(self, e, fact_table):
+        """-> (inner_table, inner_key, local_where, inner_mm_col, mode,
+        fact_col, fact_mm_col) or None."""
+        fact_cols = set(fact_table.column_names)
+
+        def split_inner(sub, negated, operand=None):
+            if not isinstance(sub, ast.Select) or sub.ctes \
+                    or sub.group_by or sub.having is not None \
+                    or sub.distinct or sub.limit is not None:
+                return None
+            if not isinstance(sub.from_, ast.TableRef) \
+                    or sub.from_.name not in self.catalog \
+                    or sub.from_.prefix:
+                return None
+            inner_t = self.catalog[sub.from_.name]
+            inner_cols = set(inner_t.column_names)
+            key_col = None
+            fcol = None
+            if operand is not None:  # IN <subquery>
+                if not (isinstance(operand, ast.Column)
+                        and operand.name in fact_cols
+                        and operand.name not in inner_cols):
+                    return None
+                if len(sub.items) != 1 or not isinstance(
+                        sub.items[0].expr, ast.Column):
+                    return None
+                key_col = sub.items[0].expr.name
+                if key_col not in inner_cols:
+                    return None
+                fcol = operand.name
+            local, mm = [], None
+            for c in split_conjuncts(sub.where):
+                if _has_subquery(c):
+                    return None
+                cols: set = set()
+                collect_columns(c, cols)
+                if cols <= inner_cols:
+                    local.append(c)
+                    continue
+                if not isinstance(c, ast.Binary):
+                    return None
+                l, r = c.left, c.right
+                if not (isinstance(l, ast.Column)
+                        and isinstance(r, ast.Column)):
+                    return None
+                if l.name in fact_cols and r.name in inner_cols:
+                    fc, ic = l.name, r.name
+                elif r.name in fact_cols and l.name in inner_cols:
+                    fc, ic = r.name, l.name
+                else:
+                    return None
+                if fc in inner_cols or ic in fact_cols:
+                    return None  # ambiguous ownership
+                if c.op == "=" and key_col is None:
+                    key_col, fcol = ic, fc
+                elif c.op in ("<>", "!=") and mm is None:
+                    mm = (ic, fc)
+                else:
+                    return None
+            if key_col is None:
+                return None
+            mode = ("anti_nn" if (operand is not None and negated)
+                    else "anti" if negated else "semi")
+            return (inner_t, key_col, _and_all(local),
+                    mm[0] if mm else None, mode, fcol,
+                    mm[1] if mm else None)
+
+        if isinstance(e, ast.Exists):
+            return split_inner(e.query, e.negated)
+        if isinstance(e, ast.Unary) and e.op == "not" \
+                and isinstance(e.operand, ast.Exists):
+            return split_inner(e.operand.query,
+                               not e.operand.negated)
+        if isinstance(e, ast.InSubquery):
+            return split_inner(e.query, e.negated, operand=e.operand)
+        return None
 
     def _execute_sql_inner(self, sql: str) -> pa.Table:
         stmt = parse_statement(sql)
@@ -217,6 +323,8 @@ class QueryExecutor:
             find_windows(o.expr, wfs)
         if wfs:
             return self._exec_window(q, wfs)
+
+        q = _inline_derived(q)
 
         aggs: List[ast.Func] = []
         for it in q.items:
@@ -813,6 +921,19 @@ class QueryExecutor:
             table = self.catalog[rel.name]
             plan = plan_scan_filters(self._rewrite_subqueries(where, scope)
                                      if where is not None else None)
+            # EXISTS / NOT EXISTS / IN-subquery conjuncts fuse as device
+            # existence probes; the REDUCED plan serves only the fused
+            # attempt (a bailout must leave classic on the full plan)
+            plan_fused, eprobes = plan, ()
+            try:
+                rem, especs = self._plan_exist_probes(where, table)
+            except Exception:
+                especs = ()
+            if especs:
+                plan_fused = plan_scan_filters(
+                    self._rewrite_subqueries(rem, scope)
+                    if rem is not None else None)
+                eprobes = especs
             need = sorted(c for c in needed if c in table.column_names)
             pure_count = (not need and not group
                           and all(s.kind == "count_star" for s in slots)
@@ -828,8 +949,8 @@ class QueryExecutor:
                 # keys+[d] + host fold (fused_agg.distinct_two_level)
                 pass
             elif (fused_final := self._try_fused(
-                    table, plan, hints, group, key_names, slots,
-                    rew_keys, rew_inputs, q)) is not None:
+                    table, plan_fused, hints, group, key_names, slots,
+                    rew_keys, rew_inputs, q, eprobes)) is not None:
                 # whole-query compiled path: scan->filter->aggregate as
                 # ONE device program straight from the resident encodings
                 # (sql/fused_agg.py; VERDICT r2 #1)
@@ -1384,6 +1505,72 @@ class QueryExecutor:
         t = self.execute(inner_q)
         return ast.CorrLookup(keys=tuple(keys), key_cols=tuple(inner_keys),
                               kind="scalar", table=t)
+
+
+def _inline_derived(q: ast.Select) -> ast.Select:
+    """Inline a pure-projection derived table: ``SELECT ... FROM
+    (SELECT <exprs> FROM <rels> WHERE <w>) AS s ...`` rewrites to the
+    flat join query, substituting the derived output names with their
+    defining expressions and AND-merging the WHERE clauses.
+
+    TPC-H q7/q8/q9/q22 all wrap their joins this way; without inlining
+    they can never reach the fused star planner (the reference gets the
+    same effect from DataFusion's optimizer pushing projections into
+    subqueries).  Only the provably-safe shape inlines: the inner query
+    must be a plain projection (no aggregates, grouping, windows,
+    DISTINCT, LIMIT/OFFSET, HAVING, set-ops or CTEs) and the derived
+    relation must not need a disambiguating prefix."""
+    rel = q.from_
+    if not isinstance(rel, ast.SubqueryRel) or rel.prefix:
+        return q
+    inner = rel.query
+    if not isinstance(inner, ast.Select) or inner.from_ is None:
+        return q
+    if (inner.group_by or inner.having is not None or inner.distinct
+            or inner.limit is not None or inner.offset is not None
+            or inner.ctes or inner.order_by):
+        return q
+    from liquid_tpu.sql.window import find_windows
+    inner_aggs: List[ast.Func] = []
+    wfs: List = []
+    for it in inner.items:
+        find_aggs(it.expr, inner_aggs)
+        find_windows(it.expr, wfs)
+        if it.expr is None or isinstance(it.expr, ast.Star):
+            return q
+    if inner_aggs or wfs:
+        return q
+    mapping = {(it.alias or render(it.expr)): it.expr
+               for it in inner.items}
+
+    from liquid_tpu.sql.qualify import map_expr
+
+    def subst(e):
+        if e is None:
+            return None
+        return map_expr(e, lambda x: mapping.get(x.name)
+                        if isinstance(x, ast.Column) else None)
+
+    q2 = ast.Select()
+    q2.items = [ast.SelectItem(subst(it.expr),
+                               it.alias or render(it.expr))
+                for it in q.items]
+    q2.from_ = inner.from_
+    outer_w = subst(q.where)
+    inner_w = inner.where
+    if outer_w is not None and inner_w is not None:
+        q2.where = ast.Binary("and", inner_w, outer_w)
+    else:
+        q2.where = outer_w if outer_w is not None else inner_w
+    q2.group_by = [subst(g) for g in q.group_by]
+    q2.having = subst(q.having)
+    q2.order_by = [ast.OrderItem(subst(o.expr), o.desc, o.nulls_first)
+                   for o in q.order_by]
+    q2.limit = q.limit
+    q2.offset = q.offset
+    q2.distinct = q.distinct
+    q2.ctes = q.ctes
+    return _inline_derived(q2)
 
 
 def _retype_empty(final: pa.Table, group, slots, rew_inputs,

@@ -191,7 +191,131 @@ def _compile_expr(e: ast.Expr, col_kinds: Dict[str, str], dictres=None):
         else:
             dt = "i64"
         return ("bin", e.op, dt, l, r), lc | rc
+    if isinstance(e, ast.Extract):
+        img, unit, cols = _time_image_ir(e.operand, col_kinds, dictres)
+        return _extract_ir(e.field.lower(), img, unit), cols
+    if isinstance(e, ast.Func) and e.name == "to_timestamp_seconds":
+        img, unit, cols = _time_image_ir(e, col_kinds, dictres)
+        return img, cols
+    if isinstance(e, ast.Func) and e.name == "date_trunc" \
+            and len(e.args) == 2 and isinstance(e.args[0], ast.Literal):
+        img, unit, cols = _time_image_ir(e.args[1], col_kinds, dictres)
+        u = str(e.args[0].value).lower()
+        widths = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+        if unit != "s" or u not in widths:
+            raise _Bail(f"date_trunc {u} over {unit}")
+        w = widths[u]
+        if w == 1:
+            return img, cols
+        return ("bin", "*", "i64",
+                _fdiv(img, w), ("lit", w, "i64")), cols
     raise _Bail(f"expression {type(e).__name__}")
+
+
+# -- temporal expression lowering ---------------------------------------------
+#
+# extract()/date_trunc()/to_timestamp_seconds() lower to pure integer
+# IR over the column's stored i64 image (date32 days / epoch seconds),
+# so temporal group keys fuse instead of bailing to the host
+# (ClickBench q18/q42, TPC-H q7-q9's l_year/o_year).  Civil-date
+# decomposition uses Howard Hinnant's integer algorithm.
+
+def _fdiv(x, k: int):
+    return ("bin", "fdiv", "i64", x, ("lit", k, "i64"))
+
+
+def _mod(x, k: int):
+    return ("bin", "mod", "i64", x, ("lit", k, "i64"))
+
+
+def _time_image_ir(e: ast.Expr, col_kinds, dictres):
+    """-> (ir_i64, unit, cols) with unit "days" | "s"."""
+    atype = getattr(col_kinds, "arrow_type", None)
+    if isinstance(e, ast.Func) and e.name == "to_timestamp_seconds" \
+            and len(e.args) == 1:
+        x, cols = _compile_expr(e.args[0], col_kinds, dictres)
+        if _ir_dtype(x) != "i64":
+            raise _Bail("to_timestamp_seconds over non-int")
+        return x, "s", cols
+    if isinstance(e, ast.Column) and atype is not None:
+        t = atype(e.name)
+        x, cols = _compile_expr(e, col_kinds, dictres)
+        if t is not None and pa.types.is_date32(t):
+            return x, "days", cols
+        if t is not None and pa.types.is_timestamp(t):
+            div = {"s": 1, "ms": 1000, "us": 1000000,
+                   "ns": 1000000000}.get(t.unit)
+            if div is None:
+                raise _Bail(f"timestamp unit {t.unit}")
+            return (x if div == 1 else _fdiv(x, div)), "s", cols
+    if isinstance(e, ast.Cast) and e.type_name == "date":
+        x, cols = _compile_expr(e, col_kinds, dictres)
+        return x, "days", cols
+    raise _Bail(f"temporal operand {type(e).__name__}")
+
+
+def _civil_ir(days):
+    """days-since-epoch i64 IR -> (year, month, day) IRs (Hinnant's
+    civil_from_days, integer-exact for the whole date32 domain)."""
+    z = ("bin", "+", "i64", days, ("lit", 719468, "i64"))
+    era = _fdiv(z, 146097)
+    doe = ("bin", "-", "i64", z,
+           ("bin", "*", "i64", era, ("lit", 146097, "i64")))
+    yoe = _fdiv(("bin", "-", "i64",
+                 ("bin", "+", "i64",
+                  ("bin", "-", "i64", doe, _fdiv(doe, 1460)),
+                  _fdiv(doe, 36524)),
+                 _fdiv(doe, 146096)), 365)
+    y0 = ("bin", "+", "i64", yoe,
+          ("bin", "*", "i64", era, ("lit", 400, "i64")))
+    doy = ("bin", "-", "i64", doe,
+           ("bin", "-", "i64",
+            ("bin", "+", "i64",
+             ("bin", "*", "i64", ("lit", 365, "i64"), yoe),
+             _fdiv(yoe, 4)),
+            _fdiv(yoe, 100)))
+    mp = _fdiv(("bin", "+", "i64",
+                ("bin", "*", "i64", ("lit", 5, "i64"), doy),
+                ("lit", 2, "i64")), 153)
+    d = ("bin", "+", "i64",
+         ("bin", "-", "i64", doy,
+          _fdiv(("bin", "+", "i64",
+                 ("bin", "*", "i64", ("lit", 153, "i64"), mp),
+                 ("lit", 2, "i64")), 5)),
+         ("lit", 1, "i64"))
+    mp_lt10 = ("cmp", "<", mp, ("lit", 10, "i64"))
+    m = ("where", "i64", mp_lt10,
+         ("bin", "+", "i64", mp, ("lit", 3, "i64")),
+         ("bin", "-", "i64", mp, ("lit", 9, "i64")))
+    m_le2 = ("cmp", "<=", m, ("lit", 2, "i64"))
+    y = ("where", "i64", m_le2,
+         ("bin", "+", "i64", y0, ("lit", 1, "i64")), y0)
+    return y, m, d
+
+
+def _extract_ir(field: str, img, unit: str):
+    if field in ("minute", "hour", "second"):
+        if unit != "s":
+            raise _Bail(f"extract {field} from {unit}")
+        if field == "second":
+            return _mod(img, 60)
+        if field == "minute":
+            return _mod(_fdiv(img, 60), 60)
+        return _mod(_fdiv(img, 3600), 24)
+    days = img if unit == "days" else _fdiv(img, 86400)
+    if field in ("year", "month", "day", "quarter"):
+        y, m, d = _civil_ir(days)
+        if field == "year":
+            return y
+        if field == "month":
+            return m
+        if field == "day":
+            return d
+        return _fdiv(("bin", "+", "i64", m, ("lit", 2, "i64")), 3)
+    if field == "dow":
+        # DataFusion date_part('dow'): Sunday=0; epoch day 0 = Thursday
+        return _mod(("bin", "+", "i64", days, ("lit", 4, "i64")), 7)
+    raise _Bail(f"extract {field}")
 
 
 _BOOL_CMP = {"=": "==", "<>": "!=", "!=": "!=", "<": "<", "<=": "<=",
@@ -364,6 +488,10 @@ def eval_ir(ir, col):
         return lv - rv
     if op == "*":
         return lv * rv
+    if op == "fdiv":
+        return lv // rv
+    if op == "mod":
+        return lv % rv
     return lv / rv
 
 
@@ -405,6 +533,10 @@ def eval_ir_nulls(ir, col, nul):
         return lv - rv, n
     if op == "*":
         return lv * rv, n
+    if op == "fdiv":
+        return lv // rv, n
+    if op == "mod":
+        return lv % rv, n
     return lv / rv, n
 
 
@@ -578,11 +710,20 @@ def _scaled_dt(scale: int) -> str:
 
 
 def _unscale_np(acc: np.ndarray, scale: int) -> np.ndarray:
-    """Exact-as-possible f64 of acc / 10^scale for i64 sums beyond
-    2^53: split off the integer part before the float division."""
+    """f64 of acc / 10^scale.  Below 2^53 the i64->f64 conversion is
+    exact and the division correctly rounded (bit-identical to the
+    classic decode of the same decimal) -- the integer-part split would
+    DOUBLE-round (157/100 -> 1 + 0.57 = 1.5699999999999998 != 1.57).
+    Beyond 2^53 split off the integer part to stay within ~1 ulp."""
     s10 = 10 ** scale
+    acc = np.asarray(acc, np.int64)
+    small = np.abs(acc) < (1 << 53)
+    direct = acc.astype(np.float64) / float(s10)
+    if small.all():
+        return direct
     q, r = np.divmod(acc, s10)
-    return q.astype(np.float64) + r.astype(np.float64) / float(s10)
+    wide = q.astype(np.float64) + r.astype(np.float64) / float(s10)
+    return np.where(small, direct, wide)
 
 
 def _freeze(x):
@@ -1092,8 +1233,8 @@ def _fused_run(spec, *arrays):
 
 
 def _fused_core(spec, arrays):
-    (mode, cols, pred_groups, probes, resids, keys, fd_spec, rslots,
-     rv_ix, n_slots, salt, extra, topk_spec) = spec
+    (mode, cols, pred_groups, probes, eprobes, resids, keys, fd_spec,
+     rslots, rv_ix, n_slots, salt, extra, topk_spec) = spec
     colmap = {c[0]: dict(c[1]) for c in cols}
 
     # -- selection ----------------------------------------------------------
@@ -1117,6 +1258,30 @@ def _fused_core(spec, arrays):
             jnp.int32(-1))
         probe_j[pid] = j
         selb = selb & (j >= 0)  # INNER join: unmatched rows drop
+
+    # -- existence probes (EXISTS / NOT EXISTS / IN-subquery semijoins) ----
+    for (kname, cnt_ix, plo_ix, emode, mmv_ix, mmx_ix, mmname) in eprobes:
+        kv = decode(kname, "i64")
+        knl = col_nulls(kname)
+        cnt = arrays[cnt_ix]
+        rel = kv - arrays[plo_ix]
+        inb = (rel >= 0) & (rel < cnt.shape[0] - 1) & ~knl
+        relc = jnp.clip(rel, 0, cnt.shape[0] - 1)
+        hit = inb & (cnt[relc] > 0)
+        if mmv_ix >= 0:
+            # q21 shape: EXISTS(... AND inner.c <> outer.c) -- present
+            # iff some inner row's c differs from ours (min != v or
+            # max != v); NULL outer c makes the condition NULL -> no hit
+            mv = decode(mmname, "i64")
+            hit = hit & ((arrays[mmv_ix][relc] != mv)
+                         | (arrays[mmx_ix][relc] != mv)) \
+                & ~col_nulls(mmname)
+        if emode == "semi":
+            selb = selb & hit
+        elif emode == "anti":
+            selb = selb & ~hit
+        else:  # anti_nn: NOT IN -- a NULL operand is NULL, not TRUE
+            selb = selb & ~hit & ~knl
 
     # -- residual predicates (cross-table / unclassifiable conjuncts) -------
     for ir in resids:
@@ -1245,6 +1410,7 @@ class _Plan:
         self.spec_cols: List[tuple] = []
         self.pred_groups: List[tuple] = []
         self.probes: List[tuple] = []    # star: (pid, key col, idx, lo)
+        self.eprobes: List[tuple] = []   # existence probes (semi/anti)
         self.resids: List[tuple] = []    # star: residual boolean IR
         self.fd = None                   # (rep_pos, nk_full, entries)
         self.having = None               # (rslot, op, literal) device
@@ -1404,6 +1570,19 @@ def _rowvalid(table, blocks) -> jax.Array:
     return rv
 
 
+def _expr_key_type(ge: ast.Expr, dt: str) -> pa.DataType:
+    """Arrow output type of an expression group key (must match the
+    classic evaluator's typing exactly for dual-path equality)."""
+    if isinstance(ge, ast.Cast) and ge.type_name == "date":
+        return pa.date32()  # ::DATE expression keys stay dates
+    if isinstance(ge, ast.Extract):
+        return pa.int32()  # eval.py _extract casts to int32
+    if isinstance(ge, ast.Func) and ge.name in ("to_timestamp_seconds",
+                                                "date_trunc"):
+        return pa.timestamp("s")
+    return pa.float64() if dt == "f64" else pa.int64()
+
+
 def _schema_kind(t: pa.DataType) -> str:
     """Column kind from the arrow type alone (used for the zero-IO
     empty-scan path, where no payloads exist to inspect)."""
@@ -1422,7 +1601,14 @@ def _schema_kind(t: pa.DataType) -> str:
 
 
 def _plan_query(table, plan_scan, hints, group, key_names, slots,
-                rew_keys, rew_inputs) -> Tuple[_Plan, str, bool]:
+                rew_keys, rew_inputs, eprobes=()):
+    return _plan_query_inner(table, plan_scan, hints, group, key_names,
+                             slots, rew_keys, rew_inputs, eprobes)
+
+
+def _plan_query_inner(table, plan_scan, hints, group, key_names, slots,
+                      rew_keys, rew_inputs,
+                      eprobes=()) -> Tuple[_Plan, str, bool]:
     from liquid_tpu.cache.expressions import VariantGet
     p = _Plan()
     for s in slots:
@@ -1608,13 +1794,18 @@ def _plan_query(table, plan_scan, hints, group, key_names, slots,
             dt = _ir_dtype(ir)
             key_cols.append(("expr", _freeze(ir), dt))
             expr_cols |= cols
-            if isinstance(ge, ast.Cast) and ge.type_name == "date":
-                kt = pa.date32()  # ::DATE expression keys stay dates
-            else:
-                kt = pa.float64() if dt == "f64" else pa.int64()
-            p.key_decoders.append(("codec", KeyCodec(kt)))
+            p.key_decoders.append(("codec",
+                                   KeyCodec(_expr_key_type(ge, dt))))
 
     needed |= expr_cols
+    for sp in eprobes:
+        if kind_of(sp["col"]) not in ("planes", "linear"):
+            raise _Bail("existence-probe key kind")
+        needed.add(sp["col"])
+        if sp["mmcol"] is not None:
+            if kind_of(sp["mmcol"]) not in ("planes", "linear"):
+                raise _Bail("existence-probe mm kind")
+            needed.add(sp["mmcol"])
 
     p.keys = key_cols
     p.key_out = list(key_names)
@@ -1679,6 +1870,20 @@ def _plan_query(table, plan_scan, hints, group, key_names, slots,
         p.pred_groups.append(tuple(alts))
 
     p.rv_ix = _add(p, _rowvalid(table, blocks))
+
+    for sp in eprobes:
+        pr_ = sp["probe"]
+        cnt_ix = _add(p, pr_["cnt"])
+        plo_ix = _add(p, jnp.asarray(np.int64(pr_["lo"])))
+        if sp["mmcol"] is not None:
+            if pr_["minv"] is None:
+                raise _Bail("existence probe missing min/max")
+            mmv = _add(p, pr_["minv"])
+            mmx = _add(p, pr_["maxv"])
+        else:
+            mmv = mmx = -1
+        p.eprobes.append((sp["col"], cnt_ix, plo_ix, sp["mode"],
+                          mmv, mmx, sp["mmcol"] or ""))
 
     def bounds_of(c):
         try:
@@ -1795,21 +2000,26 @@ def _plan_slots(p, slots, slot_irs, rew_inputs, table,
             # each) for zero precision gain
             dt = _ir_dtype(ir)
             scaled = None
-            if dt == "f64" and s.kind in ("sum", "avg") \
-                    and scaledres is not None:
-                # ALP scaled-int rewrite: accumulate the f64 input as
-                # an exact i64 at a known decimal scale (rides the
-                # i64 scatter batch / Pallas histogram; /10^scale at
-                # host decode only)
+            if dt == "f64" and scaledres is not None:
+                # ALP scaled-int rewrite: sums/avgs accumulate the f64
+                # input as an exact i64 at a known decimal scale (one
+                # i64 scatter batch / Pallas histogram; /10^scale only
+                # at host decode).  min/max reduce over the integer
+                # image too -- crucially the exact host division then
+                # reproduces the CLASSIC decode bit-for-bit, where the
+                # device's emulated-f64 multiply can differ by 1 ulp
+                # (breaking cross-path equality joins, TPC-H q2)
                 scaled = _scaled_int_ir(ir, scaledres, bounds_of)
-                if scaled is not None and (
-                        scaled[2] * max(n_upper, 1) >= (1 << 62)):
+                if scaled is not None and s.kind in ("sum", "avg") \
+                        and scaled[2] * max(n_upper, 1) >= (1 << 62):
                     scaled = None
             if scaled is not None:
                 ir2, sc, ma = scaled
-                p.rslots.append(("sum", _scaled_dt(sc), ir2,
+                p.rslots.append((s.kind if s.kind in ("min", "max")
+                                 else "sum", _scaled_dt(sc), ir2,
                                  tuple(sorted(cols))))
-                p.rslot_maxabs.append(ma)
+                p.rslot_maxabs.append(
+                    ma if s.kind in ("sum", "avg") else None)
             else:
                 p.rslots.append(
                     (s.kind if s.kind in ("min", "max") else "sum",
@@ -1861,13 +2071,17 @@ def _decode_slot_value(kind, t: pa.DataType, acc: np.ndarray,
         return pa.array(acc, pa.int64())
     mask = cnt == 0
     m = mask if mask.any() else None
-    if dt.startswith("i64s") and kind in ("sum", "avg"):
+    if dt.startswith("i64s") and kind in ("sum", "avg", "min", "max"):
         # exact scaled-int accumulation: value = acc / 10^scale
         v = _unscale_np(np.asarray(acc, np.int64), int(dt[4:]))
         if kind == "avg":
             with np.errstate(invalid="ignore", divide="ignore"):
                 v = v / cnt.astype(np.float64)
-        return pa.array(v, pa.float64(), mask=m)
+        out = pa.array(v, pa.float64(), mask=m)
+        if kind in ("min", "max") and pa.types.is_floating(t) \
+                and t != pa.float64():
+            out = out.cast(t)
+        return out
     if kind == "sum":
         if dt == "f64":
             v = acc.view(np.float64) if acc.dtype == np.int64 else acc
@@ -1930,7 +2144,8 @@ def _plan_cache_key(plan_scan, hints, group, key_names, slots,
 
 
 def try_fused_aggregate(table, plan_scan, hints, group, key_names, slots,
-                        rew_keys, rew_inputs, q=None) -> Optional[pa.Table]:
+                        rew_keys, rew_inputs, q=None,
+                        eprobes=()) -> Optional[pa.Table]:
     """Attempt the fused device aggregation.  Returns the merged partial
     table in GroupedAggregator.finalize's schema (key columns + slot
     columns), or None to fall back to the classic scan path."""
@@ -1943,7 +2158,8 @@ def try_fused_aggregate(table, plan_scan, hints, group, key_names, slots,
     try:
         ck = (getattr(table.cache, "epoch", 0),
               _plan_cache_key(plan_scan, hints, group, key_names, slots,
-                              rew_keys, rew_inputs, q))
+                              rew_keys, rew_inputs, q),
+              tuple(sp["key"] for sp in eprobes))
     except Exception:
         ck = None
     hit = cache.get(ck) if ck is not None else None
@@ -1956,7 +2172,7 @@ def try_fused_aggregate(table, plan_scan, hints, group, key_names, slots,
         try:
             p, mode, empty = _plan_query(table, plan_scan, hints, group,
                                          key_names, slots, rew_keys,
-                                         rew_inputs)
+                                         rew_inputs, eprobes)
         except _Bail as e:
             STATS["fused_bailouts"] += 1
             STATS["last_bail"] = str(e)
@@ -2012,6 +2228,7 @@ def execute_plan(p: _Plan, mode: str, empty: bool, slots,
     spec_cols = _freeze(p.spec_cols)
     pred_groups = _freeze(p.pred_groups)
     probes = _freeze(p.probes)
+    eprobes = _freeze(p.eprobes)
     resids = _freeze(p.resids)
     rslots = _freeze(p.rslots)
     # under FD reduction the physical grouping runs on the single
@@ -2021,8 +2238,8 @@ def execute_plan(p: _Plan, mode: str, empty: bool, slots,
 
     if mode == "scalar":
         STATS["fused_scalar"] += 1
-        spec = ("scalar", spec_cols, pred_groups, probes, resids, keys,
-                (), rslots, p.rv_ix, 0, 0, 0, ())
+        spec = ("scalar", spec_cols, pred_groups, probes, eprobes,
+                resids, keys, (), rslots, p.rv_ix, 0, 0, 0, ())
         packed = np.asarray(_fused_run(spec, *p.arrays))
         ns = len(p.rslots)
         outs = packed[:ns]
@@ -2073,8 +2290,8 @@ def execute_plan(p: _Plan, mode: str, empty: bool, slots,
                             STATS["fused_pallas"] = STATS.get(
                                 "fused_pallas", 0) + 1
             tkspec = _mk_topk_spec(topk, m)  # slot arrays are m-long
-            spec = ("direct", spec_cols, pred_groups, probes, resids,
-                    keys, fd_spec, rslots, p.rv_ix, 0, 0,
+            spec = ("direct", spec_cols, pred_groups, probes, eprobes,
+                    resids, keys, fd_spec, rslots, p.rv_ix, 0, 0,
                     (tuple(span for _, span in domains), pseg,
                      p.having or ()), tkspec)
             los = jnp.asarray(
@@ -2124,8 +2341,9 @@ def execute_plan(p: _Plan, mode: str, empty: bool, slots,
         rounds = 1 if (bound is not None and bound * bound <= n_slots) \
             else 3
         tkspec = _mk_topk_spec(topk, rounds * n_slots)
-        spec = ("grouped", spec_cols, pred_groups, probes, resids, keys,
-                fd_spec, rslots, p.rv_ix, n_slots, salt, rounds, tkspec)
+        spec = ("grouped", spec_cols, pred_groups, probes, eprobes,
+                resids, keys, fd_spec, rslots, p.rv_ix, n_slots, salt,
+                rounds, tkspec)
         out = _fused_run(spec, *p.arrays)
         if tkspec:
             clean_now = bool(np.asarray(out[1]))  # tiny scalar fetch
@@ -2833,9 +3051,9 @@ def _fused_distinct_run(spec1, l2, stage2, *arrays):
     ("nunique",) | ("out", j1) using level-1 rslot j1's acc/cnt."""
     res1 = _fused_core(spec1, arrays)
     mat1, clean1, ng1, cols1 = res1
-    keys1 = spec1[5]
+    keys1 = spec1[6]
     nk1 = len(keys1)
-    nv1 = len(spec1[7])
+    nv1 = len(spec1[8])
     occ = cols1[0]
     kreps = cols1[1:1 + nk1]
     nreps = cols1[1 + nk1:1 + 2 * nk1]
@@ -3005,17 +3223,15 @@ def distinct_fused_device(table, plan_scan, hints, group, key_names,
         return None
 
     spec1_base = (_freeze(p1.spec_cols), _freeze(p1.pred_groups),
-                  _freeze(p1.probes), _freeze(p1.resids),
+                  _freeze(p1.probes), _freeze(p1.eprobes),
+                  _freeze(p1.resids),
                   tuple(p1.keys), (), _freeze(p1.rslots), p1.rv_ix)
     l2 = (_freeze(recipes), tuple(kinds2))
     topk = plan_topk(q, slots, p2) if q is not None else None
     for si in range(start, len(_STAGES)):
         n_slots, salt = _STAGES[si]
         rounds = 3
-        spec1 = ("grouped", spec1_base[0], spec1_base[1], spec1_base[2],
-                 spec1_base[3], spec1_base[4], spec1_base[5],
-                 spec1_base[6], spec1_base[7], n_slots, salt, rounds,
-                 ())
+        spec1 = ("grouped",) + spec1_base + (n_slots, salt, rounds, ())
         stage2 = (n_slots, salt ^ 0x5851F42D4C957F2D, rounds)
         out = _fused_distinct_run(spec1, l2, stage2, *p1.arrays)
         clean_now = bool(np.asarray(out[1]))

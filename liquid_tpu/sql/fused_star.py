@@ -348,9 +348,17 @@ class _StarPlanner:
         # cross residuals evaluate at fact level)
         self.needed_by: Dict[str, set] = {n: set() for n in names}
         for ge in self.rew_keys:
-            if not isinstance(ge, ast.Column):
-                raise _Bail("non-column group key")
-            self._need(ge.name)
+            if isinstance(ge, ast.Column):
+                self._need(ge.name)
+            else:
+                # expression group key (extract(year)/date_trunc/...):
+                # compiles to IR over fact + dim-payload columns
+                cols: set = set()
+                collect_columns(ge, cols)
+                if not cols:
+                    raise _Bail("constant group key")
+                for c in cols:
+                    self._need(c)
         for s in self.slots:
             if s.input is not None:
                 cols = set()
@@ -766,7 +774,8 @@ def _detect_fd(planner: _StarPlanner, p: _Plan) -> None:
             continue
         ccol = planner.tree[cand][2]
         fact_adjacent = planner.tree[cand][0] == planner.fact
-        if fact_adjacent and ccol in pb.payload:
+        if fact_adjacent and ccol in pb.payload \
+                and os.environ.get("LIQUID_STAR_PROBEIDX", "1") == "1":
             # PROBE-INDEX grouping: the physical key is the dense dim-
             # row id j (already computed for the probe), not the key's
             # value domain -- the direct-address table shrinks from the
@@ -888,15 +897,32 @@ def _plan_fact(planner: _StarPlanner, dims: Dict[str, _Probe]):
         resid_irs.append(ir)
         resid_cols |= cols
 
+    from liquid_tpu.sql.fused_agg import (_expr_key_type, _freeze as _fz,
+                                          _ir_dtype)
     p = _Plan()
-    p.keys = [ge.name for ge in planner.rew_keys]
+    key_expr_cols: set = set()
+    key_types: Dict[int, pa.DataType] = {}
+    keys_out = []
+    for ki, ge in enumerate(planner.rew_keys):
+        if isinstance(ge, ast.Column):
+            keys_out.append(ge.name)
+        else:
+            ir, cols = _compile_expr(ge, kinds_view, planner.dictres)
+            dt = _ir_dtype(ir)
+            keys_out.append(("expr", _fz(ir), dt))
+            key_expr_cols |= cols
+            key_types[ki] = _expr_key_type(ge, dt)
+    p.keys = keys_out
     p.key_out = list(planner.key_names)
     p.resids = resid_irs
 
     if empty:
         # zero fact blocks: typed empty result, no probes needed
-        for c in p.keys:
-            _empty_key_decoder(planner, dims, p, c)
+        for ki, c in enumerate(p.keys):
+            if isinstance(c, tuple):
+                p.key_decoders.append(("codec", KeyCodec(key_types[ki])))
+            else:
+                _empty_key_decoder(planner, dims, p, c)
         fields = _Fields(planner.tables.values())
         _plan_slots(p, planner.slots, slot_irs, planner.rew_inputs,
                     fields)
@@ -945,12 +971,13 @@ def _plan_fact(planner: _StarPlanner, dims: Dict[str, _Probe]):
     p.probes = probes
 
     # remaining referenced fact columns (slot inputs, residuals, keys)
-    all_needed: set = set(resid_cols)
+    all_needed: set = set(resid_cols) | key_expr_cols
     for s in planner.slots:
         if s.name in slot_irs:
             all_needed |= slot_irs[s.name][1]
     for c in p.keys:
-        all_needed.add(c)
+        if isinstance(c, str):
+            all_needed.add(c)
     for c in sorted(all_needed):
         if planner.owner[c] == fact:
             k = planner.kind_of(c)
@@ -964,7 +991,10 @@ def _plan_fact(planner: _StarPlanner, dims: Dict[str, _Probe]):
     _detect_fd(planner, p)
 
     # key decoders
-    for c in p.keys:
+    for ki, c in enumerate(p.keys):
+        if isinstance(c, tuple):
+            p.key_decoders.append(("codec", KeyCodec(key_types[ki])))
+            continue
         tbl = planner.owner[c]
         if tbl == fact:
             k = planner.kind_of(c)
@@ -1048,6 +1078,224 @@ def _empty_key_decoder(planner, dims, p: _Plan, c: str):
         p.key_decoders.append(("vocab", [], vt))
     else:
         p.key_decoders.append(("codec", KeyCodec(t)))
+
+
+# -- existence / min-max probes (EXISTS, NOT EXISTS, IN <subquery>) ----------
+#
+# A correlated EXISTS with one equality correlation is a SEMIJOIN: the
+# inner relation reduces to a per-key COUNT (plus optional MIN/MAX of
+# one disambiguation column, for q21's `l2.l_suppkey <> l1.l_suppkey`
+# shape) over the key's dense domain, built ON DEVICE once and probed
+# from the outer scan with two gathers.  No uniqueness requirement --
+# existence doesn't care about duplicates -- so fact⋈fact correlations
+# (orders↔lineitem) fuse.  Reference behavior: DataFusion decorrelates
+# these into HashJoinExec semi/anti joins under the reference's hot
+# loop (liquid_cache_reader.rs:118-161); this is the TPU-direct form.
+
+class _MiniPlanner:
+    """Single-table shim exposing the planner surface _pred_groups and
+    _compile_bool need (prep_of / kind_of / dictres / _KindsView)."""
+
+    def __init__(self, table, blocks):
+        self.table = table
+        self.blocks_ = blocks
+        self.preps: Dict[str, object] = {}
+
+    def prep_of(self, _tbl, col):
+        pr = self.preps.get(col)
+        if pr is None:
+            pr = _table_prep(self.table, col, None, self.blocks_)
+            self.preps[col] = pr
+        return pr
+
+    def kind_of(self, col):
+        if col not in self.table.column_names:
+            raise _Bail(f"unknown column {col}")
+        if not self.blocks_:
+            from liquid_tpu.sql.fused_agg import _schema_kind
+            return _schema_kind(self.table.field(col).type)
+        k = self.prep_of(None, col).kind
+        return "planes" if k == "linear" else k
+
+    def dictres(self, cname, op, lit):
+        try:
+            if self.kind_of(cname) != "dict":
+                return None
+        except _Bail:
+            return None
+        pr = self.prep_of(None, cname)
+        _build_vocab(pr)
+        vocab = pr.vocab_list
+        if op == "=":
+            return tuple(i for i, v in enumerate(vocab) if v == lit)
+        if op == "like":
+            pat = _like_regex(str(lit))
+            return tuple(i for i, v in enumerate(vocab)
+                         if v is not None and pat.match(str(v)))
+        return None
+
+    class _KV(dict):
+        def __init__(self, mp):
+            super().__init__()
+            self.p = mp
+
+        def get(self, c, default=None):
+            try:
+                return self.p.kind_of(c)
+            except _Bail:
+                return default
+
+        def arrow_type(self, c):
+            if c in self.p.table.column_names:
+                return self.p.table.field(c).type
+            return None
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _exist_build(spec, *arrays):
+    """One inner relation's existence table: selection -> key decode ->
+    per-key COUNT (+ optional MIN/MAX of one column) over the dense key
+    domain.  spec: (cols, pred_groups, resids, key_name, span, mm_name,
+    rv_ix, lo_ix).  Returns (cnt i32[span+2], [minv, maxv] i64)."""
+    (cols, pred_groups, resids, key_name, span, mm_name, rv_ix,
+     lo_ix) = spec
+    colmap = {c[0]: dict(c[1]) for c in cols}
+    sel = _selection_packed(colmap, pred_groups, arrays, arrays[rv_ix])
+    selb = mops.unpack_bits(sel.reshape(-1))
+    probe_j: Dict[int, jax.Array] = {}
+    decode, col_nulls = _make_decoders(colmap, arrays, selb.shape,
+                                       probe_j)
+    for ir in resids:
+        selb = selb & _bool_nonnull(ir, decode, col_nulls)
+    kv = decode(key_name, "i64")
+    knl = col_nulls(key_name)
+    rel = kv - arrays[lo_ix]
+    valid = selb & ~knl & (rel >= 0) & (rel <= span)
+    slot = jnp.where(valid, rel, jnp.int64(span + 1)).astype(jnp.int32)
+    cnt = jnp.zeros((span + 2,), jnp.int32).at[slot].add(
+        jnp.int32(1), mode="drop")
+    outs = [cnt]
+    if mm_name:
+        v = decode(mm_name, "i64")
+        big = jnp.int64(0x7FFFFFFFFFFFFFFF)
+        minv = jnp.full((span + 2,), big, jnp.int64).at[slot].min(
+            v, mode="drop")
+        maxv = jnp.full((span + 2,), -big - 1, jnp.int64).at[slot].max(
+            v, mode="drop")
+        outs += [minv, maxv]
+    return tuple(outs)
+
+
+def build_exist_probe(table, key_col: str, local_where, mm_col=None,
+                      require_nonnull_key: bool = False):
+    """-> dict(cnt=jnp[span+2], lo=int, span=int, minv=?, maxv=?) for
+    `EXISTS(SELECT .. FROM t WHERE key_col = <outer> AND local_where)`,
+    or None when the shape can't build (unbounded key, unsupported
+    predicate, non-resident blocks).  Cached on the table per
+    (predicates, key, mm, blocks, payload generation)."""
+    try:
+        plan_scan = plan_scan_filters(local_where)
+        blocks = _select_blocks(table, plan_scan)
+        if not blocks:
+            return {"cnt": jnp.zeros((2,), jnp.int32), "lo": 0,
+                    "span": 0, "minv": None, "maxv": None}
+        mp = _MiniPlanner(table, blocks)
+        kpr = mp.prep_of(None, key_col)
+        kb = payload_bounds(kpr)
+        if kb is None:
+            return None
+        if require_nonnull_key and kpr.valid_stack is not None:
+            # NOT IN: a NULL in the subquery's output makes the
+            # predicate never-true -- don't probe, fall back
+            return None
+        lo, hi = kb
+        span = int(hi - lo)
+        if span + 2 > MAX_DIM_SPAN:
+            return None
+        if mm_col is not None:
+            mpr = mp.prep_of(None, mm_col)
+            if mpr.kind not in ("planes", "linear") \
+                    or mpr.valid_stack is not None:
+                return None  # nullable disambiguator: NULL semantics
+        from liquid_tpu.sql.physical import render
+        lit_key = tuple((c, pr.op, pr.literal)
+                        for g in plan_scan.pushdown
+                        for c, pr in g.alternatives)
+        resid_key = tuple(render(e) for e in plan_scan.residual)
+        pay_key = tuple(_gen_of(pp) for pp in kpr.payloads)
+        ck = (key_col, mm_col, lit_key, resid_key, blocks, pay_key)
+        cache = getattr(table, "_exist_probe_cache", None)
+        if cache is None:
+            cache = table._exist_probe_cache = {}
+        hit = cache.get(ck)
+        if hit is not None:
+            return hit
+        p = _Plan()
+        registered: set = set()
+        resids: List = []
+        resid_cols: set = set()
+        kinds_view = _MiniPlanner._KV(mp)
+        for g in plan_scan.pushdown:
+            if any(mp.prep_of(None, c).kind == "linear"
+                   for c, _pr in g.alternatives):
+                ir, cols = _compile_bool(g.source, kinds_view, mp.dictres)
+                resids.append(ir)
+                resid_cols |= cols
+                continue
+            alts = []
+            for c, pred in g.alternatives:
+                pr = mp.prep_of(None, c)
+                if c not in registered:
+                    _register_col(p, pr, c, want_remap=False)
+                    registered.add(c)
+                if pr.kind == "planes":
+                    iv = _primitive_interval(pr.payloads, pred)
+                    if iv is None:
+                        return None
+                    l2, h2, neg = iv
+                    alts.append(("iv", c, _add(p, jnp.asarray(l2)),
+                                 _add(p, jnp.asarray(h2)), neg))
+                elif pr.kind == "float":
+                    iv = _float_interval(pr.payloads, pred)
+                    if iv is None or iv[3] is not None:
+                        return None
+                    l2, h2, neg, _cl, _sw = iv
+                    alts.append(("iv", c, _add(p, jnp.asarray(l2)),
+                                 _add(p, jnp.asarray(h2)), neg))
+                else:
+                    lut = _dict_lut(pr.payloads, pred, pr.dmax)
+                    if lut is None:
+                        return None
+                    alts.append(("lut", c, _add(p, jnp.asarray(lut))))
+            p.pred_groups.append(tuple(alts))
+        for e in plan_scan.residual:
+            ir, cols = _compile_bool(e, kinds_view, mp.dictres)
+            resids.append(ir)
+            resid_cols |= cols
+        need = set(resid_cols) | {key_col}
+        if mm_col is not None:
+            need.add(mm_col)
+        for c in sorted(need):
+            pr = mp.prep_of(None, c)
+            if c not in registered:
+                _register_col(p, pr, c,
+                              want_remap=(pr.kind == "dict"
+                                          and c in resid_cols))
+                registered.add(c)
+        rv_ix = _add(p, _rowvalid(table, blocks))
+        lo_ix = _add(p, jnp.asarray(np.int64(lo)))
+        spec = (_freeze(p.spec_cols), _freeze(p.pred_groups),
+                _freeze(resids), key_col, span, mm_col, rv_ix, lo_ix)
+        outs = _exist_build(spec, *p.arrays)
+        probe = {"cnt": outs[0], "lo": int(lo), "span": span,
+                 "minv": outs[1] if mm_col else None,
+                 "maxv": outs[2] if mm_col else None}
+        if len(cache) >= 8:
+            cache.pop(next(iter(cache)))
+        cache[ck] = probe
+        return probe
+    except _Bail:
+        return None
 
 
 # -- public entry -------------------------------------------------------------

@@ -99,3 +99,54 @@ def test_distinct_shape_guards_raise_not_assert():
     asserts = [n for n in pyast.walk(pyast.parse(src))
                if isinstance(n, pyast.Assert)]
     assert not asserts, "shape guards must raise, not assert"
+
+
+def test_plan_segments_rejects_single_tile_overflow():
+    """Round-5 bug: plan_segments returned seg=1 even when ONE tile's
+    accumulation exceeds the i32 window (scaled revenue sums at
+    maxabs~2e9 wrapped by exactly 2^32: TPC-H q3 @sf0.01 reported
+    -113066.13 instead of +316430.60 for the largest group)."""
+    from liquid_tpu.ops import grouphist_pallas as gh
+    assert gh.plan_segments(1 << 16, 1_940_000_000) is None
+    got = gh.plan_hilo(1 << 16, 1_940_000_000)
+    assert got is not None and got[1] == gh.SPLIT  # hi/lo split applies
+    # narrow bounds still plan direct
+    assert gh.plan_segments(1 << 16, 4095) is not None
+
+
+def test_minmax_alp_float_routes_scaled():
+    """min/max over ALP decimal floats must reduce over the scaled-int
+    image: the device's emulated-f64 multiply can differ from numpy by
+    1 ulp, which broke cross-path equality joins (TPC-H q2 matched 0
+    rows).  Pin the rslot dtype."""
+    import tempfile
+    import pyarrow.parquet as pq
+    from liquid_tpu.bench.runner import make_session
+    from liquid_tpu.sql import fused_agg as FA
+    rng = np.random.default_rng(2)
+    n = 8192
+    t = pa.table({"g": pa.array(rng.integers(0, 20, n)),
+                  "cost": pa.array(np.round(rng.uniform(1, 1000, n), 2))})
+    d = tempfile.mkdtemp()
+    pq.write_table(t, f"{d}/t.parquet", row_group_size=8192)
+    ctx, _ = make_session("liquid", 1 << 30, tempfile.mkdtemp())
+    ctx.register_parquet("t", f"{d}/t.parquet")
+    seen = {}
+    real = FA.execute_plan
+
+    def spy(p, mode, empty, slots, table, topk=None):
+        seen["rslots"] = list(p.rslots)
+        return real(p, mode, empty, slots, table, topk)
+
+    FA.execute_plan = spy
+    try:
+        r = ctx.sql("SELECT g, min(cost) mn, max(cost) mx FROM t "
+                    "GROUP BY g ORDER BY g").to_arrow().to_pandas()
+    finally:
+        FA.execute_plan = real
+    kinds = [(k, dt) for k, dt, _, _ in seen["rslots"]]
+    assert all(dt.startswith("i64s") for _k, dt in kinds), kinds
+    df = t.to_pandas()
+    exp = df.groupby("g").cost.agg(["min", "max"]).reset_index()
+    assert list(r.mn) == list(exp["min"])
+    assert list(r.mx) == list(exp["max"])
