@@ -135,10 +135,21 @@ class QueryExecutor:
                     or sub.distinct or sub.limit is not None:
                 return None
             if not isinstance(sub.from_, ast.TableRef) \
-                    or sub.from_.name not in self.catalog \
-                    or sub.from_.prefix:
+                    or sub.from_.name not in self.catalog:
                 return None
             inner_t = self.catalog[sub.from_.name]
+            pfx = sub.from_.prefix
+
+            def unpfx(e):
+                # an aliased inner relation (lineitem l2) is pure
+                # namespacing here: strip its prefix so classification
+                # sees base column names; outer refs stay prefixed
+                if e is None or not pfx:
+                    return e
+                return map_expr(
+                    e, lambda x: ast.Column(x.name[len(pfx):])
+                    if isinstance(x, ast.Column)
+                    and x.name.startswith(pfx) else None)
             inner_cols = set(inner_t.column_names)
             key_col = None
             fcol = None
@@ -148,14 +159,14 @@ class QueryExecutor:
                         and operand.name not in inner_cols):
                     return None
                 if len(sub.items) != 1 or not isinstance(
-                        sub.items[0].expr, ast.Column):
+                        unpfx(sub.items[0].expr), ast.Column):
                     return None
-                key_col = sub.items[0].expr.name
+                key_col = unpfx(sub.items[0].expr).name
                 if key_col not in inner_cols:
                     return None
                 fcol = operand.name
             local, mm = [], None
-            for c in split_conjuncts(sub.where):
+            for c in split_conjuncts(unpfx(sub.where)):
                 if _has_subquery(c):
                     return None
                 cols: set = set()

@@ -243,8 +243,6 @@ class _StarPlanner:
                 if rel.on is not None:
                     ons.extend(split_conjuncts(rel.on))
             elif isinstance(rel, ast.TableRef):
-                if rel.prefix:
-                    raise _Bail("aliased table")
                 if rel.name not in self.ex.catalog:
                     raise _Bail(f"non-parquet relation {rel.name}")
                 leaves.append(rel)
@@ -254,10 +252,15 @@ class _StarPlanner:
         walk(self.q.from_)
         if len(leaves) < 2:
             raise _Bail("single relation")
-        names = [l.name for l in leaves]
-        if len(set(names)) != len(names):
-            raise _Bail("self join")
-        self.tables = {n: self.ex.catalog[n] for n in names}
+        self.tables = {}
+        for leaf in leaves:
+            key = (leaf.alias or leaf.name) if leaf.prefix else leaf.name
+            if key in self.tables:
+                raise _Bail(f"duplicate relation {key}")
+            base = self.ex.catalog[leaf.name]
+            self.tables[key] = (_aliased_table(self.ex, base, leaf.prefix)
+                                if leaf.prefix else base)
+        names = list(self.tables)
         self.owner: Dict[str, str] = {}
         for n in names:
             for c in self.tables[n].column_names:
@@ -269,9 +272,18 @@ class _StarPlanner:
         edges: List[Tuple[str, str, str, str]] = []
         self.per_table: Dict[str, List[ast.Expr]] = {n: [] for n in names}
         self.cross: List[ast.Expr] = []
-        for e in conjuncts:
+        # the planner's `where` is subquery-REWRITTEN (CorrLookup); for
+        # existence probes pair each subquery conjunct with its ORIGINAL
+        # form by position (the rewrite maps conjunct-for-conjunct)
+        orig_conjs = split_conjuncts(self.q.where)
+        self.sub_conjs: List[ast.Expr] = []
+        for ci, e in enumerate(conjuncts):
             if _has_sub(e):
-                raise _Bail("subquery predicate")
+                # EXISTS / NOT EXISTS / IN-subquery conjuncts become
+                # existence probes resolved after the fact is chosen
+                self.sub_conjs.append(orig_conjs[ci]
+                                      if ci < len(orig_conjs) else e)
+                continue
             cols: set = set()
             collect_columns(e, cols)
             owners = set()
@@ -338,6 +350,26 @@ class _StarPlanner:
                 if not (pa.types.is_integer(t) or pa.types.is_date32(t)
                         or pa.types.is_timestamp(t)):
                     raise _Bail(f"join key type {t}")
+
+        # subquery conjuncts -> existence probes against the FACT
+        # (q21: two correlated lineitem self-lookups); any unresolvable
+        # one bails the whole star attempt
+        self.eprobe_specs: List[dict] = []
+        fact_table = self.tables[self.fact]
+        for e in self.sub_conjs:
+            s = self.ex._exist_spec(e, fact_table)
+            if s is None:
+                raise _Bail("subquery predicate")
+            inner_t, key_col, local, mm_inner, mode, fcol, fmm = s
+            probe = build_exist_probe(
+                inner_t, key_col, local, mm_inner,
+                require_nonnull_key=(mode == "anti_nn"))
+            if probe is None:
+                raise _Bail("existence probe build")
+            from liquid_tpu.sql.physical import render
+            self.eprobe_specs.append(
+                {"mode": mode, "col": fcol, "mmcol": fmm,
+                 "probe": probe, "key": render(e)})
 
         # children per node
         self.children: Dict[str, List[str]] = {n: [] for n in names}
@@ -970,7 +1002,8 @@ def _plan_fact(planner: _StarPlanner, dims: Dict[str, _Probe]):
             p.spec_cols.append((name, tuple(sorted(ix.items()))))
     p.probes = probes
 
-    # remaining referenced fact columns (slot inputs, residuals, keys)
+    # remaining referenced fact columns (slot inputs, residuals, keys,
+    # existence-probe keys)
     all_needed: set = set(resid_cols) | key_expr_cols
     for s in planner.slots:
         if s.name in slot_irs:
@@ -978,6 +1011,17 @@ def _plan_fact(planner: _StarPlanner, dims: Dict[str, _Probe]):
     for c in p.keys:
         if isinstance(c, str):
             all_needed.add(c)
+    for sp in getattr(planner, "eprobe_specs", ()):
+        if planner.owner.get(sp["col"]) != fact \
+                or planner.kind_of(sp["col"]) not in ("planes", "linear"):
+            raise _Bail("existence-probe key owner/kind")
+        all_needed.add(sp["col"])
+        if sp["mmcol"] is not None:
+            if planner.owner.get(sp["mmcol"]) != fact or \
+                    planner.kind_of(sp["mmcol"]) not in ("planes",
+                                                         "linear"):
+                raise _Bail("existence-probe mm owner/kind")
+            all_needed.add(sp["mmcol"])
     for c in sorted(all_needed):
         if planner.owner[c] == fact:
             k = planner.kind_of(c)
@@ -1057,6 +1101,19 @@ def _plan_fact(planner: _StarPlanner, dims: Dict[str, _Probe]):
     _plan_slots(p, planner.slots, slot_irs, planner.rew_inputs, fields,
                 bounds_of, scaledres, len(blocks) * 8192)
     p.rv_ix = _add(p, _rowvalid(table, blocks))
+    for sp in getattr(planner, "eprobe_specs", ()):
+        pr_ = sp["probe"]
+        cnt_ix = _add(p, pr_["cnt"])
+        plo_ix = _add(p, jnp.asarray(np.int64(pr_["lo"])))
+        if sp["mmcol"] is not None:
+            if pr_["minv"] is None:
+                raise _Bail("existence probe missing min/max")
+            mmv = _add(p, pr_["minv"])
+            mmx = _add(p, pr_["maxv"])
+        else:
+            mmv = mmx = -1
+        p.eprobes.append((sp["col"], cnt_ix, plo_ix, sp["mode"],
+                          mmv, mmx, sp["mmcol"] or ""))
     return p, ("grouped" if planner.key_names else "scalar"), False
 
 
@@ -1091,6 +1148,67 @@ def _empty_key_decoder(planner, dims, p: _Plan, c: str):
 # (orders↔lineitem) fuse.  Reference behavior: DataFusion decorrelates
 # these into HashJoinExec semi/anti joins under the reference's hot
 # loop (liquid_cache_reader.rs:118-161); this is the TPU-direct form.
+
+class _AliasedTable:
+    """Prefix-renamed view of a parquet table for star-planner aliases
+    (self-joins, TPC-H nation n1/n2): column names carry the
+    qualifier's prefix, everything else delegates with the prefix
+    stripped.  Cached per (table, prefix) on the executor so prep and
+    probe caches (stored as attributes on this object) survive across
+    queries."""
+
+    def __init__(self, base, prefix: str):
+        self.base = base
+        self.prefix = prefix
+        self.column_names = [prefix + c for c in base.column_names]
+        self.zone_prunes = 0
+
+    def _s(self, c: str) -> str:
+        return c[len(self.prefix):] if c.startswith(self.prefix) else c
+
+    def field(self, c: str):
+        return self.base.field(self._s(c))
+
+    def prune_row_groups(self, preds):
+        return self.base.prune_row_groups(
+            [(self._s(c), p) for c, p in preds])
+
+    def batch_may_match(self, rg, c, b, pred):
+        f = getattr(self.base, "batch_may_match", None)
+        return True if f is None else f(rg, self._s(c), b, pred)
+
+    def num_batches(self, rg):
+        return self.base.num_batches(rg)
+
+    def batch_length(self, rg, b):
+        return self.base.batch_length(rg, b)
+
+    def ensure_cached(self, rg, c, hint=None):
+        return self.base.ensure_cached(rg, self._s(c), hint)
+
+    @property
+    def num_rows(self):
+        return self.base.num_rows
+
+    @property
+    def num_row_groups(self):
+        return self.base.num_row_groups
+
+    @property
+    def cache(self):
+        return self.base.cache
+
+
+def _aliased_table(ex, base, prefix: str) -> _AliasedTable:
+    cache = getattr(ex, "_alias_tables", None)
+    if cache is None:
+        cache = ex._alias_tables = {}
+    key = (id(base), prefix)
+    t = cache.get(key)
+    if t is None or t.base is not base:
+        t = cache[key] = _AliasedTable(base, prefix)
+    return t
+
 
 class _MiniPlanner:
     """Single-table shim exposing the planner surface _pred_groups and
@@ -1171,6 +1289,10 @@ def _exist_build(spec, *arrays):
     knl = col_nulls(key_name)
     rel = kv - arrays[lo_ix]
     valid = selb & ~knl & (rel >= 0) & (rel <= span)
+    if mm_name:
+        # a NULL disambiguator never witnesses `inner.c <> outer.c`
+        # (SQL NULL): such rows contribute neither count nor min/max
+        valid = valid & ~col_nulls(mm_name)
     slot = jnp.where(valid, rel, jnp.int64(span + 1)).astype(jnp.int32)
     cnt = jnp.zeros((span + 2,), jnp.int32).at[slot].add(
         jnp.int32(1), mode="drop")
@@ -1184,6 +1306,25 @@ def _exist_build(spec, *arrays):
             v, mode="drop")
         outs += [minv, maxv]
     return tuple(outs)
+
+
+def _prep_has_nulls(table, prep, blocks) -> bool:
+    """True iff any VALID-row position is null (tail-padding bits are
+    expected to be clear and don't count: nearly every column of a
+    table whose last block is partial carries a validity stack)."""
+    if prep.valid_stack is None:
+        return False
+    for i, (rg, b) in enumerate(blocks):
+        pp = prep.payloads[i]
+        v = getattr(pp, "validity_np", None)
+        if v is None:
+            continue
+        ln = table.batch_length(rg, b)
+        ones = int(np.unpackbits(
+            v.view(np.uint8), bitorder="little").sum())
+        if ones != ln:
+            return True
+    return False
 
 
 def build_exist_probe(table, key_col: str, local_where, mm_col=None,
@@ -1204,7 +1345,7 @@ def build_exist_probe(table, key_col: str, local_where, mm_col=None,
         kb = payload_bounds(kpr)
         if kb is None:
             return None
-        if require_nonnull_key and kpr.valid_stack is not None:
+        if require_nonnull_key and _prep_has_nulls(table, kpr, blocks):
             # NOT IN: a NULL in the subquery's output makes the
             # predicate never-true -- don't probe, fall back
             return None
@@ -1214,9 +1355,8 @@ def build_exist_probe(table, key_col: str, local_where, mm_col=None,
             return None
         if mm_col is not None:
             mpr = mp.prep_of(None, mm_col)
-            if mpr.kind not in ("planes", "linear") \
-                    or mpr.valid_stack is not None:
-                return None  # nullable disambiguator: NULL semantics
+            if mpr.kind not in ("planes", "linear"):
+                return None  # non-integer disambiguator
         from liquid_tpu.sql.physical import render
         lit_key = tuple((c, pr.op, pr.literal)
                         for g in plan_scan.pushdown
