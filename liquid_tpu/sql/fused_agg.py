@@ -209,6 +209,18 @@ def _compile_expr(e: ast.Expr, col_kinds: Dict[str, str], dictres=None):
             return img, cols
         return ("bin", "*", "i64",
                 _fdiv(img, w), ("lit", w, "i64")), cols
+    lutres = getattr(col_kinds, "lutres", None)
+    if lutres is not None:
+        from liquid_tpu.sql.physical import collect_columns as _cc
+        cols = set()
+        _cc(e, cols)
+        if len(cols) == 1:
+            c = next(iter(cols))
+            if col_kinds.get(c) == "dict":
+                got = lutres(e, c)
+                if got is not None:
+                    aix, vdt = got
+                    return ("lut", c, aix, vdt), {c}
     raise _Bail(f"expression {type(e).__name__}")
 
 
@@ -345,7 +357,27 @@ def _compile_bool(e: ast.Expr, col_kinds: Dict[str, str], dictres):
         return (("bnot", ir) if e.negated else ir), cols
     if isinstance(e, ast.InList):
         if not isinstance(e.operand, ast.Column):
-            raise _Bail("IN over non-column")
+            # substring(c,1,2) IN ('13','31',...): evaluate the operand
+            # over the dict column's VOCAB host-side -> gid membership
+            vocab_eval = getattr(col_kinds, "vocab_eval", None)
+            from liquid_tpu.sql.physical import collect_columns as _cc
+            cols0: set = set()
+            _cc(e.operand, cols0)
+            if (vocab_eval is None or len(cols0) != 1
+                    or any(not isinstance(it, ast.Literal)
+                           for it in e.items)):
+                raise _Bail("IN over non-column")
+            cn = next(iter(cols0))
+            if col_kinds.get(cn) != "dict":
+                raise _Bail("IN over non-column")
+            vals = vocab_eval(e.operand, cn)
+            if vals is None:
+                raise _Bail("IN over non-column")
+            want = {it.value for it in e.items}
+            codes0 = tuple(i for i, v in enumerate(vals)
+                           if v is not None and v in want)
+            ir0 = ("incodes", cn, codes0)
+            return (("bnot", ir0) if e.negated else ir0), {cn}
         name = e.operand.name
         if col_kinds.get(name) == "dict":
             codes: set = set()
@@ -447,6 +479,10 @@ def eval_ir(ir, col):
     tag = ir[0]
     if tag == "col":
         return col(ir[1], ir[2])
+    if tag == "lut":
+        # vocab-computed value: arrays[aix][gid] (string function
+        # evaluated host-side over the column's global vocabulary)
+        return col(ir[1], ("lut", ir[2], ir[3]))
     if tag == "lit":
         return (jnp.float64(ir[1]) if ir[2] == "f64"
                 else jnp.int64(ir[1]))
@@ -506,6 +542,8 @@ def eval_ir_nulls(ir, col, nul):
     tag = ir[0]
     if tag == "col":
         return col(ir[1], ir[2]), nul(ir[1])
+    if tag == "lut":
+        return col(ir[1], ("lut", ir[2], ir[3])), nul(ir[1])
     if tag == "lit":
         v = jnp.float64(ir[1]) if ir[2] == "f64" else jnp.int64(ir[1])
         return v, jnp.bool_(False)
@@ -579,6 +617,8 @@ def _bool_nonnull(ir, col, nul):
 def _ir_dtype(ir) -> str:
     if ir[0] == "col" or ir[0] == "lit":
         return ir[2]
+    if ir[0] == "lut":
+        return ir[3]
     if ir[0] == "bin":
         return ir[2]
     return ir[1]  # neg / cast
@@ -1118,6 +1158,15 @@ def _make_decoders(colmap, arrays, n, probe_j):
         out = dec_cache.get((name, dt))
         if out is not None:
             return out
+        if isinstance(dt, tuple) and dt[0] == "lut":
+            _tag, aix, vdt = dt
+            gids = decode(name, "i64")
+            tblv = arrays[aix]
+            v = tblv[jnp.clip(gids, 0, tblv.shape[0] - 1)]
+            if vdt == "f64" and v.dtype != jnp.float64:
+                v = v.astype(jnp.float64)
+            dec_cache[(name, dt)] = v
+            return v
         cix = colmap[name]
         kind = cix["kind"]
         if kind == "planes":
@@ -1570,6 +1619,56 @@ def _rowvalid(table, blocks) -> jax.Array:
     return rv
 
 
+def _string_key_lut(ge: ast.Expr, kinds_view, p: _Plan):
+    """String-valued expression group key over one dict column -> IR
+    ("lut", col, aix, "i64") of MAPPED-vocabulary ids + the mapped
+    vocabulary for the key decoder.  None when not applicable."""
+    from liquid_tpu.sql.physical import collect_columns as _cc
+    vocab_eval = getattr(kinds_view, "vocab_eval", None)
+    if vocab_eval is None:
+        return None
+    cols0: set = set()
+    _cc(ge, cols0)
+    if len(cols0) != 1:
+        return None
+    c = next(iter(cols0))
+    if kinds_view.get(c) != "dict":
+        return None
+    vals = vocab_eval(ge, c)
+    if vals is None or not all(v is None or isinstance(v, str)
+                               for v in vals):
+        return None
+    uniq = sorted({v for v in vals if v is not None})
+    idx = {v: i for i, v in enumerate(uniq)}
+    has_none = any(v is None for v in vals)
+    if has_none:
+        uniq.append(None)  # keyed by the trailing null id
+    lut = np.array([idx.get(v, len(idx)) for v in vals], np.int64)
+    aix = _add(p, jnp.asarray(lut))
+    return ("lut", c, aix, "i64"), {c}, uniq
+
+
+def vocab_eval_expr(e: ast.Expr, col: str, vocab):
+    """Evaluate a single-column string expression over the column's
+    global VOCABULARY with the host evaluator (distinct values only:
+    regexp_replace / substring / length over a 755k-row column costs a
+    vocab-sized pyarrow kernel, once per plan).  -> list of python
+    values per gid, or None on unsupported expressions."""
+    try:
+        from liquid_tpu.sql.eval import Batch, Evaluator
+        arr = pa.array(vocab, pa.string())
+        batch = Batch({col: arr}, len(vocab))
+
+        def no_sub(_q):
+            raise _Bail("subquery in vocab expression")
+        out = Evaluator(batch, no_sub).arr(e)
+        if isinstance(out, pa.ChunkedArray):
+            out = out.combine_chunks()
+        return out.to_pylist()
+    except Exception:
+        return None
+
+
 def _expr_key_type(ge: ast.Expr, dt: str) -> pa.DataType:
     """Arrow output type of an expression group key (must match the
     classic evaluator's typing exactly for dual-path equality)."""
@@ -1663,6 +1762,35 @@ def _plan_query_inner(table, plan_scan, hints, group, key_names, slots,
         def arrow_type(self, c):
             if c in table.column_names:
                 return table.field(c).type
+            return None
+
+        def vocab_eval(self, e, c):
+            try:
+                if kind_of(c) != "dict" or empty:
+                    return None
+                pr = prep_of(c)
+                _build_vocab(pr)
+                remap_cols.add(c)
+                return vocab_eval_expr(e, c, pr.vocab_list)
+            except Exception:
+                return None
+
+        def lutres(self, e, c):
+            vals = self.vocab_eval(e, c)
+            if vals is None:
+                return None
+            import numbers
+            if all(v is None or (isinstance(v, numbers.Integral)
+                                 and not isinstance(v, bool))
+                   for v in vals):
+                arr = np.array([0 if v is None else int(v)
+                                for v in vals], np.int64)
+                return _add(p, jnp.asarray(arr)), "i64"
+            if all(v is None or isinstance(v, numbers.Real)
+                   for v in vals):
+                arr = np.array([0.0 if v is None else float(v)
+                                for v in vals], np.float64)
+                return _add(p, jnp.asarray(arr)), "f64"
             return None
 
     remap_cols: set = set()
@@ -1790,12 +1918,25 @@ def _plan_query_inner(table, plan_scan, hints, group, key_names, slots,
                     p.key_payloads[c] = prep_of(c).payloads
             needed.add(c)
         else:
-            ir, cols = _compile_expr(ge, kinds_view, dictres)
+            skey = None
+            try:
+                ir, cols = _compile_expr(ge, kinds_view, dictres)
+            except _Bail:
+                # string-function group key over ONE dict column
+                # (regexp_replace/substring/lower...): evaluate over
+                # the VOCAB, key by the mapped-vocabulary id
+                skey = _string_key_lut(ge, kinds_view, p)
+                if skey is None:
+                    raise
+                ir, cols, mapped = skey
             dt = _ir_dtype(ir)
             key_cols.append(("expr", _freeze(ir), dt))
             expr_cols |= cols
-            p.key_decoders.append(("codec",
-                                   KeyCodec(_expr_key_type(ge, dt))))
+            if skey is not None:
+                p.key_decoders.append(("vocab", mapped, pa.string()))
+            else:
+                p.key_decoders.append(("codec",
+                                       KeyCodec(_expr_key_type(ge, dt))))
 
     needed |= expr_cols
     for sp in eprobes:
