@@ -1248,10 +1248,17 @@ class QueryExecutor:
         if single is not None:
             rel, where = single
             table = self.catalog[rel.name]
+            # device top-k row selection (filter -> order -> LIMIT k on
+            # chip, only the k rows' cells fetched)
+            from liquid_tpu.sql.fused_agg import try_fused_select
+            rew_where = (self._rewrite_subqueries(
+                where, self._scope_cols(q)) if where is not None
+                else None)
+            fsel = try_fused_select(self, table, q, rew_where)
+            if fsel is not None:
+                return fsel
             hints = column_hints(q)
-            plan = plan_scan_filters(
-                self._rewrite_subqueries(where, self._scope_cols(q))
-                if where is not None else None)
+            plan = plan_scan_filters(rew_where)
             needed: set = set()
             for it in q.items:
                 collect_columns(it.expr, needed)

@@ -1619,6 +1619,274 @@ def _rowvalid(table, blocks) -> jax.Array:
     return rv
 
 
+# -- fused bare SELECT (filter -> order -> LIMIT k row fetch) -----------------
+#
+# ClickBench q19/q23-q26 are not aggregations: `SELECT cols FROM hits
+# WHERE ... ORDER BY expr LIMIT k`.  The classic path decodes every
+# surviving block to host arrow; here the device computes the TOP-K ROW
+# IDS (selection -> order-key decode -> lax.top_k) and the host fetches
+# only those k rows' cells from the cached blocks.  Exactness is
+# host-certified like the aggregate top-k: the k-th rank must strictly
+# beat the fetched boundary, else fall back.  Ref: the reference's
+# DataFusion SortExec(TopK) over the liquid scan.
+
+SELECT_K_CAP = 4096
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _fused_select_run(spec, *arrays):
+    (cols, pred_groups, resids, rv_ix, oir, desc, k2) = spec
+    colmap = {c[0]: dict(c[1]) for c in cols}
+    sel = _selection_packed(colmap, pred_groups, arrays, arrays[rv_ix])
+    selb = mops.unpack_bits(sel.reshape(-1))
+    probe_j: Dict[int, jax.Array] = {}
+    decode, col_nulls = _make_decoders(colmap, arrays, selb.shape,
+                                       probe_j)
+    for ir in resids:
+        selb = selb & _bool_nonnull(ir, decode, col_nulls)
+    count = selb.sum(dtype=jnp.int64)
+    if oir is None:
+        pos = jnp.cumsum(selb.astype(jnp.int32))
+        src = jnp.clip(jnp.searchsorted(
+            pos, jnp.arange(1, k2 + 1, dtype=jnp.int32)),
+            0, selb.shape[0] - 1)
+        return count, src.astype(jnp.int32), jnp.zeros((k2,),
+                                                       jnp.float64)
+    v, nl = eval_ir_nulls(oir, decode, col_nulls)
+    v = jnp.asarray(v)
+    if v.ndim == 0:
+        v = jnp.broadcast_to(v, selb.shape)
+    val = v.astype(jnp.float64)
+    # NaN sorts GREATEST under the host engine; rather than replicate
+    # that ordering (and conflate with +inf), poison the count so the
+    # host falls back to the classic sort
+    anynan = (jnp.isnan(val) & selb).any()
+    count = jnp.where(anynan, jnp.int64(-1), count)
+    rank = jnp.where(selb & ~nl, -val if desc else val, jnp.inf)
+    top, idx = jax.lax.top_k(-rank, k2)
+    return count, idx.astype(jnp.int32), -top  # ranks ascending
+
+
+def try_fused_select(executor, table, q, where) -> Optional[pa.Table]:
+    """Device top-k row selection for a bare single-table SELECT, or
+    None (classic scan takes over).  Covers LIMIT queries ordered by
+    one leading numeric/dict expression (further keys re-sorted host-
+    side over the fetched superset) and tiny unordered filters."""
+    import os
+    if os.environ.get("LIQUID_FUSED", "1") == "0":
+        return None
+    if q.distinct or any(isinstance(it.expr, ast.Star)
+                         for it in q.items):
+        return None
+    if any(o.nulls_first is not None for o in q.order_by):
+        return None
+    k = (q.limit + (q.offset or 0)) if q.limit is not None else None
+    if k is not None and k * 4 + 64 > SELECT_K_CAP:
+        return None
+    try:
+        from liquid_tpu.sql.planner import plan_scan_filters
+        plan_scan = plan_scan_filters(where)
+        blocks = _select_blocks(table, plan_scan)
+        p = _Plan()
+        if not blocks:
+            k2 = 0
+        # reuse the single-table planning pieces via a mini planner
+        from liquid_tpu.sql.fused_star import (_MiniPlanner,
+                                               _prep_has_nulls)
+        from liquid_tpu.sql.physical import collect_columns, render
+        mp = _MiniPlanner(table, blocks)
+        kinds_view = _MiniPlanner._KV(mp)
+        registered: set = set()
+        resids: List[tuple] = []
+        if blocks:
+            for g in plan_scan.pushdown:
+                if any(mp.prep_of(None, c).kind == "linear"
+                       for c, _pr in g.alternatives):
+                    # no packed interval over linear codes: residual IR
+                    ir0, rc0 = _compile_bool(g.source, kinds_view,
+                                             mp.dictres)
+                    resids.append(ir0)
+                    from liquid_tpu.sql.fused_star import _register_col
+                    for c in sorted(rc0):
+                        if c not in registered:
+                            pr0 = mp.prep_of(None, c)
+                            _register_col(p, pr0, c,
+                                          want_remap=(pr0.kind
+                                                      == "dict"))
+                            registered.add(c)
+                    continue
+                alts = []
+                for c, pred in g.alternatives:
+                    pr = mp.prep_of(None, c)
+                    if c not in registered:
+                        from liquid_tpu.sql.fused_star import \
+                            _register_col
+                        _register_col(p, pr, c, want_remap=False)
+                        registered.add(c)
+                    if pr.kind == "planes":
+                        iv = _primitive_interval(pr.payloads, pred)
+                        if iv is None:
+                            raise _Bail("select predicate")
+                        lo2, hi2, neg = iv
+                        alts.append(("iv", c, _add(p, jnp.asarray(lo2)),
+                                     _add(p, jnp.asarray(hi2)), neg))
+                    elif pr.kind == "float":
+                        iv = _float_interval(pr.payloads, pred)
+                        if iv is None or iv[3] is not None:
+                            raise _Bail("select float predicate")
+                        lo2, hi2, neg, _c2, _s2 = iv
+                        alts.append(("iv", c, _add(p, jnp.asarray(lo2)),
+                                     _add(p, jnp.asarray(hi2)), neg))
+                    else:
+                        lut = _dict_lut(pr.payloads, pred, pr.dmax)
+                        if lut is None:
+                            raise _Bail("select string predicate")
+                        alts.append(("lut", c, _add(p, jnp.asarray(lut))))
+                p.pred_groups.append(tuple(alts))
+            for e0 in plan_scan.residual:
+                ir0, rc0 = _compile_bool(e0, kinds_view, mp.dictres)
+                resids.append(ir0)
+                from liquid_tpu.sql.fused_star import _register_col
+                for c in sorted(rc0):
+                    if c not in registered:
+                        pr0 = mp.prep_of(None, c)
+                        _register_col(p, pr0, c,
+                                      want_remap=(pr0.kind == "dict"))
+                        registered.add(c)
+        oir = None
+        desc = False
+        ocols: set = set()
+        if q.order_by:
+            if k is None:
+                raise _Bail("ORDER BY without LIMIT")
+            o0 = q.order_by[0]
+            desc = bool(o0.desc)
+            if not blocks:
+                oir, ocols = ("lit", 0, "i64"), set()
+            elif isinstance(o0.expr, ast.Column) \
+                    and mp.kind_of(o0.expr.name) == "dict":
+                # dict order key: the SORTED global vocabulary makes
+                # gid order == lexicographic order
+                oir, ocols = ("col", o0.expr.name, "i64"), \
+                    {o0.expr.name}
+            else:
+                oir, ocols = _compile_expr(o0.expr, kinds_view,
+                                           mp.dictres)
+            if blocks:
+                for c in sorted(ocols):
+                    pr = mp.prep_of(None, c)
+                    if _prep_has_nulls(table, pr, blocks):
+                        raise _Bail("nullable order key")
+                    if c not in registered:
+                        from liquid_tpu.sql.fused_star import \
+                            _register_col
+                        _register_col(p, pr, c,
+                                      want_remap=(pr.kind == "dict"))
+                        registered.add(c)
+        elif k is None:
+            # unordered, no LIMIT: only tiny results pay off; cap and
+            # certify via the count
+            k = SELECT_K_CAP // 4
+        k2 = min(k * 4 + 64, SELECT_K_CAP)
+        if not blocks:
+            fetched = {}
+            ev_rows = 0
+        else:
+            p.rv_ix = _add(p, _rowvalid(table, blocks))
+            spec = (_freeze(p.spec_cols), _freeze(p.pred_groups),
+                    _freeze(resids), p.rv_ix,
+                    _freeze(oir) if oir is not None else None,
+                    desc, k2)
+            count_a, idx_a, ranks_a = _fused_select_run(spec, *p.arrays)
+            packed = np.asarray(jnp.concatenate([
+                jnp.asarray([count_a], jnp.float64),
+                idx_a.astype(jnp.float64), ranks_a]))
+            count = int(packed[0])
+            if count < 0:
+                return None  # NaN order keys: host ordering semantics
+            idx = packed[1:1 + k2].astype(np.int64)
+            ranks = packed[1 + k2:]
+            if q.order_by:
+                kneed = q.limit + (q.offset or 0)
+                if count > k2:
+                    if not np.isfinite(ranks[k2 - 1]) \
+                            or not ranks[kneed - 1] < ranks[k2 - 1]:
+                        return None  # boundary tie: classic path
+            elif q.limit is None and count > k2:
+                return None  # unordered full scan too large to fetch
+            take = min(count, k2)
+            idx = idx[:take]
+        # host fetch of the selected rows' cells
+        needed: set = set()
+        for it in q.items:
+            collect_columns(it.expr, needed)
+        for o in q.order_by:
+            collect_columns(o.expr, needed)
+        need = sorted(c for c in needed if c in table.column_names)
+        from liquid_tpu.sql.eval import Batch, Evaluator
+        if not blocks:
+            out_cols = {c: pa.array([], table.field(c).type)
+                        for c in need}
+            n_rows = 0
+        else:
+            cellcache: Dict[tuple, pa.Array] = {}
+
+            def cell(rowid, c):
+                bi, off = divmod(int(rowid), BLOCK_ROWS)
+                rg, b = blocks[bi]
+                key = (rg, b, c)
+                arr = cellcache.get(key)
+                if arr is None:
+                    ids = table.ensure_cached(rg, c)
+                    arr = table.cache.get(ids[b])
+                    if arr is None:
+                        raise _Bail("block unavailable")
+                    cellcache[key] = arr
+                return arr[off]
+            out_cols = {c: pa.array(
+                [cell(r, c).as_py() for r in idx],
+                table.field(c).type) for c in need}
+            n_rows = len(idx)
+        batch = Batch(dict(out_cols), n_rows)
+        ev = Evaluator(batch, executor._scalar_subquery)
+        cols_out: Dict[str, pa.Array] = {}
+        names = []
+        sort_keys = []
+        for it in q.items:
+            nm = it.alias or render(it.expr)
+            v = ev.eval(it.expr)
+            if isinstance(v, pa.Scalar):
+                v = pa.repeat(v, n_rows)
+            cols_out[nm] = v
+            names.append(nm)
+        for i, o in enumerate(q.order_by):
+            nm = f"__fsel{i}"
+            v = ev.eval(o.expr)
+            if isinstance(v, pa.Scalar):
+                v = pa.repeat(v, n_rows)
+            cols_out[nm] = v
+            sort_keys.append((nm, "descending" if o.desc
+                              else "ascending"))
+        t = pa.table(cols_out)
+        if sort_keys:
+            import pyarrow.compute as pc
+            t = t.take(pc.sort_indices(t, sort_keys=sort_keys))
+        if q.offset:
+            t = t.slice(q.offset)
+        if q.limit is not None:
+            t = t.slice(0, q.limit)
+        STATS["fused_queries"] += 1
+        STATS["fused_selects"] = STATS.get("fused_selects", 0) + 1
+        return t.select(names)
+    except _Bail as e:
+        STATS["fsel_bail"] = str(e)
+        return None
+    except Exception:
+        if os.environ.get("LIQUID_FUSED_STRICT"):
+            raise
+        return None
+
+
 def _string_key_lut(ge: ast.Expr, kinds_view, p: _Plan):
     """String-valued expression group key over one dict column -> IR
     ("lut", col, aix, "i64") of MAPPED-vocabulary ids + the mapped

@@ -17,7 +17,11 @@ def _session():
 
 
 def test_topk_threshold_prunes_later_row_groups():
-    # ascending data: row group 0 already contains the global top-10
+    # ascending data: row group 0 already contains the global top-10.
+    # The fused device top-k select (round 5) normally serves this
+    # query without any host scan; force the classic path so the
+    # dynamic-filter threshold machinery itself stays covered.
+    import os
     n = 30_000
     v = np.arange(n, dtype=np.int64)
     t = pa.table({"v": v, "w": v * 2})
@@ -25,9 +29,16 @@ def test_topk_threshold_prunes_later_row_groups():
     pq.write_table(t, path, row_group_size=10_000)
     ctx, cache = _session()
     ctx.register_parquet("t", path)
-    out = ctx.sql("SELECT v, w FROM t ORDER BY v LIMIT 10").to_arrow()
+    os.environ["LIQUID_FUSED"] = "0"
+    try:
+        out = ctx.sql("SELECT v, w FROM t ORDER BY v LIMIT 10").to_arrow()
+    finally:
+        del os.environ["LIQUID_FUSED"]
     assert out.column("v").to_pylist() == list(range(10))
     assert cache.stats()["dynamic_filter_prunes"] > 0
+    # and the fused route must agree
+    out2 = ctx.sql("SELECT v, w FROM t ORDER BY v LIMIT 10").to_arrow()
+    assert out2.column("v").to_pylist() == list(range(10))
 
     # DESC: row group 2 holds the top, later (lower) groups prune
     before = cache.stats()["dynamic_filter_prunes"]
