@@ -543,7 +543,7 @@ def run_suite():
                     else None
                 _assert_tables_equal(name, got, arrow_answer(name, sql),
                                      order_idx=oidx,
-                                     limited=oidx is not None)
+                                     limited=_has_limit(sql))
                 results[name]["verified"] = True
             log(f"[suite] {name}: {best * 1000:.1f} ms [{route}] "
                 f"(first {first:.1f}s)"
@@ -587,6 +587,7 @@ def _assert_tables_equal(name, a, b, order_idx=None, limited=False):
     match as multisets except rows whose key tuple equals a boundary
     (extreme) key tuple -- those may legally differ when tied."""
     from collections import Counter
+    import pyarrow as pa
     if a is None or b is None:
         assert a is None and b is None, (name, "one side empty")
         return
@@ -594,13 +595,31 @@ def _assert_tables_equal(name, a, b, order_idx=None, limited=False):
         f"{name}: rows {a.num_rows} != {b.num_rows}")
     assert a.num_columns == b.num_columns, (
         f"{name}: cols {a.num_columns} != {b.num_columns}")
-    ca, cb = _cell_reprs(a), _cell_reprs(b)
+    # harmonize numeric column typing: a distributed/partial engine may
+    # legally widen ints to floats -- compare by VALUE
+    def widen(t, other):
+        cols = []
+        for i in range(t.num_columns):
+            c = t.column(i).combine_chunks()
+            o = other.column(i)
+            if pa.types.is_integer(c.type) and (
+                    pa.types.is_floating(o.type)
+                    or pa.types.is_decimal(o.type)):
+                c = c.cast(pa.float64())
+            cols.append(c)
+        return pa.table({f"c{i}": c for i, c in enumerate(cols)})
+    a2, b2 = widen(a, b), widen(b, a)
+    ca, cb = _cell_reprs(a2), _cell_reprs(b2)
     rows_a = list(zip(*ca)) if ca else []
     rows_b = list(zip(*cb)) if cb else []
     diff = Counter(rows_a)
     diff.subtract(Counter(rows_b))
     bad = {r for r, c in diff.items() if c != 0}
     if not bad:
+        return
+    if limited and not order_idx:
+        # LIMIT without ORDER BY: ANY k rows are a legal answer --
+        # only cardinality is checkable
         return
     if not (limited and order_idx):
         raise AssertionError(
@@ -625,6 +644,16 @@ def _assert_tables_equal(name, a, b, order_idx=None, limited=False):
         assert k in bounds, (
             f"{name}: non-boundary row differs: {r} (key {k}, "
             f"bounds {sorted(bounds)[:4]})")
+
+
+def _has_limit(sql) -> bool:
+    from liquid_tpu.sql.parser import parse_statement
+    text = sql[-1] if isinstance(sql, list) else sql
+    try:
+        stmt = parse_statement(text)
+        return stmt[0] == "select" and stmt[1].limit is not None
+    except Exception:
+        return False
 
 
 def _order_info(sql):

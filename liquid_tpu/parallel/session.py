@@ -361,7 +361,10 @@ def plan_agg_items(q, columns):
         except _Bail as ex:
             raise NotImplementedError(
                 f"distributed aggregate input {render(arg)}: {ex}")
-        aggs.append((e.name, ("expr", ir, tuple(sorted(cols)))))
+        # ::date cast inputs must TYPE as date32 on output (min/max)
+        out_t = ("date32" if isinstance(arg, ast.Cast)
+                 and arg.type_name == "date" else None)
+        aggs.append((e.name, ("expr", ir, tuple(sorted(cols)), out_t)))
 
     for it in q.items:
         e = it.expr
@@ -1023,7 +1026,7 @@ class DistributedSession:
             mm = v if sc.kind == "float" else enc
             return v, mm, nulls, sc.kind != "float"
         from liquid_tpu.sql.fused_agg import _ir_dtype, eval_ir_nulls
-        _, ir, colnames = spec
+        _, ir, colnames = spec[0], spec[1], spec[2]
         vals = {}
         colnulls = {}
         for name in colnames:
@@ -1121,6 +1124,11 @@ class DistributedSession:
                 oi += 2
                 if not isinstance(spec, str):
                     is_f = _spec_is_float(spec, dt.columns)
+                    if len(spec) > 3 and spec[3] == "date32":
+                        val = None if c == 0 else int(v)
+                        cols[name] = pa.array(
+                            [val], pa.int32()).view(pa.date32())
+                        continue
                     t = pa.float64() if is_f else pa.int64()
                     val = None if c == 0 else (
                         float(v) if is_f else int(v))
@@ -1409,6 +1417,11 @@ class DistributedSession:
                         cols[name] = pa.array(
                             v, pa.float64(),
                             mask=mask if mask.any() else None)
+                    elif len(spec) > 3 and spec[3] == "date32":
+                        cols[name] = pa.array(
+                            v.astype(np.int32), pa.int32(),
+                            mask=mask if mask.any() else None
+                        ).view(pa.date32())
                     else:
                         cols[name] = pa.array(
                             v.astype(np.int64), pa.int64(),
