@@ -142,9 +142,12 @@ class LiquidLinearArray(LiquidArray):
 
     def to_device(self) -> Tuple[jax.Array, Optional[jax.Array]]:
         resid, validity = self.residuals.to_device()
-        pred = jnp.round(jnp.float64(self.slope)
-                         * jnp.arange(BLOCK_ROWS, dtype=jnp.float64)
-                         ).astype(jnp.int64)
+        # the linear term rounds HOST-side with the same numpy rounding
+        # the encoder used: the device's emulated-f64 multiply+round can
+        # flip by 1 at some i, corrupting decoded values
+        pred = jnp.asarray(np.round(
+            self.slope * np.arange(BLOCK_ROWS, dtype=np.float64)
+        ).astype(np.int64))
         return resid + pred, validity
 
     def _decode_host(self) -> np.ndarray:

@@ -784,7 +784,7 @@ class _ColPrep:
     __slots__ = ("kind", "arrow_type", "payloads", "planes_stack", "refs",
                  "inv", "valid_stack", "codes_stack", "dmax",
                  "patch_rows", "patch_vals", "has_pred_patches",
-                 "vocab_list", "remap_stack", "gid_stack")
+                 "vocab_list", "remap_stack", "gid_stack", "lin_stack")
 
     def __init__(self):
         self.vocab_list = None
@@ -856,6 +856,18 @@ def _prep_column(payloads, arrow_type) -> _ColPrep:
         prep.inv = np.array(
             [p.slope if isinstance(p, LiquidLinearArray) else 0.0
              for p in payloads], np.float64)
+        # the linear term round(slope*i) is computed HOST-side with the
+        # SAME numpy rounding the encoder used: the device's emulated
+        # f64 multiply+round can flip by 1 at some i, silently
+        # corrupting decoded keys (TPC-H q4/q5/q7 counts off at SF1)
+        iota = np.arange(BLOCK_ROWS, dtype=np.float64)
+        lin = np.stack([np.round(p.slope * iota).astype(np.int64)
+                        if isinstance(p, LiquidLinearArray)
+                        else np.zeros(BLOCK_ROWS, np.int64)
+                        for p in payloads])
+        prep.lin_stack = jnp.asarray(
+            lin.astype(np.int32) if np.abs(lin).max(initial=0) < (1 << 31)
+            else lin)
         return prep
     if isinstance(p0, LiquidPrimitiveArray):
         if any(not isinstance(p, LiquidPrimitiveArray)
@@ -1204,9 +1216,8 @@ def _make_decoders(colmap, arrays, n, probe_j):
                 jnp.uint64 if arrays[cix["planes"]].shape[1] > 32
                 else jnp.uint32)
             resid = off.astype(jnp.int64) + arrays[cix["refs"]][:, None]
-            iota = jnp.arange(BLOCK_ROWS, dtype=jnp.float64)[None, :]
-            lin = jnp.round(arrays[cix["inv"]][:, None] * iota
-                            ).astype(jnp.int64)
+            # host-precomputed round(slope*i) table (encoder-exact)
+            lin = arrays[cix["lin"]].astype(jnp.int64)
             v = (resid + lin).reshape(-1)
             if dt == "f64":
                 v = v.astype(jnp.float64)
@@ -2229,8 +2240,10 @@ def _plan_query_inner(table, plan_scan, hints, group, key_names, slots,
         if pr.kind in ("planes", "float", "linear"):
             ix["planes"] = _add(p, pr.planes_stack)
             ix["refs"] = _add(p, jnp.asarray(pr.refs))
-            if pr.kind in ("float", "linear"):
+            if pr.kind == "float":
                 ix["inv"] = _add(p, jnp.asarray(pr.inv))
+            if pr.kind == "linear":
+                ix["lin"] = _add(p, pr.lin_stack)
             if pr.kind == "float" and pr.patch_rows is not None:
                 ix["patch_rows"] = _add(p, jnp.asarray(pr.patch_rows))
                 ix["patch_vals"] = _add(p, jnp.asarray(pr.patch_vals))

@@ -510,8 +510,10 @@ def _register_col(p: _Plan, pr, col: str, want_remap: bool):
     if pr.kind in ("planes", "float", "linear"):
         ix["planes"] = _add(p, pr.planes_stack)
         ix["refs"] = _add(p, jnp.asarray(pr.refs))
-        if pr.kind in ("float", "linear"):
+        if pr.kind == "float":
             ix["inv"] = _add(p, jnp.asarray(pr.inv))
+        if pr.kind == "linear":
+            ix["lin"] = _add(p, pr.lin_stack)
         if pr.kind == "float" and pr.patch_rows is not None:
             ix["patch_rows"] = _add(p, jnp.asarray(pr.patch_rows))
             ix["patch_vals"] = _add(p, jnp.asarray(pr.patch_vals))
