@@ -472,6 +472,10 @@ def run_suite():
             suite.append((f"cb_q{i}", f.read().strip()))
     for qid in sorted(tpch_queries.QUERIES):
         suite.append((f"tpch_q{qid}", tpch_queries.QUERIES[qid]))
+    only = os.environ.get("LIQUID_SUITE_ONLY")
+    if only:
+        names = {s.strip() for s in only.split(",") if s.strip()}
+        suite = [q for q in suite if q[0] in names]
 
     # answer verification (VERDICT r4 item 3; mirrors the reference's
     # stored-answer checks, .github/workflows/ci.yml:139-320): every

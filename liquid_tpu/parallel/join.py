@@ -336,7 +336,7 @@ def aggregate_vtable(sess, vt: VTable, key_cols: List[str],
                     # columns; null-AWARE (CASE arms select which
                     # branch's nulls apply, see eval_ir_nulls)
                     from liquid_tpu.sql.fused_agg import eval_ir_nulls
-                    _, ir, colnames = spec
+                    _, ir, colnames = spec[:3]
 
                     def colfn(name, dtw):
                         vv = flat[ix[name]]
@@ -471,6 +471,49 @@ def execute_dist_join(sess, q) -> pa.Table:
         {c: sc.kind for c, sc in merged_scols.items()},
         lambda c: getattr(merged_scols.get(c), "arrow_type", None))
     dictres = make_dictres(merged_scols)
+
+    # expression GROUP BY keys (TPC-H q9's extract(year from
+    # o_orderdate)): compile the value IR now, ship its source columns
+    # through the join, and materialize a derived key column on the
+    # joined vtable right before aggregation.  The select items
+    # naming the same expression rewrite to the derived column.
+    synth_keys: List[tuple] = []  # (name, ir, source cols)
+    if q.group_by and not all(isinstance(g, ast.Column)
+                              for g in q.group_by):
+        import copy
+        from liquid_tpu.sql.fused_agg import _compile_expr
+        q = copy.copy(q)
+        q.items = list(q.items)
+        newgb = []
+        for g in q.group_by:
+            if isinstance(g, ast.Column):
+                newgb.append(g)
+                continue
+            try:
+                ir, gcols = _compile_expr(g, merged_kinds, dictres)
+            except _Bail as ex:
+                raise NotImplementedError(
+                    f"distributed GROUP BY expr {render(g)}: {ex}")
+            name = f"__gk{len(synth_keys)}"
+            synth_keys.append((name, ir, tuple(sorted(gcols))))
+            gr = render(g)
+            newgb.append(ast.Column(name))
+            out_name = None
+            for i, it in enumerate(q.items):
+                if it.expr is not None and render(it.expr) == gr:
+                    out_name = it.alias or gr
+                    q.items[i] = ast.SelectItem(ast.Column(name),
+                                                out_name)
+            if out_name is not None and q.order_by:
+                q.order_by = [
+                    ast.OrderItem(ast.Column(out_name), o.desc,
+                                  o.nulls_first)
+                    if o.expr is not None and render(o.expr) == gr
+                    else o
+                    for o in q.order_by]
+        q.group_by = newgb
+    synth_names = {n for n, _ir, _c in synth_keys}
+
     per_table: Dict[str, list] = {t: [] for t in tables}
     residual_ir: List[tuple] = []  # compiled bool IR over joined rows
     for conj in split_conjuncts(q.where):
@@ -493,6 +536,63 @@ def execute_dist_join(sess, q) -> pa.Table:
                 "distributed joins: cross-table WHERE conjunct "
                 f"{render(conj)}: {ex}")
         residual_ir.append(ir)
+
+    # composite (multi-column) equi-joins: two edges between the same
+    # table pair pack into ONE synthetic join key computed on BOTH
+    # sides after decode (TPC-H q9's partsupp on (ps_partkey,
+    # ps_suppkey)).  Joining through a single column of a pair-unique
+    # key is N:M and explodes the exchange capacity; the packed key
+    # restores N:1.
+    synth_owner: Dict[str, str] = {}
+    packed_cols: Dict[str, list] = {}  # table -> [(name, ca, cb, lo, C)]
+    from collections import defaultdict
+    by_pair = defaultdict(list)
+    for a, b in edges:
+        by_pair[tuple(sorted((owner(a), owner(b))))].append((a, b))
+    if any(len(v) > 1 for v in by_pair.values()):
+        new_edges = []
+        for pair, es in sorted(by_pair.items()):
+            if len(es) == 1:
+                new_edges.extend(es)
+                continue
+            if len(es) > 2:
+                raise NotImplementedError(
+                    "distributed joins: 3+-column composite key")
+            scs = {}
+            for a, b in es:
+                for c in (a, b):
+                    sc = dts[owner(c)].columns[c]
+                    if sc.kind != "planes" or sc.ref < 0:
+                        raise NotImplementedError(
+                            "distributed composite join: integer keys")
+                    scs[c] = sc
+            (a1, b1), (a2, b2) = es
+            # orient each edge as (col on pair[0], col on pair[1])
+            if owner(a1) != pair[0]:
+                a1, b1 = b1, a1
+            if owner(a2) != pair[0]:
+                a2, b2 = b2, a2
+            lo = min(scs[a2].ref, scs[b2].ref)
+            hi = max(scs[a2].ref + (1 << scs[a2].width),
+                     scs[b2].ref + (1 << scs[b2].width))
+            C = hi - lo
+            amax = max(scs[a1].ref + (1 << scs[a1].width),
+                       scs[b1].ref + (1 << scs[b1].width))
+            if amax * C >= (1 << 62):
+                raise NotImplementedError(
+                    "distributed composite join: packed key overflows")
+            for side, (c1, c2) in zip(pair, ((a1, a2), (b1, b2))):
+                nm = f"__jk_{side}"
+                packed_cols.setdefault(side, []).append(
+                    (nm, c1, c2, lo, C))
+                synth_owner[nm] = side
+            new_edges.append((f"__jk_{pair[0]}", f"__jk_{pair[1]}"))
+        edges = new_edges
+        _base_owner = owner
+
+        def owner(col: str) -> str:  # noqa: F811
+            got = synth_owner.get(col)
+            return got if got is not None else _base_owner(col)
 
     # left-deep join ORDER: follow edges greedily from the first table
     merged_cols: Dict[str, object] = {}
@@ -534,13 +634,24 @@ def execute_dist_join(sess, q) -> pa.Table:
     # columns each table must ship forward
     needed: Dict[str, set] = {t: set() for t in tables}
     for kc in key_cols:
+        if kc in synth_names:
+            continue  # derived key: its sources ship instead
         needed[owner(kc)].add(kc)
+    for _n, _ir, scols in synth_keys:
+        for c in scols:
+            needed[owner(c)].add(c)
     for kind, s in aggs:
         for c in _spec_cols(s):
             needed[owner(c)].add(c)
     for lcol, rt, rcol in joins:
-        needed[owner(lcol)].add(lcol)
-        needed[rt].add(rcol)
+        if lcol not in synth_owner:
+            needed[owner(lcol)].add(lcol)
+        if rcol not in synth_owner:
+            needed[rt].add(rcol)
+    for t, plist in packed_cols.items():
+        for (_nm, ca, cb, _lo, _C) in plist:
+            needed[t].add(ca)
+            needed[t].add(cb)
     for a, b in residual_eq:
         needed[owner(a)].add(a)
         needed[owner(b)].add(b)
@@ -576,6 +687,21 @@ def execute_dist_join(sess, q) -> pa.Table:
         # provably-empty: aggregate over an all-dead left table
         vts[tables[0]].live = jnp.zeros_like(vts[tables[0]].live)
 
+    # materialize composite packed join keys (sharded elementwise)
+    if packed_cols:
+        from liquid_tpu.parallel.session import ShardedColumn
+        for t, plist in packed_cols.items():
+            vt_ = vts[t]
+            z = jnp.zeros(vt_.live.shape, jnp.bool_)
+            for (nm, ca, cb, lo, C) in plist:
+                vt_.cols[nm] = (vt_.cols[ca] * jnp.int64(C)
+                                + (vt_.cols[cb] - jnp.int64(lo)))
+                na = vt_.nulls.get(ca)
+                nb = vt_.nulls.get(cb)
+                vt_.nulls[nm] = ((na if na is not None else z)
+                                 | (nb if nb is not None else z))
+                vt_.origin[nm] = ShardedColumn("planes", pa.int64())
+
     # left-deep pipeline of shuffle joins
     cur = vts[tables[0]]
     cur_cols = set(needed[tables[0]])
@@ -585,7 +711,8 @@ def execute_dist_join(sess, q) -> pa.Table:
         b = exchange_by_key(right, rcol)
         # unify key names: the joined table keeps both columns
         pnames = sorted(cur_cols - {lcol}) + [lcol]
-        bnames = sorted(set(needed[rt]) - {rcol})
+        rt_synth = {n for n, t2 in synth_owner.items() if t2 == rt}
+        bnames = sorted((set(needed[rt]) | rt_synth) - {rcol})
         # co-partitioned by construction: hash(lcol) == hash(rcol) keys
         a.cols["__k"] = a.cols[lcol]
         a.nulls["__k"] = a.nulls[lcol]
@@ -631,6 +758,36 @@ def execute_dist_join(sess, q) -> pa.Table:
 
         for ir in residual_ir:
             cur.live = cur.live & _bool_nonnull(ir, _colfn, _nulfn)
+
+    if synth_keys:
+        from liquid_tpu.parallel.session import ShardedColumn
+        from liquid_tpu.sql.fused_agg import eval_ir_nulls
+
+        def _kcolfn(name, dtw):
+            v = cur.cols[name]
+            if dtw == "f64" and v.dtype != jnp.float64:
+                v = v.astype(jnp.float64)
+            return v
+
+        def _knulfn(name):
+            nl = cur.nulls.get(name)
+            return nl if nl is not None else \
+                jnp.zeros(cur.live.shape, jnp.bool_)
+
+        for name, ir, _scols in synth_keys:
+            v, nl = eval_ir_nulls(ir, _kcolfn, _knulfn)
+            v = jnp.asarray(v)
+            if v.ndim == 0:
+                v = jnp.broadcast_to(v, cur.live.shape)
+            nl = jnp.broadcast_to(jnp.asarray(nl), cur.live.shape)
+            if v.dtype == jnp.float64:
+                sc = ShardedColumn("float", pa.float64())
+            else:
+                v = v.astype(jnp.int64)
+                sc = ShardedColumn("planes", pa.int64())
+            cur.cols[name] = v
+            cur.nulls[name] = nl
+            cur.origin[name] = sc
 
     if key_cols:
         out = aggregate_vtable(sess, cur, key_cols, aggs, names)

@@ -491,10 +491,7 @@ class DistributedSession:
 
     # -- graceful degradation -------------------------------------------------
 
-    def _fallback_sql(self, query) -> pa.Table:
-        """Execute on the single-host engine over host copies of the
-        registered tables (same data, same answers; only the placement
-        differs).  The executor is rebuilt when registrations change."""
+    def _ensure_fallback(self):
         import tempfile
         import pyarrow.parquet as pq
         from liquid_tpu.sql.session import LiquidCacheLocalBuilder
@@ -509,7 +506,20 @@ class DistributedSession:
                 ctx.register_parquet(name, path)
             self._fallback_ctx = ctx
             self._fallback_dirty = False
+
+    def _fallback_sql(self, query) -> pa.Table:
+        """Execute on the single-host engine over host copies of the
+        registered tables (same data, same answers; only the placement
+        differs).  The executor is rebuilt when registrations change."""
+        self._ensure_fallback()
         return self._fallback_ctx.sql(query).to_arrow()
+
+    def _fallback_exec_ast(self, q) -> pa.Table:
+        """Single-host execution of an already-parsed subquery AST
+        (the IN-subquery fold holds ASTs, not SQL text)."""
+        self._ensure_fallback()
+        ex = self._fallback_ctx._exec
+        return ex.execute(ex._qualify(q))
 
     # -- planning ------------------------------------------------------------
 
@@ -572,6 +582,12 @@ class DistributedSession:
                         self.tables[name] = prior
         q.where = self._fold_scalar_subqueries(q.where)
         q.having = self._fold_scalar_subqueries(q.having)
+        q.where = self._fold_in_subqueries(q.where)
+        # pure-projection derived tables flatten to the join shape the
+        # mesh planner serves (TPC-H q7/q8/q9 wrap their joins this
+        # way); same rewrite the local engine applies (exec.py)
+        from liquid_tpu.sql.exec import _inline_derived
+        q = _inline_derived(q)
         q = self._rewrite_select_distinct(q)
         distinct_aggs = self._find_distinct_aggs(q)
         if distinct_aggs:
@@ -802,6 +818,39 @@ class DistributedSession:
                 assert res.num_rows == 1, "scalar subquery rows"
                 v = res.column(0)[0].as_py()
                 return ast.Literal(v)
+            return None
+
+        return map_expr(e, fix)
+
+    def _fold_in_subqueries(self, e):
+        """Replace UNCORRELATED [NOT] IN (SELECT ...) with a literal
+        IN list (TPC-H q16's supplier exclusion, q18's HAVING-filtered
+        orderkeys): the inner query executes once -- distributed when
+        its shape is supported, single-host otherwise -- and the outer
+        query stays on the mesh with the list as residual boolean IR.
+        NOT IN follows SQL's null semantics downstream (the compiled
+        IR nulls out on a NULL operand); an inner NULL makes NOT IN
+        never-true, which a None literal in the list preserves."""
+        if e is None:
+            return None
+        from liquid_tpu.sql.qualify import map_expr
+
+        def fix(node):
+            if isinstance(node, ast.InSubquery):
+                try:
+                    res = self._execute_q(node.query)
+                except Exception:
+                    try:
+                        res = self._fallback_exec_ast(node.query)
+                    except Exception:
+                        return node  # correlated: keep (planner errors)
+                if res.num_columns != 1 or res.num_rows > 200_000:
+                    return node
+                items = tuple(ast.Literal(v)
+                              for v in res.column(0).to_pylist())
+                if not items:
+                    return node  # empty list: let the fallback decide
+                return ast.InList(node.operand, items, node.negated)
             return None
 
         return map_expr(e, fix)

@@ -67,6 +67,13 @@ _STAGES = ((1 << 13, 0x9E3779B97F4A7C15),
            # load factor low enough for 3 rounds to converge
            (1 << 22, 0x27D4EB2F165667C5))
 
+#: extended ladder for the device-chained count(DISTINCT) path only:
+#: its level-1 cardinality approaches the scanned ROW count (unique
+#: (keys, d) pairs), so it needs a table ~2x the scan size; the
+#: regular grouped path keeps the smaller ladder (group counts are
+#: bounded by key cardinality, and its fetch paths cap earlier)
+_STAGES_XL = _STAGES + ((1 << 23, 0x94D049BB133111EB),)
+
 #: module counters (tests assert routing; bench reports them)
 STATS = {"fused_queries": 0, "fused_grouped": 0, "fused_scalar": 0,
          "fused_bailouts": 0, "fused_retries": 0}
@@ -1287,6 +1294,63 @@ def _apply_fd_packed(mat, fd_spec, arrays):
                      + [mat[i] for i in range(3, mat.shape[0])])
 
 
+def probe_dims(probes, arrays, decode, col_nulls, probe_j, selb):
+    """Star-join dim probes shared by the fact program and snowflake
+    dim builds: map each scanned row to its dim row id j (or -1).
+
+    Two probe forms:
+      (pid, kname, idx_ix, lo_ix) -- unique single-column key:
+        j = idx[key - lo] direct-address lookup.
+      (pid, kname, idx_ix, lo_ix, k2name, ord_ix, cnt_ix, vals2_ix,
+       max_dup) -- composite two-column key (e.g. partsupp on
+        (ps_partkey, ps_suppkey), reference TPC-H q9): the dim rows are
+        sorted by (key1, key2); idx[key1 - lo] points at the FIRST
+        sorted position for key1 and cnt at the run length; the probe
+        unrolls max_dup candidate positions comparing key2, then maps
+        the hit position to the dim row id through ord.
+    """
+    for pr in probes:
+        if len(pr) == 4:
+            (pid, kname, idx_ix, lo_ix) = pr
+            kv = decode(kname, "i64")
+            knl = col_nulls(kname)
+            tbl = arrays[idx_ix]
+            rel = kv - arrays[lo_ix]
+            inb = (rel >= 0) & (rel < tbl.shape[0])
+            j = jnp.where(
+                inb & ~knl,
+                tbl[jnp.clip(rel, 0, tbl.shape[0] - 1)],
+                jnp.int32(-1))
+        else:
+            (pid, kname, idx_ix, lo_ix, k2name, ord_ix, cnt_ix,
+             vals2_ix, max_dup) = pr
+            kv = decode(kname, "i64")
+            knl = col_nulls(kname) | col_nulls(k2name)
+            k2 = decode(k2name, "i64")
+            tbl = arrays[idx_ix]
+            ordv = arrays[ord_ix]
+            cnt = arrays[cnt_ix]
+            vals2 = arrays[vals2_ix]
+            rel = kv - arrays[lo_ix]
+            inb = (rel >= 0) & (rel < tbl.shape[0]) & ~knl
+            relc = jnp.clip(rel, 0, tbl.shape[0] - 1)
+            j0 = tbl[relc]
+            c = cnt[relc]
+            pos = jnp.full(kv.shape, jnp.int32(-1))
+            for d in range(max_dup):
+                cand = j0 + jnp.int32(d)
+                candc = jnp.clip(cand, 0, vals2.shape[0] - 1)
+                m = inb & (j0 >= 0) & (jnp.int32(d) < c) \
+                    & (vals2[candc] == k2)
+                pos = jnp.where(m, candc, pos)
+            j = jnp.where(pos >= 0,
+                          ordv[jnp.clip(pos, 0, ordv.shape[0] - 1)],
+                          jnp.int32(-1))
+        probe_j[pid] = j
+        selb = selb & (j >= 0)  # INNER join: unmatched rows drop
+    return selb
+
+
 @partial(jax.jit, static_argnums=(0,))
 def _fused_run(spec, *arrays):
     return _fused_core(spec, arrays)
@@ -1306,18 +1370,7 @@ def _fused_core(spec, arrays):
                                        probe_j)
 
     # -- star-join probes: gather the dim row index per fact row ------------
-    for (pid, kname, idx_ix, lo_ix) in probes:
-        kv = decode(kname, "i64")
-        knl = col_nulls(kname)
-        tbl = arrays[idx_ix]
-        rel = kv - arrays[lo_ix]
-        inb = (rel >= 0) & (rel < tbl.shape[0])
-        j = jnp.where(
-            inb & ~knl,
-            tbl[jnp.clip(rel, 0, tbl.shape[0] - 1)],
-            jnp.int32(-1))
-        probe_j[pid] = j
-        selb = selb & (j >= 0)  # INNER join: unmatched rows drop
+    selb = probe_dims(probes, arrays, decode, col_nulls, probe_j, selb)
 
     # -- existence probes (EXISTS / NOT EXISTS / IN-subquery semijoins) ----
     for (kname, cnt_ix, plo_ix, emode, mmv_ix, mmx_ix, mmname) in eprobes:
@@ -1431,6 +1484,49 @@ def _fused_core(spec, arrays):
         nl = col_nulls(name)
         codes_l.append(jnp.where(nl, jnp.int64(0), code))
         knulls_l.append(nl)
+
+    if mode == "sortpairs":
+        # count(DISTINCT d) without a pair-wide collision table: SORT
+        # the (outer keys, d) columns -- bandwidth-friendly on TPU,
+        # unlike the ~1 KB/row random RMW a pair-cardinality hash
+        # table pays (PERF_NOTES.md tile-padding finding) -- and take
+        # first-occurrence flags from sorted adjacency.  nunique is
+        # then the per-key SUM of flags, and every other aggregate
+        # reduces over raw rows (sum of per-pair sums == sum of rows,
+        # same for min/max/count), so ONE small-table reduction keyed
+        # by the outer keys finishes the query.
+        recipes, kinds2, rounds2 = extra
+        n = selb.shape[0]
+        inv = ~selb
+        ops = [inv.astype(jnp.int32)]
+        for c, nl in zip(codes_l, knulls_l):
+            ops.append(nl.astype(jnp.int32))
+            ops.append(c)
+        ops.append(jnp.arange(n, dtype=jnp.int32))
+        srt = jax.lax.sort(tuple(ops), num_keys=len(ops) - 1)
+        inv_s = srt[0].astype(jnp.bool_)
+        dnull_s = srt[-3].astype(jnp.bool_)
+        perm = srt[-1]
+        anyneq = jnp.zeros((n - 1,), jnp.bool_)
+        for k in srt[1:-1]:
+            anyneq = anyneq | (k[1:] != k[:-1])
+        pairnew_s = jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_), anyneq])
+        flag_s = pairnew_s & ~inv_s & ~dnull_s
+        flag = jnp.zeros((n,), jnp.bool_).at[perm].set(
+            flag_s, mode="drop")
+        vals2, vnulls2 = [], []
+        for r in recipes:
+            if r[0] == "nunique":
+                vals2.append(flag.astype(jnp.int64))
+                vnulls2.append(~flag)
+            else:
+                vals2.append(vals[r[1]])
+                vnulls2.append(vnulls[r[1]])
+        return hops.hash_rounds_reduce_packed(
+            tuple(codes_l[:-1]), tuple(knulls_l[:-1]), selb,
+            tuple(vals2), tuple(vnulls2), tuple(kinds2), n_slots,
+            salt, rounds=rounds2)
 
     if mode == "direct":
         # bijective dense-domain slots: no collision machinery at all
@@ -2962,12 +3058,18 @@ def _fetch_full(p: _Plan, slots, g: int, cols) -> pa.Table:
 
 
 def _parse_full(p: _Plan, slots, g, ukeys, uknulls, outs, vcounts):
+    # bit-packed fetch: million-group matrices cross the ~8 MB/s tunnel
+    # at their minimal bit-width, not 8 B/value (ops/packfetch.py)
+    from liquid_tpu.ops import packfetch
+    nk, nv = len(ukeys), len(outs)
+    cols = packfetch.fetch_columns(
+        list(ukeys) + list(uknulls) + list(outs) + list(vcounts), g)
     return _build_result(
         p, slots, g,
-        [np.asarray(u)[:g] for u in ukeys],
-        [np.asarray(u)[:g] for u in uknulls],
-        [np.asarray(o)[:g] for o in outs],
-        [np.asarray(c)[:g] for c in vcounts], packed_i64=False)
+        [c[:g] for c in cols[:nk]],
+        [c[:g] for c in cols[nk:2 * nk]],
+        [c[:g] for c in cols[2 * nk:2 * nk + nv]],
+        [c[:g] for c in cols[2 * nk + nv:]], packed_i64=False)
 
 
 def _build_result(p: _Plan, slots, g, ukeys, uknulls, outs, vcounts,
@@ -3467,6 +3569,13 @@ def _finish_topk(p: _Plan, slots, topk: TopKSpec, mini: np.ndarray):
 # flags over unique (keys, d) slots -- and only the final per-key rows
 # transfer (with the device top-k fetch applying on top).
 
+@partial(jax.jit, static_argnums=(0,))
+def _fused_distinct_run2(spec1, *arrays):
+    """Sort-based distinct: the whole query is ONE _fused_core call in
+    "sortpairs" mode (sorted pair dedup + small outer-key table)."""
+    return _fused_core(spec1, arrays)
+
+
 @partial(jax.jit, static_argnums=(0, 1, 2))
 def _fused_distinct_run(spec1, l2, stage2, *arrays):
     """l2: (recipes, kinds2) where recipes[j] picks the level-2 input:
@@ -3599,6 +3708,10 @@ def distinct_fused_device(table, plan_scan, hints, group, key_names,
     p2.key_out = list(key_names)
     p2.key_decoders = p1.key_decoders[:-1]
     p2.key_bounds = dict(p1.key_bounds)
+    # outer-key cardinality bounds resolve through the same spec/payload
+    # lookups as the level-1 plan (int keys: block refs + widths)
+    p2.spec_cols = list(p1.spec_cols)
+    p2.key_payloads = dict(p1.key_payloads)
     p2.slot_map = slot_map2
     p2.arrays = p1.arrays
     for s in slots:
@@ -3627,22 +3740,32 @@ def distinct_fused_device(table, plan_scan, hints, group, key_names,
         bound = n_upper if bound is None else min(bound, n_upper)
     start = 0
     if bound is not None:
-        for si, (ns, _s) in enumerate(_STAGES):
+        for si, (ns, _s) in enumerate(_STAGES_XL):
             if ns >= 2 * bound:
                 start = si
                 break
         else:
-            start = len(_STAGES) - 1
+            # even the XL table cannot promise convergence: the ladder
+            # would exhaust and pay its full cost before falling back --
+            # the host-fold form wins at that cardinality
+            return None
+    # the bound is row-count-capped and wildly pessimistic for the
+    # ClickBench COUNT(DISTINCT UserID) family (4M scanned rows but
+    # ~100k-3M unique (key, user) pairs); big tables pay ~1 KB of
+    # random RMW per scattered row (tile padding, PERF_NOTES.md), so
+    # start at 1M slots and let the dirty-check grow the table -- the
+    # proven-stage hint pins warm executions to the converged stage
+    start = min(start, 2)
     hint_key = ("stage2", tuple(p1.keys))
     hint = getattr(table, "_fused_stage_hint", {}).get(hint_key)
     if hint is not None:
         start = hint
-    if _STAGES[start][0] > (1 << 20):
-        # near-row-count distinct cardinality (ClickBench's
-        # COUNT(DISTINCT UserID) family at full scale): the two-level
-        # rounds machinery risks exhausting the ladder and paying its
-        # full cost before falling back -- the host-fold form wins
-        return None
+
+    # level-2 table sized by the KEY-ONLY cardinality (the d column is
+    # folded away): ClickBench's COUNT(DISTINCT UserID) family groups
+    # ~4M unique (key, user) pairs down to <=100k keys, so the final
+    # reduction always fits a small table
+    kb = _cardinality_bound(p2)
 
     spec1_base = (_freeze(p1.spec_cols), _freeze(p1.pred_groups),
                   _freeze(p1.probes), _freeze(p1.eprobes),
@@ -3650,27 +3773,69 @@ def distinct_fused_device(table, plan_scan, hints, group, key_names,
                   tuple(p1.keys), (), _freeze(p1.rslots), p1.rv_ix)
     l2 = (_freeze(recipes), tuple(kinds2))
     topk = plan_topk(q, slots, p2) if q is not None else None
-    for si in range(start, len(_STAGES)):
-        n_slots, salt = _STAGES[si]
-        rounds = 3
-        spec1 = ("grouped",) + spec1_base + (n_slots, salt, rounds, ())
-        stage2 = (n_slots, salt ^ 0x5851F42D4C957F2D, rounds)
-        out = _fused_distinct_run(spec1, l2, stage2, *p1.arrays)
+
+    def finish(out, hk, si):
         clean_now = bool(np.asarray(out[1]))
-        if clean_now:
-            if not hasattr(table, "_fused_stage_hint"):
-                table._fused_stage_hint = {}
-            table._fused_stage_hint[hint_key] = si
-            STATS["fused_queries"] += 1
-            STATS["fused_grouped"] += 1
-            if topk is not None:
-                r = _try_topk_fetch(p2, slots, out, topk)
+        if not clean_now:
+            STATS["fused_retries"] += 1
+            return None
+        if not hasattr(table, "_fused_stage_hint"):
+            table._fused_stage_hint = {}
+        table._fused_stage_hint[hk] = si
+        STATS["fused_queries"] += 1
+        STATS["fused_grouped"] += 1
+        if topk is not None:
+            r = _try_topk_fetch(p2, slots, out, topk)
+            if r is not None:
+                return r
+        mat = np.asarray(out[0])
+        g = int(mat[0, 1])
+        if g <= mat.shape[1]:
+            return _parse_packed(p2, slots, mat, g)
+        return _fetch_full(p2, slots, g, out[3])
+
+    # preferred: sort-based pair dedup (ops-level rationale in
+    # _fused_core "sortpairs").  The table only ever needs 2x the
+    # OUTER-key cardinality, so a known small bound skips the
+    # pair-cardinality ladder entirely.
+    if kb is not None:
+        hk = ("stage2sort", tuple(p1.keys))
+        s0 = 0
+        for si, (ns, _s) in enumerate(_STAGES_XL):
+            if ns >= 2 * kb:
+                s0 = si
+                break
+        else:
+            s0 = None
+        hint2 = getattr(table, "_fused_stage_hint", {}).get(hk)
+        if hint2 is not None:
+            s0 = hint2
+        if s0 is not None:
+            for si in range(s0, len(_STAGES_XL)):
+                n2, s2 = _STAGES_XL[si]
+                spec1 = ("sortpairs",) + spec1_base + (
+                    n2, s2, (l2[0], l2[1], 3), ())
+                r = finish(_fused_distinct_run2(spec1, *p1.arrays),
+                           hk, si)
                 if r is not None:
+                    STATS["distinct_sort"] = STATS.get(
+                        "distinct_sort", 0) + 1
                     return r
-            mat = np.asarray(out[0])
-            g = int(mat[0, 1])
-            if g <= mat.shape[1]:
-                return _parse_packed(p2, slots, mat, g)
-            return _fetch_full(p2, slots, g, out[3])
-        STATS["fused_retries"] += 1
+            return None
+
+    for si in range(start, len(_STAGES_XL)):
+        n_slots, salt = _STAGES_XL[si]
+        rounds = 3
+        n_slots2 = n_slots
+        if kb is not None:
+            for ns2, _s2 in _STAGES_XL:
+                if ns2 >= 2 * kb:
+                    n_slots2 = ns2
+                    break
+        spec1 = ("grouped",) + spec1_base + (n_slots, salt, rounds, ())
+        stage2 = (n_slots2, salt ^ 0x5851F42D4C957F2D, rounds)
+        r = finish(_fused_distinct_run(spec1, l2, stage2, *p1.arrays),
+                   hint_key, si)
+        if r is not None:
+            return r
     return None

@@ -50,6 +50,7 @@ import pyarrow as pa
 
 from liquid_tpu.ops import mask as mops
 from liquid_tpu.sql import ast
+from liquid_tpu.sql import fused_agg
 from liquid_tpu.sql.fused_agg import (
     STATS, _add, _Bail, _bool_nonnull, _build_vocab, _compile_bool,
     _compile_expr, _freeze, _make_decoders, _Plan, _plan_slots,
@@ -61,6 +62,10 @@ from liquid_tpu.sql.physical import collect_columns
 from liquid_tpu.sql.planner import (
     classify_pushdown, plan_scan_filters, split_conjuncts,
 )
+
+#: composite-key chains unroll the key2 match per duplicate of key1 in
+#: the fused program; deeper chains belong on the classic join path
+MAX_COMPOSITE_DUP = 8
 
 #: index tables larger than this bail (sparse/huge key domains want the
 #: hash-table fallback; 2^27 i32 entries = 512 MB HBM)
@@ -96,28 +101,23 @@ def _dim_build(spec, *arrays):
     semijoin -> unique-key direct-address index + payload decode.
 
     spec: (cols, pred_groups, probes, resids, key_name, tblsize,
-           pays, rv_ix, lo_ix)
-    returns (idx i32[tblsize], dup bool, *[vals, nulls] per payload).
+           pays, rv_ix, lo_ix[, key2_name, k2lo_ix])
+    returns (idx i32[tblsize], dup bool, *[vals, nulls] per payload)
+    for a single-column key, or (idx, dup, ord, cnt, vals2, maxdup,
+    *[vals, nulls]) for a composite two-column key (sorted chain
+    index; reference TPC-H q9's partsupp on (ps_partkey, ps_suppkey)).
     """
     (cols, pred_groups, probes, resids, key_name, tblsize, pays,
-     rv_ix, lo_ix) = spec
+     rv_ix, lo_ix) = spec[:9]
+    key2_name = spec[9] if len(spec) > 9 else None
     colmap = {c[0]: dict(c[1]) for c in cols}
     sel = _selection_packed(colmap, pred_groups, arrays, arrays[rv_ix])
     selb = mops.unpack_bits(sel.reshape(-1))
     probe_j: Dict[int, jax.Array] = {}
     decode, col_nulls = _make_decoders(colmap, arrays, selb.shape,
                                        probe_j)
-    for (pid, kname, idx_ix, plo_ix) in probes:
-        kv = decode(kname, "i64")
-        knl = col_nulls(kname)
-        tbl = arrays[idx_ix]
-        rel = kv - arrays[plo_ix]
-        inb = (rel >= 0) & (rel < tbl.shape[0])
-        j = jnp.where(inb & ~knl,
-                      tbl[jnp.clip(rel, 0, tbl.shape[0] - 1)],
-                      jnp.int32(-1))
-        probe_j[pid] = j
-        selb = selb & (j >= 0)
+    selb = fused_agg.probe_dims(probes, arrays, decode, col_nulls,
+                                probe_j, selb)
     for ir in resids:
         selb = selb & _bool_nonnull(ir, decode, col_nulls)
 
@@ -126,15 +126,38 @@ def _dim_build(spec, *arrays):
     valid = selb & ~knl
     n = kv.shape[0]
     rel = kv - arrays[lo_ix]
-    slot = jnp.where(valid, rel, jnp.int64(tblsize))
-    rows = jnp.arange(n, dtype=jnp.int32)
-    idx = jnp.full((tblsize,), -1, jnp.int32).at[slot].set(
-        rows, mode="drop")
-    cnt = jnp.zeros((tblsize,), jnp.int32).at[slot].add(
-        jnp.int32(1), mode="drop")
-    dup = (cnt > 1).any()
 
-    outs: List[jax.Array] = [idx, dup]
+    if key2_name is not None:
+        k2lo_ix = spec[10]
+        k2 = decode(key2_name, "i64")
+        valid = valid & ~col_nulls(key2_name)
+        k2rel = k2 - arrays[k2lo_ix]  # planner-proven < 2^31
+        skey = jnp.where(valid, (rel << 31) | k2rel,
+                         jnp.int64(1) << jnp.int64(62))
+        ordv = jnp.argsort(skey).astype(jnp.int32)
+        ss = skey[ordv]
+        vsort = valid[ordv]
+        dup = ((ss[1:] == ss[:-1]) & vsort[1:]).any()
+        slot = jnp.where(vsort, ss >> 31, jnp.int64(tblsize))
+        pos = jnp.arange(n, dtype=jnp.int32)
+        big = jnp.int32(n + 1)
+        idx0 = jnp.full((tblsize,), big, jnp.int32).at[slot].min(
+            pos, mode="drop")
+        idx = jnp.where(idx0 == big, jnp.int32(-1), idx0)
+        cnt = jnp.zeros((tblsize,), jnp.int32).at[slot].add(
+            jnp.int32(1), mode="drop")
+        vals2 = jnp.where(vsort, k2[ordv], jnp.int64(-1) << jnp.int64(62))
+        maxdup = cnt.max()
+        outs: List[jax.Array] = [idx, dup, ordv, cnt, vals2, maxdup]
+    else:
+        slot = jnp.where(valid, rel, jnp.int64(tblsize))
+        rows = jnp.arange(n, dtype=jnp.int32)
+        idx = jnp.full((tblsize,), -1, jnp.int32).at[slot].set(
+            rows, mode="drop")
+        cnt = jnp.zeros((tblsize,), jnp.int32).at[slot].add(
+            jnp.int32(1), mode="drop")
+        dup = (cnt > 1).any()
+        outs = [idx, dup]
     for (pname, ptype) in pays:
         outs.append(decode(pname, "f64" if ptype == "f64" else "i64"))
         outs.append(col_nulls(pname))
@@ -147,7 +170,8 @@ class _Probe:
     """Runtime handle for one built dimension (device arrays)."""
 
     __slots__ = ("idx", "lo", "hi", "dup", "verified", "payload",
-                 "vocabs", "pay_bounds", "nbytes", "cache_key", "nrows")
+                 "vocabs", "pay_bounds", "nbytes", "cache_key", "nrows",
+                 "chain")
 
     def __init__(self):
         self.dup = None          # device bool scalar, None once verified
@@ -157,6 +181,7 @@ class _Probe:
         self.pay_bounds = {}     # name -> (lo, hi) value bounds
         self.nbytes = 0
         self.nrows = 1           # dim scan rows: probe j in [0, nrows)
+        self.chain = None        # composite key: (ord, cnt, vals2, maxdup)
 
 
 class _Fields:
@@ -336,15 +361,34 @@ class _StarPlanner:
                     break
         if visited != set(names):
             raise _Bail("disconnected join graph")
-        # leftover equalities (cycles / multi-key joins) become
-        # fact-level residuals over gathered payloads
-        for i, (a, b, _ta, _tb) in enumerate(edges):
-            if i not in used:
-                self.cross.append(ast.Binary("=", ast.Column(a),
-                                             ast.Column(b)))
+        # a leftover equality between a child and its OWN tree parent is
+        # the second column of a COMPOSITE join key (partsupp on
+        # (ps_partkey, ps_suppkey), reference TPC-H q9): the dim builds
+        # a sorted chain index instead of bailing on the dup check.
+        # Other leftovers (cycles) stay fact-level residuals over
+        # gathered payloads.
+        self.tree2: Dict[str, Tuple[str, str]] = {}
+        for i, (a, b, ta, tb) in enumerate(edges):
+            if i in used:
+                continue
+            child = par = None
+            if ta in self.tree and self.tree[ta][0] == tb:
+                child, par, pcol2, ccol2 = ta, tb, b, a
+            elif tb in self.tree and self.tree[tb][0] == ta:
+                child, par, pcol2, ccol2 = tb, ta, a, b
+            if child is not None and child not in self.tree2:
+                self.tree2[child] = (pcol2, ccol2)
+                used.add(i)
+                continue
+            self.cross.append(ast.Binary("=", ast.Column(a),
+                                         ast.Column(b)))
 
         # join-key types must decode to i64 planes
-        for child, (_par, pcol, ccol) in self.tree.items():
+        key_pairs = [(child, pcol, ccol)
+                     for child, (_p, pcol, ccol) in self.tree.items()]
+        key_pairs += [(child, pcol, ccol)
+                      for child, (pcol, ccol) in self.tree2.items()]
+        for child, pcol, ccol in key_pairs:
             for tbl, col in ((child, ccol), (self.owner[pcol], pcol)):
                 t = self.tables[tbl].field(col).type
                 if not (pa.types.is_integer(t) or pa.types.is_date32(t)
@@ -594,6 +638,26 @@ def _build_dim(planner: _StarPlanner, tbl: str) -> _Probe:
     table = planner.tables[tbl]
     plan_scan, blocks = planner._scan(tbl)
     parent, pcol, key_col = None, None, planner.tree[tbl][2]
+    key2_col = planner.tree2.get(tbl, (None, None))[1] \
+        if hasattr(planner, "tree2") else None
+    if key2_col is not None and blocks:
+        # direct-address on the WIDER key: the chain unrolls at most
+        # MAX_COMPOSITE_DUP duplicates of key1, so the narrow key must
+        # ride second (partsupp: partkey spans 200k x4 dups; suppkey
+        # would span 10k x80)
+        b1 = payload_bounds(planner.prep_of(tbl, key_col))
+        b2 = payload_bounds(planner.prep_of(tbl, key2_col))
+        if b1 is None or b2 is None:
+            raise _Bail("composite key bounds unknown")
+        if (b2[1] - b2[0]) > (b1[1] - b1[0]):
+            par0, pcol0, _ = planner.tree[tbl]
+            pcol2, _ = planner.tree2[tbl]
+            planner.tree[tbl] = (par0, pcol2, key2_col)
+            planner.tree2[tbl] = (pcol0, key_col)
+            key_col, key2_col = key2_col, key_col
+            b1, b2 = b2, b1
+        if (b2[1] - b2[0]) + 1 >= (1 << 31):
+            raise _Bail("composite second key domain too wide")
 
     # children first (their probes feed this build)
     child_probes: List[Tuple[str, _Probe]] = []
@@ -607,6 +671,8 @@ def _build_dim(planner: _StarPlanner, tbl: str) -> _Probe:
     pays: List[Tuple[str, str]] = []
     own = set(planner.needed_by[tbl])
     own.add(key_col)
+    if key2_col is not None:
+        own.add(key2_col)
     for c in sorted(own):
         pays.append((c, _payload_type(planner, tbl, c)))
     for ch, pb in child_probes:
@@ -680,6 +746,8 @@ def _build_dim(planner: _StarPlanner, tbl: str) -> _Probe:
     for c in sorted(resid_cols):
         reg(c, want_remap=planner.kind_of(c) == "dict")
     reg(key_col)
+    if key2_col is not None:
+        reg(key2_col)
 
     # child probes
     probes = []
@@ -691,7 +759,15 @@ def _build_dim(planner: _StarPlanner, tbl: str) -> _Probe:
         reg(cpcol)
         idx_ix = _add(p, pb.idx)
         lo_ix = _add(p, jnp.asarray(np.int64(pb.lo)))
-        probes.append((pid, cpcol, idx_ix, lo_ix))
+        if pb.chain is not None:
+            cpcol2 = planner.tree2[ch][0]
+            reg(cpcol2)
+            ordv, ccnt, vals2, maxdup = pb.chain
+            probes.append((pid, cpcol, idx_ix, lo_ix, cpcol2,
+                           _add(p, ordv), _add(p, ccnt),
+                           _add(p, vals2), maxdup))
+        else:
+            probes.append((pid, cpcol, idx_ix, lo_ix))
         for name, (vals, nulls, ptype) in sorted(pb.payload.items()):
             ix = {"kind": "pay", "probe": pid, "ptype": ptype,
                   "vals": _add(p, vals)}
@@ -720,6 +796,9 @@ def _build_dim(planner: _StarPlanner, tbl: str) -> _Probe:
     spec = (_freeze(p.spec_cols), _freeze(p.pred_groups),
             _freeze(probes), _freeze(resids), key_col, tblsize,
             tuple(pay_specs), rv_ix, klo_ix)
+    if key2_col is not None:
+        k2lo_ix = _add(p, jnp.asarray(np.int64(b2[0])))
+        spec = spec + (key2_col, k2lo_ix)
 
     # cache: literals ride in traced arrays, so the cache key must pin
     # them (plus payload identity for squeeze/evict invalidation)
@@ -749,6 +828,12 @@ def _build_dim(planner: _StarPlanner, tbl: str) -> _Probe:
     probe.pay_bounds = pay_bounds
     probe.cache_key = cache_key
     k = 2
+    if key2_col is not None:
+        maxdup = int(outs[5])
+        if maxdup > MAX_COMPOSITE_DUP:
+            raise _Bail(f"composite chain depth {maxdup}")
+        probe.chain = (outs[2], outs[3], outs[4], maxdup)
+        k = 6
     for name, ptype in pay_specs:
         probe.payload[name] = (outs[k], outs[k + 1], ptype)
         k += 2
@@ -995,7 +1080,15 @@ def _plan_fact(planner: _StarPlanner, dims: Dict[str, _Probe]):
         reg(pcol)
         idx_ix = _add(p, probe.idx)
         lo_ix = _add(p, jnp.asarray(np.int64(probe.lo)))
-        probes.append((pid, pcol, idx_ix, lo_ix))
+        if probe.chain is not None:
+            pcol2 = planner.tree2[child][0]
+            reg(pcol2)
+            ordv, cnt, vals2, maxdup = probe.chain
+            probes.append((pid, pcol, idx_ix, lo_ix, pcol2,
+                           _add(p, ordv), _add(p, cnt), _add(p, vals2),
+                           maxdup))
+        else:
+            probes.append((pid, pcol, idx_ix, lo_ix))
         for name, (vals, nulls, ptype) in sorted(probe.payload.items()):
             ix = {"kind": "pay", "probe": pid, "ptype": ptype,
                   "vals": _add(p, vals)}

@@ -17,7 +17,7 @@ SF = 0.01
 
 #: queries that MUST run distributed (regression fence; growth is
 #: welcome, shrinkage is a failure)
-EXPECT_DISTRIBUTED = {1, 3, 5, 6, 10, 11, 12, 14, 19}
+EXPECT_DISTRIBUTED = {1, 3, 5, 6, 9, 10, 11, 12, 14, 15, 16, 18, 19}
 
 
 @pytest.fixture(scope="module")

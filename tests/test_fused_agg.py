@@ -299,3 +299,42 @@ def test_linear_coded_column_fuses():
         s=("oid", "sum"), m=("oid", "max")).reset_index()
     assert out["s"].tolist() == g["s"].tolist()
     assert out["m"].tolist() == g["m"].tolist()
+
+
+def test_count_distinct_sort_path():
+    """count(DISTINCT d) routes through the sort-based pair dedup
+    (fused_agg "sortpairs": sorted adjacency flags, small outer-key
+    table) when the outer-key cardinality is bounded; NULL d rows
+    count in COUNT(*) but never in the distinct count.  Reference
+    behavior: DataFusion single_distinct_to_groupby."""
+    import tempfile
+    import pyarrow.parquet as pq
+    from liquid_tpu.bench.runner import make_session
+    from liquid_tpu.sql.fused_agg import STATS
+    rng = np.random.default_rng(11)
+    n = 40000
+    d = [None if i % 11 == 0 else int(v) for i, v in
+         enumerate(rng.integers(0, 500, n) * 104729 + 7)]
+    t = pa.table({
+        "g": pa.array(rng.integers(0, 30, n), pa.int32()),
+        "d": pa.array(d, pa.int64()),
+        "x": pa.array(rng.standard_normal(n)),
+    })
+    p = tempfile.mktemp(suffix=".parquet")
+    pq.write_table(t, p)
+    ctx, _ = make_session("liquid", 1 << 30, tempfile.mkdtemp())
+    ctx.register_parquet("h", p)
+    before = STATS.get("distinct_sort", 0)
+    r = ctx.sql(
+        "SELECT g, COUNT(DISTINCT d) AS u, COUNT(*) AS c, "
+        "SUM(x) AS s, MAX(d) AS md FROM h GROUP BY g ORDER BY g"
+    ).to_arrow().to_pandas()
+    assert STATS.get("distinct_sort", 0) > before, "sort path not taken"
+    df = t.to_pandas()
+    want = df.groupby("g").agg(
+        u=("d", "nunique"), c=("d", "size"), s=("x", "sum"),
+        md=("d", "max")).reset_index()
+    assert r["u"].tolist() == want["u"].tolist()
+    assert r["c"].tolist() == want["c"].tolist()
+    assert np.allclose(r["s"], want["s"])
+    assert r["md"].tolist() == want["md"].tolist()

@@ -284,3 +284,66 @@ def test_clickbench_fused_routing():
         routed[i] = STATS.get("fused_queries", 0) > before
     assert all(routed.values()), \
         {i: v for i, v in routed.items() if not v}
+
+
+def _fact_ps(n=6000, nparts=40, nsupps=6, seed=3):
+    """TPC-H q9 shape: fact joins a dim on a COMPOSITE key
+    (ps_partkey, ps_suppkey) that is unique only as a pair."""
+    rng = np.random.default_rng(seed)
+    pk = rng.integers(1, nparts + 1, n)
+    sk = rng.integers(1, nsupps + 1, n)
+    fact = pa.table({
+        "l_pk": pa.array(pk, pa.int64()),
+        "l_sk": pa.array(sk, pa.int64()),
+        "l_qty": pa.array(rng.integers(1, 50, n), pa.int64()),
+    })
+    pairs = [(p, s) for p in range(1, nparts + 1)
+             for s in range(1, nsupps + 1)]
+    ps = pa.table({
+        "ps_pk": pa.array([p for p, _ in pairs], pa.int64()),
+        "ps_sk": pa.array([s for _, s in pairs], pa.int64()),
+        "ps_cost": pa.array([(p * 31 + s * 7) % 97 + 0.25
+                             for p, s in pairs]),
+    })
+    return fact, ps
+
+
+def test_star_composite_key_dim(strict):
+    """Composite (two-column) join keys build a sorted chain index
+    instead of bailing on the single-key dup check (TPC-H q9's
+    partsupp; reference q9 runs through DataFusion HashJoinExec)."""
+    fact, ps = _fact_ps()
+    got, ran = _dual(
+        "SELECT l_sk, SUM(ps_cost * l_qty) AS amount, "
+        "COUNT(*) AS c FROM fact, ps "
+        "WHERE ps_pk = l_pk AND ps_sk = l_sk "
+        "GROUP BY l_sk ORDER BY l_sk",
+        fact=fact, ps=ps)
+    assert ran, "composite-key star did not route"
+
+
+def test_star_composite_key_missing_pairs(strict):
+    """Fact rows whose (pk, sk) pair is absent from the dim drop
+    (INNER); rows whose pk exists but sk differs must NOT match."""
+    fact, ps = _fact_ps(n=3000, nparts=20, nsupps=6)
+    # keep only even suppkeys in the dim: odd-sk fact rows must drop
+    import pyarrow.compute as pc
+    ps2 = ps.filter(pc.equal(pc.bit_wise_and(ps["ps_sk"], 1), 0))
+    got, ran = _dual(
+        "SELECT SUM(l_qty) AS s, COUNT(*) AS c FROM fact, ps "
+        "WHERE ps_pk = l_pk AND ps_sk = l_sk",
+        fact=fact, ps=ps2)
+    assert ran
+
+
+def test_star_composite_dup_pair_bails(strict):
+    """A duplicated (pk, sk) PAIR defeats N:1 -- the star path must
+    bail to the classic join, not return approximate rows."""
+    fact, ps = _fact_ps(n=1000, nparts=10, nsupps=4)
+    dup = ps.take(pa.array(list(range(ps.num_rows)) + [0, 1],
+                           pa.int64()))
+    got, ran = _dual(
+        "SELECT SUM(l_qty * ps_cost) AS s FROM fact, ps "
+        "WHERE ps_pk = l_pk AND ps_sk = l_sk",
+        fact=fact, ps=dup)
+    assert not ran, "dup composite pair must bail"

@@ -21,11 +21,11 @@ REPO = pathlib.Path(__file__).resolve().parents[1]
 
 #: ClickBench queries that MUST run on a fused device path (aggregate
 #: or bare-select) -- grow-only
-EXPECT_CB_FUSED = [1, 2, 3, 4, 7, 8, 12, 14, 15, 16, 17, 18, 21, 24,
-                   26, 27, 28, 30, 34, 35, 40, 42]
+EXPECT_CB_FUSED = [1, 2, 3, 4, 7, 8, 9, 12, 13, 14, 15, 16, 17, 18,
+                   21, 22, 24, 26, 27, 28, 30, 34, 35, 40, 42]
 
 #: TPC-H queries that MUST route star (fused multi-table) -- grow-only
-EXPECT_TPCH_STAR = [2, 3, 5, 7, 8, 10, 11, 12, 14, 16, 18, 19, 21]
+EXPECT_TPCH_STAR = [2, 3, 5, 7, 8, 9, 10, 11, 12, 14, 16, 18, 19, 21]
 #: TPC-H queries that MUST route fused single-table -- grow-only
 EXPECT_TPCH_FUSED = [1, 4, 6, 17, 20, 22]
 
