@@ -4,8 +4,22 @@ under pathological skew, and left-deep join chains."""
 import os
 
 # regressions must surface as failures here, not as silent
-# graceful-degradation fallbacks to the single-host engine
-os.environ["LIQUID_DIST_STRICT"] = "1"
+# graceful-degradation fallbacks to the single-host engine.  Scoped to
+# this module: a process-global set would leak strict mode into later
+# test files whose queries legitimately fall back (test_dist_clickbench
+# runs the full 43-query set through graceful degradation).
+import pytest as _pytest
+
+
+@_pytest.fixture(autouse=True, scope="module")
+def _strict_dist():
+    prior = os.environ.get("LIQUID_DIST_STRICT")
+    os.environ["LIQUID_DIST_STRICT"] = "1"
+    yield
+    if prior is None:
+        os.environ.pop("LIQUID_DIST_STRICT", None)
+    else:
+        os.environ["LIQUID_DIST_STRICT"] = prior
 
 import numpy as np
 import pandas as pd
